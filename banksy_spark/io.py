@@ -1,0 +1,82 @@
+"""Sources & sinks (SURVEY.md §2.1).
+
+The reference's sources are scrapes + CSVs + a spreadsheet; its sinks are
+spreadsheet overwrite/append and a push-notification POST
+(arbitrage_scanner.py:44-58,188-191,296-320,493-514). In Spark terms the
+analytics inputs are tables; the scrape/HTTP edges are driver-side
+adapters (see ``banksy_spark.pipelines``). This module is the table
+layer: parquet/CSV in, parquet overwrite/append out.
+
+At 100 TB the same functions hold: ``spark.read.parquet`` over a
+partitioned directory tree prunes partitions from the path filter, and
+the writers below take ``partition_by`` so big facts land
+hash/date-partitioned instead of as one directory of files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast unconditionally. The
+# reference's dims are 30-32 rows (mlb/nba/nfl_teams.csv); here region,
+# nation, supplier play that role.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    """Read the testdata star schema: one lazy DataFrame per table.
+
+    Nothing materializes here; Catalyst prunes columns and pushes
+    predicates into each scan per consuming query.
+    """
+    return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    """Load tables and register them as temp views for the SQL surface."""
+    tables = load_tables(spark, sf_dir, names)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables
+
+
+def read_csv_dim(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    """Dimension CSV scan (SURVEY §2.1 S3; arbitrage_scanner.py:188-191).
+
+    The reference's dim CSVs have heterogeneous schemas (nfl_teams.csv
+    carries 2 extra columns); ``columns`` selects the common subset the
+    way arbitrage_scanner.py:191 does.
+    """
+    df = spark.read.csv(path, header=True, inferSchema=True)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def write_overwrite(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Full-refresh sink (SURVEY §2.1 K1; arbitrage_scanner.py:307-320)."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Append sink (SURVEY §2.1 K2; arbitrage_scanner.py:506-514)."""
+    writer = df.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

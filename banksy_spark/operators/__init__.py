@@ -1,0 +1,26 @@
+"""Operator layer (SURVEY.md §2.2-2.6): reshaping, windows, dedup.
+
+Everything order-dependent takes explicit ordering columns — Spark
+DataFrames have no physical row order, so the pandas RangeIndex
+semantics of the reference are reified as columns (SURVEY.md §4.3.1).
+"""
+
+from banksy_spark.operators.reshape import (
+    with_seq,
+    pair_id,
+    pair_parity,
+    forward_fill,
+    keep_first,
+    melt,
+    explode_pair,
+)
+
+__all__ = [
+    "with_seq",
+    "pair_id",
+    "pair_parity",
+    "forward_fill",
+    "keep_first",
+    "melt",
+    "explode_pair",
+]

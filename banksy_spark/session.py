@@ -1,0 +1,66 @@
+"""SparkSession factory.
+
+One place to pin the engine's execution posture:
+ - AQE on (runtime shuffle coalescing + skew-join splitting — the 100 TB
+   posture; at local scale it mostly coalesces tiny shuffles).
+ - ANSI off: the reference's semantics are pandas' coercing semantics
+   (``to_numeric(errors='coerce')`` → NULL on garbage, see SURVEY.md
+   §4.3.5); Spark 4 defaults ANSI on, so we pin it off and use
+   ``try_cast`` where coercion is the *point* of the operator.
+ - Session timezone UTC: testdata timestamps are naive; both Spark and
+   the DuckDB oracle must read the same wall-clock values.
+ - Arrow enabled for pandas interchange (vectorized UDF path).
+
+The reference pins ``America/Phoenix`` for its notification log
+(arbitrage_scanner.py:509); the pipeline layer does that conversion
+explicitly with ``convert_timezone`` rather than leaning on session TZ,
+so the engine default stays UTC.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "banksy_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env) or
+    ``local[*]``. ``shuffle_partitions`` defaults to the local core
+    count — on a real cluster you'd size this to ~2-3× total cores and
+    let AQE coalesce.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("BANKSY_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        # columnar parquet reader + pushdown are on by default; stated for intent
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

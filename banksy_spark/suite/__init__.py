@@ -1,0 +1,17 @@
+"""The query suite: one named query per implemented operator.
+
+Each SURVEY.md §2 operator (and each driver-mandated extension) is
+exposed as a named query ``(spark, sf_dir) -> DataFrame`` plus, when
+SQL-expressible, a DuckDB oracle producing identical columns/values.
+``__spark_entry__.py`` re-exports this registry to the driver.
+"""
+
+from banksy_spark.suite.registry import REGISTRY, query
+
+# Importing the modules populates REGISTRY via the @query decorator.
+from banksy_spark.suite import core  # noqa: E402,F401
+from banksy_spark.suite import odds  # noqa: E402,F401
+from banksy_spark.suite import llm  # noqa: E402,F401
+from banksy_spark.suite import stream  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "query"]

@@ -1,0 +1,47 @@
+"""Query registry: names → (spark_fn, duckdb_oracle_sql).
+
+Numeric-parity conventions used across the suite (SURVEY.md §4.3.3):
+
+ - Money-ish doubles (2dp sources like prices, balances, discounts) are
+   cast to DECIMAL before SUM so the aggregate is associative-exact and
+   independent of partial-aggregation order; the final value is cast
+   back to DOUBLE so both engines emit the identical IEEE value.
+   Derived products get the scale of their exact decimal width
+   (price×(1-disc) = 4dp, ×(1+tax) = 6dp).
+ - Row-level arithmetic stays plain DOUBLE: IEEE ops are deterministic,
+   both engines produce bit-identical results for the same expression.
+ - Every computed column is aliased identically in the Spark query and
+   the oracle SQL (driver hashes sort columns by name).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: QueryFn
+    oracle: str | None  # None → driver runs rows-only check
+    note: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, note: str = ""):
+    """Register a suite query. ``oracle`` is DuckDB SQL over the
+    pre-registered testdata views, or None for non-SQL-expressible ops."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, note=note)
+        return fn
+
+    return deco
