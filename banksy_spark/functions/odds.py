@@ -52,7 +52,10 @@ def sign_prefix(v: Column) -> Column:
 
 
 def normalize_even_odds(v: Column) -> Column:
-    """'EVEN'/'even' → '+100' (bovada_pull.py:152-154,194;
-    arbitrage_scanner.py:177-179). Whole-value literal replace, so a
-    ``when`` not a regex."""
-    return F.when(F.lower(v) == "even", F.lit("+100")).otherwise(v)
+    """'EVEN'/'even' → '+100' (bovada_pull.py:152-154,194). Whole-value
+    literal replace of exactly those two spellings, so an ``isin`` not a
+    lowercase-compare ('Even' passes through, matching the reference).
+    The separate substring-regex replace at arbitrage_scanner.py:177-179
+    (which also maps 'o'→'' and 'u'→'-') is chained ``regexp_replace``
+    in the pipeline layer, not this function."""
+    return F.when(v.isin("EVEN", "even"), F.lit("+100")).otherwise(v)

@@ -14,8 +14,14 @@ from pyspark.sql import functions as F
 def extract_second_word(team: Column) -> Column:
     """If the value has ≥3 whitespace tokens, keep the first token, else
     the value unchanged (arbitrage_scanner.py:78-84 — strips rank
-    prefixes like '3 Seattle Seahawks' one step at a time)."""
-    toks = F.split(team, " ")
+    prefixes like '3 Seattle Seahawks' one step at a time).
+
+    The reference uses Python ``str.split()`` which collapses whitespace
+    runs and drops empties, so split on ``\\s+`` after trimming (a
+    literal single-space split would count empty tokens and diverge on
+    inputs like ``'A  B'``).
+    """
+    toks = F.split(F.trim(team), r"\s+")
     return F.when(F.size(toks) >= 3, toks[0]).otherwise(team)
 
 
@@ -38,8 +44,14 @@ def last_token(v: Column, sep: str = " ") -> Column:
 
 def blank_if_contains_any(v: Column, charset: str = "()OU") -> Column:
     """Blank the value if it contains any char of ``charset``
-    (bovada_pull.py:172)."""
-    klass = "[" + "".join("\\" + ch for ch in charset) + "]"
+    (bovada_pull.py:172).
+
+    Only non-alphanumerics are backslash-escaped: Java regex rejects
+    escapes of letters that aren't named constructs (``\\O`` →
+    PatternSyntaxException), while bare alphanumerics are always literal
+    inside a character class.
+    """
+    klass = "[" + "".join(ch if ch.isalnum() else "\\" + ch for ch in charset) + "]"
     return F.when(v.rlike(klass), F.lit("")).otherwise(v)
 
 

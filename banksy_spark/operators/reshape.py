@@ -78,12 +78,35 @@ def keep_first(
     keys: Sequence[ColumnOrName],
     order_by: Sequence[ColumnOrName],
 ) -> DataFrame:
-    """Keep-first-per-key dedup with a *pinned* order (bovada_pull.py:
-    156-162 drops the second matchup per team). ``dropDuplicates`` alone
-    keeps an arbitrary row; the reference keeps the earliest, so rank
-    and filter."""
+    """Keep the earliest row per key under a *pinned* order.
+    ``dropDuplicates`` alone keeps an arbitrary row; rank and filter
+    keeps the first. Note: exact parity with bovada_pull.py:156-162
+    (second-matchup removal) additionally drops the *whole* duplicate
+    game — both the repeated team's row and its opponent's — which is
+    ``drop_groups_with_dup`` below, not this row-level keep-first."""
     w = Window.partitionBy(*keys).orderBy(*order_by)
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def drop_groups_with_dup(
+    df: DataFrame,
+    dup_keys: Sequence[ColumnOrName],
+    order_by: Sequence[ColumnOrName],
+    group_col: ColumnOrName,
+) -> DataFrame:
+    """Group-level anti-join parity with bovada_pull.py:156-162: when a
+    key (team) appears a second time, drop the *entire* second group
+    (game) — repeat row and its partner rows alike. Rank occurrences per
+    key, collect the group ids of rank≥2 rows, anti-join them away."""
+    w = Window.partitionBy(*dup_keys).orderBy(*order_by)
+    group_name = group_col if isinstance(group_col, str) else group_col._jc.toString()  # noqa: SLF001
+    offending = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") >= 2)
+        .select(group_name)
+        .distinct()
+    )
+    return df.join(offending, on=group_name, how="left_anti")
 
 
 def melt(

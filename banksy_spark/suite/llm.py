@@ -1,0 +1,640 @@
+"""LLM-training-data pipeline operators over documents/embeddings
+(driver-mandated extensions; SURVEY.md §7 phase 5).
+
+Design rules:
+ - Everything is deterministic integer/double arithmetic so the DuckDB
+   oracle reproduces values bit-exactly — including MinHash (a shared
+   polynomial token hash replaces engine-specific hash functions).
+ - Nothing is all-pairs: fuzzy dedup candidates come from LSH band
+   buckets or (lang, length-bucket) blocking; similarity search
+   broadcasts the (small) query set or buckets by hyperplane sign.
+   At 100 TB those candidate keys are the shuffle keys; no operator
+   here materializes O(n²).
+
+Hash scheme shared by minhash/simhash/fingerprint queries:
+  char-poly:  h(s)     = fold over chars: acc*31 + ascii(c)  (mod P)
+  shingle:    h3(a,b,c)= ((h(a)*131 + h(b)) % P * 131 + h(c)) % P
+  minhash_i:  (A[i]*h + B[i]) % P,  sig_i = min over shingles
+with P = 1,000,000,007. DuckDB's list_reduce seeds with the first
+element, Spark's aggregate with 0; identical for these folds since
+0*31+c == c and 0.0+x == x.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from banksy_spark.suite.registry import T, query
+
+P = 1_000_000_007
+MINHASH_A = [3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59]
+MINHASH_B = [101, 103, 107, 109, 113, 127, 131, 137, 139, 149, 151, 157, 163, 167, 173, 179]
+N_BANDS, BAND_ROWS = 4, 4  # 16 sigs = 4 bands × 4 rows
+
+# --- shared expression fragments (Spark SQL dialect ≙ DuckDB dialect) ---
+
+# polynomial char hash of a string s (same text, same value, both engines)
+_POLY_SPARK = (
+    "aggregate(transform(split({s}, ''), c -> ascii(c)), CAST(0 AS BIGINT),"
+    " (acc, c) -> (acc * 31 + c) % 1000000007)"
+)
+_POLY_DUCK = (
+    "list_reduce(list_transform(string_split_regex({s}, ''), c -> CAST(ascii(c) AS BIGINT)),"
+    " (acc, c) -> (acc * 31 + c) % 1000000007)"
+)
+
+
+@query(
+    "llm_text_stats",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+           CAST(len(list_filter(string_split(text, ' '), t -> t IN ('a', 'the'))) AS BIGINT)
+             AS n_stop,
+           CAST(len(list_filter(string_split(text, ' '), t -> t IN ('a', 'the'))) AS BIGINT)
+             / CAST(len(string_split(text, ' ')) AS BIGINT) AS stop_ratio
+    FROM documents
+    """,
+    note="Text analysis: char/token/distinct counts + stopword ratio over documents "
+    "(pure expressions, no UDF; the 100 TB path is a single narrow scan)",
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks).cast("bigint")
+    n_stop = F.size(F.expr("filter(split(text, ' '), t -> t IN ('a', 'the'))")).cast("bigint")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        n_stop.alias("n_stop"),
+        (n_stop / n_tok).alias("stop_ratio"),
+    )
+
+
+_LANG_PROFILES = {
+    "en": ("the", "a", "of"),
+    "de": ("der", "die", "das"),
+    "fr": ("le", "la", "les"),
+    "es": ("el", "los", "las"),
+    "zh": ("的", "是", "了"),
+}
+
+
+def _lang_score_sql(toks: str, words: tuple[str, ...], dialect: str) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    if dialect == "spark":
+        return f"size(filter({toks}, t -> t IN ({inlist}))) / CAST(size({toks}) AS DOUBLE)"
+    return f"len(list_filter({toks}, t -> t IN ({inlist}))) / CAST(len({toks}) AS DOUBLE)"
+
+
+def _langid_oracle() -> str:
+    scores = ",\n           ".join(
+        f"{_lang_score_sql('toks', ws, 'duck')} AS s_{lang}"
+        for lang, ws in _LANG_PROFILES.items()
+    )
+    langs = list(_LANG_PROFILES)
+    chain = " ".join(
+        f"WHEN s_{lang} >= GREATEST({', '.join('s_' + o for o in langs if o != lang)}) "
+        f"THEN '{lang}'"
+        for lang in langs[:-1]
+    )
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS lang_label, {scores}
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+    )
+    SELECT doc_id, lang_label, s_en, s_de, s_fr, s_es, s_zh,
+           CASE {chain} ELSE '{langs[-1]}' END AS lang_pred
+    FROM scored
+    """
+
+
+@query(
+    "llm_langid",
+    oracle=_langid_oracle(),
+    note="Language-ID heuristic: per-language stopword-density scores, argmax with pinned "
+    "tie order. (Synthetic corpus shares one vocabulary, so the operator — not "
+    "classification accuracy — is what's verified.)",
+)
+def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("lang_label"), F.split("text", " ").alias("toks")
+    )
+    scored = d.select(
+        "doc_id",
+        "lang_label",
+        *[
+            F.expr(_lang_score_sql("toks", ws, "spark")).alias(f"s_{lang}")
+            for lang, ws in _LANG_PROFILES.items()
+        ],
+    )
+    langs = list(_LANG_PROFILES)
+    pred = None
+    for lang in langs[:-1]:
+        others = [F.col(f"s_{o}") for o in langs if o != lang]
+        cond = F.col(f"s_{lang}") >= F.greatest(*others)
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    pred = pred.otherwise(langs[-1])
+    return scored.select(
+        "doc_id", "lang_label", "s_en", "s_de", "s_fr", "s_es", "s_zh", pred.alias("lang_pred")
+    )
+
+
+@query(
+    "llm_quality_score",
+    oracle="""
+    SELECT doc_id,
+           0.4 * LEAST(1.0, n_tok / 100.0)
+             + 0.3 * (1.0 - n_stop / CAST(n_tok AS DOUBLE))
+             + 0.3 * (n_distinct / CAST(n_tok AS DOUBLE)) AS quality
+    FROM (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             len(list_filter(string_split(text, ' '), t -> t IN ('a', 'the'))) AS n_stop
+      FROM documents
+    )
+    """,
+    note="Quality scoring: length + stopword-ratio + lexical-diversity composite "
+    "(the filter-before-training heuristic)",
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.expr("filter(split(text, ' '), t -> t IN ('a', 'the'))"))
+    quality = (
+        0.4 * F.least(F.lit(1.0), n_tok / 100.0)
+        + 0.3 * (1.0 - n_stop / n_tok.cast("double"))
+        + 0.3 * (n_distinct / n_tok.cast("double"))
+    )
+    return d.select("doc_id", quality.alias("quality"))
+
+
+@query(
+    "llm_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+             AS n_bpe_ish,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
+    FROM documents
+    """,
+    note="Token counting: whitespace + BPE-ish regex classes (letters / digits / other)",
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+        .cast("bigint")
+        .alias("n_bpe_ish"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws"),
+    )
+
+
+@query(
+    "llm_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           {_POLY_DUCK.format(s='text')} AS content_fp,
+           list_aggregate(list_transform(string_split(text, ' '),
+                                         t -> {_POLY_DUCK.format(s='t')}), 'min') AS min_tok_fp,
+           list_aggregate(list_transform(string_split(text, ' '),
+                                         t -> {_POLY_DUCK.format(s='t')}), 'max') AS max_tok_fp
+    FROM documents
+    """,
+    note="Document fingerprinting: rolling polynomial char hash of the full text plus "
+    "min/max token-hash sketch (winnowing-lite)",
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    tok_hashes = f"transform(split(text, ' '), t -> {_POLY_SPARK.format(s='t')})"
+    return d.select(
+        "doc_id",
+        F.expr(_POLY_SPARK.format(s="text")).alias("content_fp"),
+        F.expr(f"array_min({tok_hashes})").alias("min_tok_fp"),
+        F.expr(f"array_max({tok_hashes})").alias("max_tok_fp"),
+    )
+
+
+@query(
+    "llm_dedup_exact",
+    oracle="""
+    SELECT doc_id, md5(text) AS content_hash,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+           COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+    FROM documents
+    """,
+    note="Exact dedup: content-hash groupBy, min-id canonical "
+    "(the 100 TB form: shuffle on the hash, not the payload)",
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").withColumn("content_hash", F.md5(F.col("text").cast("binary")))
+    w = Window.partitionBy("content_hash")
+    return d.select(
+        "doc_id",
+        "content_hash",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count("*").over(w).alias("n_copies"),
+    )
+
+
+@query(
+    "llm_dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang, CAST(FLOOR(len(toks) / 16) AS BIGINT) AS len_bucket,
+             list_distinct([toks[i] || ' ' || toks[i + 1]
+                            for i in generate_series(1, len(toks) - 1)]) AS shingles
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+      WHERE len(toks) >= 2
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.1
+    """,
+    note="N-gram Jaccard near-dup: 2-gram shingle sets, candidates blocked by "
+    "(lang, token-count bucket of 16) — never all-pairs; jaccard = |∩|/|∪|. "
+    "At 100 TB the blocking keys are the shuffle keys and shingles would be hashed.",
+)
+def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    sh = d.select(
+        "doc_id",
+        "lang",
+        F.floor(F.size("toks") / 16).cast("bigint").alias("len_bucket"),
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("shingles"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    jac = F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double") / F.size(
+        F.array_union("a.shingles", "b.shingles")
+    )
+    return joined.select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.1)
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+
+def _minhash_sql_parts(dialect: str) -> tuple[str, str]:
+    """(shingle-hash list expr over `toks`, sig list expr over `sh`)."""
+    if dialect == "spark":
+        tok_h = f"transform(toks, t -> {_POLY_SPARK.format(s='t')})"
+        sh = (
+            f"array_distinct(transform(sequence(1, size(toks) - 2),"
+            f" i -> ((element_at(th, i) * 131 + element_at(th, i + 1)) % 1000000007 * 131"
+            f" + element_at(th, i + 2)) % 1000000007))"
+        )
+        sigs = ", ".join(
+            f"array_min(transform(sh, h -> ({a} * h + {b}) % 1000000007))"
+            for a, b in zip(MINHASH_A, MINHASH_B)
+        )
+        return tok_h, f"array({sigs})"
+    tok_h = f"list_transform(toks, t -> {_POLY_DUCK.format(s='t')})"
+    sh = (
+        "list_distinct([((th[i] * 131 + th[i + 1]) % 1000000007 * 131 + th[i + 2])"
+        " % 1000000007 for i in generate_series(1, len(toks) - 2)])"
+    )
+    sigs = ", ".join(
+        f"list_aggregate(list_transform(sh, h -> ({a} * h + {b}) % 1000000007), 'min')"
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    )
+    return tok_h, f"[{sigs}]"
+
+
+def _minhash_oracle() -> str:
+    tok_h, sig_list = _minhash_sql_parts("duck")
+    sh_expr = (
+        "list_distinct([((th[i] * 131 + th[i + 1]) % 1000000007 * 131 + th[i + 2])"
+        " % 1000000007 for i in generate_series(1, len(toks) - 2)])"
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT {j} AS band_id, "
+        + " || ',' || ".join(
+            f"CAST(sig[{j * BAND_ROWS + r + 1}] AS VARCHAR)" for r in range(BAND_ROWS)
+        )
+        + " AS band_key, doc_id FROM sigs"
+        for j in range(N_BANDS)
+    )
+    est = " + ".join(
+        f"(CASE WHEN a.sig[{i + 1}] = b.sig[{i + 1}] THEN 1 ELSE 0 END)" for i in range(16)
+    )
+    return f"""
+    WITH sh_t AS (
+      SELECT doc_id, toks, {tok_h} AS th
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    shingled AS (SELECT doc_id, {sh_expr} AS sh FROM sh_t),
+    sigs AS (SELECT doc_id, {sig_list} AS sig FROM shingled),
+    bands AS ({band_selects}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b, ({est}) / 16.0 AS est_jaccard
+    FROM pairs p
+    JOIN sigs a ON a.doc_id = p.doc_a
+    JOIN sigs b ON b.doc_id = p.doc_b
+    """
+
+
+@query(
+    "llm_dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    note="MinHash(16)+LSH(4 bands × 4 rows) fuzzy dedup, fully oracle-verified via a "
+    "shared polynomial hash. Candidates come only from band-bucket collisions — the "
+    "100 TB-safe shape: shuffle on (band_id, band_key), never all-pairs.",
+)
+def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok_h, sig_list = _minhash_sql_parts("spark")
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .withColumn("th", F.expr(tok_h))
+        .withColumn(
+            "sh",
+            F.expr(
+                "array_distinct(transform(sequence(1, size(toks) - 2),"
+                " i -> ((element_at(th, i) * 131 + element_at(th, i + 1)) % 1000000007 * 131"
+                " + element_at(th, i + 2)) % 1000000007))"
+            ),
+        )
+        .withColumn("sig", F.expr(sig_list))
+        .select("doc_id", "sig")
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("sig")[j * BAND_ROWS + r].cast("string")
+                        for r in range(BAND_ROWS)
+                    ],
+                ).alias("band_key"),
+            )
+            for j in range(N_BANDS)
+        ]
+    )
+    bands = d.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))").cast("int")
+        / 16.0
+    )
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b").select("doc_a", "doc_b", est.alias("est_jaccard"))
+    )
+
+
+def _simhash_exprs(dialect: str) -> str:
+    """16-bit SimHash from token hashes `th` (list of BIGINT)."""
+    if dialect == "spark":
+        terms = " + ".join(
+            f"(CASE WHEN aggregate(transform(th, h -> CASE WHEN (h >> {b}) & 1 = 1"
+            f" THEN 1 ELSE -1 END), 0, (acc, v) -> acc + v) > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(16)
+        )
+        return terms
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> {b}) & 1 = 1"
+        f" THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(16)
+    )
+    return terms
+
+
+@query(
+    "llm_simhash",
+    oracle=f"""
+    WITH th_t AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '), t -> {_POLY_DUCK.format(s='t')}) AS th
+      FROM documents
+    )
+    SELECT doc_id, CAST({_simhash_exprs('duck')} AS BIGINT) AS simhash
+    FROM th_t
+    """,
+    note="SimHash(16-bit) near-dup signature: per-bit ±1 vote over token hashes, "
+    "sign → bit. Same polynomial token hash as minhash, so fully oracle-verified.",
+)
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").withColumn(
+        "th", F.expr(f"transform(split(text, ' '), t -> {_POLY_SPARK.format(s='t')})")
+    )
+    return d.select(
+        "doc_id", F.expr(f"CAST({_simhash_exprs('spark')} AS BIGINT)").alias("simhash")
+    )
+
+
+# --- Similarity search -----------------------------------------------------
+
+_DOT_SPARK = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+_NORM_SPARK = "sqrt(aggregate(transform({v}, x -> x * x), 0D, (acc, v) -> acc + v))"
+_DOT_DUCK = "list_reduce([{a}[i] * {b}[i] for i in generate_series(1, len({a}))], (x, y) -> x + y)"
+_NORM_DUCK = "sqrt(list_reduce([{v}[i] * {v}[i] for i in generate_series(1, len({v}))], (x, y) -> x + y))"
+
+
+@query(
+    "llm_ann_bruteforce",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, {_NORM_DUCK.format(v='v')} AS nrm FROM e),
+    q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 8)
+    SELECT qid, vec_id AS neighbor_id,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY
+             {_DOT_DUCK.format(a='qv', b='v')} / (qn * nrm) DESC, vec_id) AS BIGINT) AS rnk,
+           {_DOT_DUCK.format(a='qv', b='v')} / (qn * nrm) AS cosine
+    FROM q JOIN n ON n.vec_id <> q.qid
+    QUALIFY rnk <= 5
+    """,
+    note="Similarity search, exact baseline: brute-force cosine top-5 for a broadcast "
+    "query set. Scale: queries broadcast (no candidate shuffle), norms precomputed once; "
+    "the scan stays narrow (vec_id, embedding).",
+)
+def llm_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    n = e.withColumn("nrm", F.expr(_NORM_SPARK.format(v="v")))
+    q = (
+        n.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    )
+    joined = n.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    cosine = F.expr(_DOT_SPARK.format(a="qv", b="v")) / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        joined.select("qid", F.col("vec_id").alias("neighbor_id"), cosine.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "neighbor_id", "rnk", "cosine")
+    )
+
+
+@query(
+    "llm_ann_lsh_bucketed",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, v, {_NORM_DUCK.format(v='v')} AS nrm,
+             (CASE WHEN v[1] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN v[3] > 0 THEN 1 ELSE 0 END) AS bucket
+      FROM e
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket FROM n WHERE vec_id < 8)
+    SELECT qid, vec_id AS neighbor_id, bucket,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY
+             {_DOT_DUCK.format(a='qv', b='v')} / (qn * nrm) DESC, vec_id) AS BIGINT) AS rnk,
+           {_DOT_DUCK.format(a='qv', b='v')} / (qn * nrm) AS cosine
+    FROM q JOIN n USING (bucket)
+    WHERE n.vec_id <> q.qid
+    QUALIFY rnk <= 3
+    """,
+    note="Similarity search, scale path: random-hyperplane-sign LSH buckets (signs of "
+    "dims 1-3) prune candidates ~8× before exact cosine rerank. At 100 TB the bucket id "
+    "is the join key; recall traded for candidate-set size.",
+)
+def llm_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    bucket = (
+        F.when(F.element_at("v", 1) > 0, 4).otherwise(0)
+        + F.when(F.element_at("v", 2) > 0, 2).otherwise(0)
+        + F.when(F.element_at("v", 3) > 0, 1).otherwise(0)
+    )
+    n = e.withColumn("nrm", F.expr(_NORM_SPARK.format(v="v"))).withColumn("bucket", bucket)
+    q = (
+        n.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"), "bucket",
+        )
+    )
+    joined = n.join(F.broadcast(q), "bucket").filter(F.col("vec_id") != F.col("qid"))
+    cosine = F.expr(_DOT_SPARK.format(a="qv", b="v")) / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        joined.select("qid", F.col("vec_id").alias("neighbor_id"), "bucket", cosine.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("qid", "neighbor_id", "bucket", "rnk", "cosine")
+    )
+
+
+@query(
+    "llm_embed_near_dup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, label, v, {_NORM_DUCK.format(v='v')} AS nrm FROM e)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           {_DOT_DUCK.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) AS cosine
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_DOT_DUCK.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) > 0.4
+    """,
+    note="Embedding-cosine near-dup: pairs above threshold, blocked by label bucket "
+    "(cluster id) — the all-pairs comparison never leaves a bucket.",
+)
+def llm_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    n = e.withColumn("nrm", F.expr(_NORM_SPARK.format(v="v")))
+    a = n.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("label"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    joined = a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+    cosine = F.expr(_DOT_SPARK.format(a="va", b="vb")) / (F.col("na") * F.col("nb"))
+    return (
+        joined.select("vec_a", "vec_b", "label", cosine.alias("cosine"))
+        .filter(F.col("cosine") > 0.4)
+    )
+
+
+# --- Multimodal column plumbing -------------------------------------------
+
+
+@query(
+    "llm_multimodal_stub",
+    oracle="""
+    SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(CAST(text AS BLOB)) % 640 AS BIGINT) AS width,
+           CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 AS BIGINT) AS height,
+           CAST(octet_length(CAST(text AS BLOB)) % 16 AS BIGINT) AS n_frames,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind
+    FROM documents
+    """,
+    note="Multimodal columns: opaque binary payload + typed metadata decoded via "
+    "mapInPandas (Arrow batches). The real codec is stubbed (no image/audio libs in "
+    "container) with deterministic fake dimensions; the Spark-side plumbing — binary "
+    "column, batch iteration, schema — is real and oracle-checked.",
+)
+def llm_multimodal_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.operators.udfs import fake_decode_media
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return fake_decode_media(d)

@@ -34,6 +34,27 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table (lazy parquet scan; Catalyst prunes/pushes).
+
+    Two session-level accommodations, safe to set at runtime:
+     - ANSI off: suite semantics are the reference's coercing pandas
+       semantics (SURVEY §4.3.5), and the driver's session may default
+       ANSI on (Spark 4).
+     - events.ts is parquet TIMESTAMP(NANOS), which the vectorized
+       reader rejects; read it as nano-longs and convert to a
+       microsecond timestamp (truncation matches DuckDB's ns→us).
+    """
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return raw.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
 def query(name: str, oracle: str | None = None, note: str = ""):
     """Register a suite query. ``oracle`` is DuckDB SQL over the
     pre-registered testdata views, or None for non-SQL-expressible ops."""
