@@ -247,53 +247,67 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SH2_DUCK = (
+    "list_distinct([(th[i] * 131 + th[i + 1]) % 1000000007"
+    " for i in generate_series(1, len(th) - 1)])"
+)
+_SH2_SPARK = (
+    "array_distinct(transform(sequence(1, size(th) - 1),"
+    " i -> (element_at(th, i) * 131 + element_at(th, i + 1)) % 1000000007))"
+)
+
+
 @query(
     "llm_dedup_ngram_jaccard",
-    oracle="""
+    oracle=f"""
     WITH sh AS (
       SELECT doc_id, lang, CAST(FLOOR(len(toks) / 16) AS BIGINT) AS len_bucket,
-             list_distinct([toks[i] || ' ' || toks[i + 1]
-                            for i in generate_series(1, len(toks) - 1)]) AS shingles
-      FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+             {_SH2_DUCK} AS hs
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks,
+                   list_transform(string_split(text, ' '),
+                                  t -> {_POLY_DUCK.format(s='t')}) AS th
+            FROM documents)
       WHERE len(toks) >= 2
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+           CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
     FROM sh a JOIN sh b
       ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.1
+    WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.1
     """,
-    note="N-gram Jaccard near-dup: 2-gram shingle sets, candidates blocked by "
-    "(lang, token-count bucket of 16) — never all-pairs; jaccard = |∩|/|∪|. "
-    "At 100 TB the blocking keys are the shuffle keys and shingles would be hashed.",
+    note="N-gram Jaccard near-dup: hashed 2-gram shingle sets, candidates blocked by "
+    "(lang, token-count bucket of 16) — never global all-pairs; jaccard = |∩|/|∪| on "
+    "int sets. Note on shape: an inverted-index (explode+join on shingle) variant was "
+    "benchmarked and LOSES here because the corpus vocabulary is tiny — every shingle "
+    "is a stop-shingle, so doc-frequency blow-up dwarfs block-local pairing. At 100 TB "
+    "with natural text, candidates would come from the MinHash-LSH bands "
+    "(llm_dedup_minhash_lsh) and this exact jaccard would verify only those pairs.",
 )
 def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.split("text", " ").alias("toks")
-    ).filter(F.size("toks") >= 2)
-    sh = d.select(
-        "doc_id",
-        "lang",
-        F.floor(F.size("toks") / 16).cast("bigint").alias("len_bucket"),
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(1, size(toks) - 1),"
-                " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
-            )
-        ).alias("shingles"),
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .withColumn("th", F.expr(f"transform(toks, t -> {_POLY_SPARK.format(s='t')})"))
+        .select(
+            "doc_id",
+            "lang",
+            F.floor(F.size("toks") / 16).cast("bigint").alias("len_bucket"),
+            F.expr(_SH2_SPARK).alias("hs"),
+        )
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
+    a = d.alias("a")
+    b = d.alias("b")
     joined = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.len_bucket") == F.col("b.len_bucket"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
-    jac = F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double") / F.size(
-        F.array_union("a.shingles", "b.shingles")
+    jac = F.size(F.array_intersect("a.hs", "b.hs")).cast("double") / F.size(
+        F.array_union("a.hs", "b.hs")
     )
     return joined.select(
         F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), jac.alias("jaccard")

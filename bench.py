@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline suite queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "suite_wall_sec", "value": N, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": 0.1}
+
+Each query is forced end-to-end with a noop sink (full evaluation, no
+driver-side collect), after a small warm-up to exclude JVM startup from
+per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline queries: one per workload family, heaviest variants included.
+HEADLINE = [
+    "a_grouped_sum",          # TPC-H Q1-shaped grouped decimal sums
+    "j_broadcast_dim_chain",  # dimension-chain broadcast joins + agg
+    "j_window_not_selfjoin",  # window aggregate over 600k rows
+    "odds_arbitrage_core",    # flagship: pivot agg + odds math
+    "o_melt",                 # wide→long unpivot
+    "p_positional_slice",     # partitioned row_number
+    "stream_sessionize",      # lag + running-sum sessionization
+    "stream_tumbling_daily",  # event-time tumbling window agg
+    "llm_dedup_minhash_lsh",  # minhash sigs + LSH band join
+    "llm_dedup_ngram_jaccard",# blocked shingle-set jaccard join
+    "llm_ann_bruteforce",     # cosine top-k, broadcast queries
+    "llm_simhash",            # 16-bit simhash over token hashes
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from banksy_spark.session import get_spark
+    from banksy_spark.suite import REGISTRY
+
+    spark = get_spark("banksy-bench")
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    # Warm-up: JVM/codegen/parquet-footer caches.
+    REGISTRY["a_grouped_sum"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        per_query[name] = round(run(name), 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
