@@ -26,40 +26,51 @@ def _camel_split_point(text: str) -> int:
     return 0
 
 
-@pandas_udf("string")
-def camel_team_1_udf(s: pd.Series) -> pd.Series:
-    """pandas_udf twin of functions.text.camel_boundary_team_1 (regex
-    form). Tests assert the two agree; the expression form is the hot
-    path, this is the exemplar of Arrow-batched Python."""
-
-    def one(text):
-        if text is None:
-            return None
-        i = _camel_split_point(text)
-        return text if i == 0 else text[:i]
-
-    return s.map(one)
+_UDF_CACHE: dict[str, object] = {}
 
 
-@pandas_udf("string")
-def camel_team_2_udf(s: pd.Series) -> pd.Series:
-    """pandas_udf twin of functions.text.camel_boundary_team_2."""
+def _build_udfs() -> dict[str, object]:
+    """pandas_udf twins of functions.text.camel_boundary_team_1/2 (the
+    regex forms). Built lazily: Spark 4 resolves the active session when
+    the decorator runs, so module-import-time construction breaks when
+    Python workers re-import this module.
 
-    def one(text):
-        if text is None:
-            return None
-        i = _camel_split_point(text)
-        return text if i == 0 else text[i:]
+    The expression form is the hot path; these are the exemplar of
+    Arrow-batched Python (tests assert the two agree)."""
+    if _UDF_CACHE:
+        return _UDF_CACHE
 
-    return s.map(one)
+    @pandas_udf("string")
+    def camel_team_1_udf(s: pd.Series) -> pd.Series:
+        def one(text):
+            if text is None:
+                return None
+            i = _camel_split_point(text)
+            return text if i == 0 else text[:i]
+
+        return s.map(one)
+
+    @pandas_udf("string")
+    def camel_team_2_udf(s: pd.Series) -> pd.Series:
+        def one(text):
+            if text is None:
+                return None
+            i = _camel_split_point(text)
+            return text if i == 0 else text[i:]
+
+        return s.map(one)
+
+    _UDF_CACHE["t1"] = camel_team_1_udf
+    _UDF_CACHE["t2"] = camel_team_2_udf
+    return _UDF_CACHE
 
 
 def camel_team_1(v: Column) -> Column:
-    return camel_team_1_udf(v)
+    return _build_udfs()["t1"](v)
 
 
 def camel_team_2(v: Column) -> Column:
-    return camel_team_2_udf(v)
+    return _build_udfs()["t2"](v)
 
 
 # --- multimodal decode plumbing -------------------------------------------

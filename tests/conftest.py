@@ -1,0 +1,22 @@
+"""Shared pytest fixtures: one session-scoped SparkSession."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from banksy_spark.session import get_spark
+
+    spark = get_spark("banksy-tests", shuffle_partitions=8)
+    yield spark
+    spark.stop()

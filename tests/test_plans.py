@@ -1,0 +1,61 @@
+"""Physical-plan assertions (SURVEY §5.2 item 5; BASELINE.md targets).
+
+These pin the scale posture: dimension joins broadcast, nothing
+degenerates to a cartesian product, the arbitrage core needs exactly
+one shuffle, and parquet scans receive pushed filters / pruned schemas.
+"""
+
+from __future__ import annotations
+
+import re
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    from banksy_spark.suite import REGISTRY
+
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_chain_broadcasts(spark):
+    plan = _plan(spark, "j_broadcast_dim_chain")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_no_cartesian_products_anywhere(spark):
+    from banksy_spark.suite import REGISTRY
+
+    for name in REGISTRY:
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_arbitrage_core_single_shuffle(spark):
+    plan = _plan(spark, "odds_arbitrage_core")
+    # one Exchange for the groupBy(game_id); partial agg happens map-side
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "partial_max" in plan or "partial" in plan.lower()
+
+
+def test_window_not_selfjoin_has_no_join(spark):
+    plan = _plan(spark, "j_window_not_selfjoin")
+    assert "Join" not in plan  # window aggregate, not merge-back join
+    assert "Window" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "p_project_rename")
+    assert "PushedFilters: [" in plan
+    assert re.search(r"PushedFilters: \[.*LessThan\(l_quantity", plan)
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(spark, "p_project_rename")
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, "no FileScan in plan"
+    cols = {c.split("#")[0] for c in m.group(1).split(",") if c}
+    # only the 4 projected columns + the filter column are read
+    assert cols == {"l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag", "l_quantity"}
