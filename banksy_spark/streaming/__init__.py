@@ -1,0 +1,9 @@
+"""Structured Streaming slice (SURVEY.md §2.9)."""
+
+from banksy_spark.streaming.core import (
+    rate_limited_alert_stream,
+    read_events_stream,
+    tumbling_daily_counts,
+)
+
+__all__ = ["read_events_stream", "tumbling_daily_counts", "rate_limited_alert_stream"]

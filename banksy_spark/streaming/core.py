@@ -1,0 +1,102 @@
+"""Structured Streaming forms of the reference's stateful-over-time
+behaviors (SURVEY.md §2.9): the tumbling 1-day aggregation
+(arbitrage_scanner.py:447) and the daily notification rate limit
+(:434-461) as an incremental foreachBatch pipeline that shares its
+logic with the batch layer — the same DataFrame functions run in both
+modes, which is the §3.3 design goal.
+
+Scale: the streaming state keys are (user_id, day) — the same shuffle
+keys as the batch queries, so a 1000-executor cluster partitions state
+the same way it partitions the batch job. Watermarks bound state for
+late events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over events parquet files.
+
+    Same nano-timestamp accommodation as the batch reader
+    (suite.registry.T): ts arrives as nanosecond longs, becomes a
+    microsecond timestamp.
+    """
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    return raw.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+
+
+def tumbling_daily_counts(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Tumbling 1-day window counts per event_type — identical logic to
+    the batch query suite.stream.stream_tumbling_daily; on a stream the
+    watermark bounds state (late data past it is dropped)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").cast("date").alias("day"), "event_type", "n_events")
+    )
+
+
+def rate_limited_alert_stream(
+    events: DataFrame,
+    log_path: str,
+    out_path: str,
+    checkpoint: str,
+    max_per_day: int = 3,
+):
+    """Daily rate limit (<N per user per calendar day,
+    arbitrage_scanner.py:434-461) run incrementally: each micro-batch
+    consults the persisted send log, forwards only events whose
+    (user_id, day) has remaining quota, and appends what it sent back
+    to the log — exactly the reference's Sheets-log protocol
+    (:439-442 read, :507-514 append) with parquet as the log table.
+
+    Within a batch, quota is assigned deterministically by (ts,
+    event_id) rank so a burst can't overshoot the limit.
+
+    Returns the StreamingQuery (caller awaits termination).
+    """
+    from pyspark.sql import Window
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        day = F.to_date("ts")
+        try:
+            log = spark.read.parquet(log_path)
+            sent = log.groupBy("user_id", "day").agg(F.count("*").alias("n_sent"))
+        except Exception:  # first batch: no log yet  # noqa: BLE001
+            sent = None
+
+        cand = batch.withColumn("day", day)
+        if sent is not None:
+            cand = cand.join(sent, ["user_id", "day"], "left").withColumn(
+                "n_sent", F.coalesce(F.col("n_sent"), F.lit(0))
+            )
+        else:
+            cand = cand.withColumn("n_sent", F.lit(0))
+
+        w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+        picked = (
+            cand.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("n_sent") + F.col("rnk") <= max_per_day)
+            .select("event_id", "user_id", "day", "ts", "event_type")
+        )
+        picked.write.mode("append").parquet(out_path)
+        picked.select("user_id", "day", "event_id").write.mode("append").parquet(log_path)
+
+    return (
+        events.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

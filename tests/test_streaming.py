@@ -1,0 +1,75 @@
+"""Structured Streaming slice: streaming results must equal the batch
+forms of the same logic (SURVEY §2.9)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from banksy_spark.streaming import (
+    rate_limited_alert_stream,
+    read_events_stream,
+    tumbling_daily_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    d = tmp_path / "events_in"
+    d.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def test_tumbling_daily_stream_equals_batch(spark, events_dir, tmp_path):
+    stream = read_events_stream(spark, events_dir)
+    assert stream.isStreaming
+    q = (
+        tumbling_daily_counts(stream)
+        .writeStream.format("memory")
+        .queryName("daily_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r.day), r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM daily_counts").collect()
+    }
+    from banksy_spark.suite.registry import T
+
+    batch = tumbling_daily_counts(T(spark, SF_SMOKE, "events"))
+    want = {(str(r.day), r.event_type): r.n_events for r in batch.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_rate_limited_stream_never_exceeds_quota(spark, events_dir, tmp_path):
+    stream = read_events_stream(spark, events_dir).filter(
+        F.col("event_type") == "error"
+    )
+    out = str(tmp_path / "out")
+    log = str(tmp_path / "log")
+    q = rate_limited_alert_stream(
+        stream, log_path=log, out_path=out, checkpoint=str(tmp_path / "ckpt2")
+    )
+    q.awaitTermination(120)
+
+    sent = spark.read.parquet(out)
+    per_day = sent.groupBy("user_id", "day").count()
+    assert per_day.agg(F.max("count")).first()[0] <= 3
+    assert sent.count() > 0
+    # the log records exactly what was sent (reference :507-514)
+    assert spark.read.parquet(log).count() == sent.count()
+
+    # idempotent-ish restart: running again over the same (now fully
+    # consumed) source adds nothing
+    q2 = rate_limited_alert_stream(
+        stream, log_path=log, out_path=out, checkpoint=str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == sent.count()
