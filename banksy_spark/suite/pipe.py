@@ -1,0 +1,276 @@
+"""Pipeline-level suite queries: the phase-4 pipeline functions
+(banksy_spark.pipelines) run over a fixed in-line fixture (FIXTURES.md
+A1/A5 shapes), with DuckDB oracles that re-implement the reference
+semantics independently in SQL over the same VALUES — so the driver's
+correctness gate covers the pipelines, not just single operators.
+
+The fixture is deliberately adversarial: stray header row, rank-prefixed
+team with ' +' tail, EVEN/even odds, N/A and empty cells, an O/U game
+with no arbitrage, and a rate-limited team in the log.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from banksy_spark.pipelines import decide_alerts, find_arbitrage, normalize_odds
+from banksy_spark.suite.registry import query
+
+BOOKIES = ["DraftKings", "FanDuel", "Caesars"]
+
+_RAW_ROWS = [
+    (0, "Team", "NFL", "DraftKings", "FanDuel", "Caesars"),
+    (1, "3 Seattle Seahawks +", "NFL", "+145", "EVEN", "N/A"),
+    (2, "Cardinals", "NFL", "-160", "-155", "+130"),
+    (3, "Bills", "NFL", "-3.5 -110", "-3.5 -105", "N/A"),
+    (4, "Jets", "NFL", "+3.5 -110", "+3.5 +120", ""),
+    (5, "Packers", "NFL", "o47.5 -105", "o47.5 -110", "N/A"),
+    (6, "Bears", "NFL", "u47.5 even", "u47.5 -120", "N/A"),
+    (1, "12 New York Mets", "MLB", "+210", "EVEN", "N/A"),
+    (2, "Braves", "MLB", "-150", "+105", "N/A"),
+]
+_RAW_SCHEMA = (
+    "_seq bigint, Team string, Sport string, "
+    "DraftKings string, FanDuel string, Caesars string"
+)
+
+_LOG_ROWS = [
+    ("Cardinals", datetime.datetime(2024, 5, 1, 8, 0)),
+    ("Cardinals", datetime.datetime(2024, 5, 1, 9, 0)),
+    ("Cardinals", datetime.datetime(2024, 5, 1, 10, 0)),
+    ("Braves", datetime.datetime(2024, 4, 30, 9, 0)),
+]
+
+_ALERT_TS = "2024-05-01 12:00:00"
+
+
+def _raw_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(_RAW_ROWS, _RAW_SCHEMA)
+
+
+def _values_sql() -> str:
+    rows = ", ".join(
+        "({}, '{}', '{}', '{}', '{}', '{}')".format(*r) for r in _RAW_ROWS
+    )
+    return f"(VALUES {rows}) AS raw(_seq, team, sport, dk, fd, cz)"
+
+
+def _carve_sql(col: str) -> str:
+    """DuckDB twin of odds_pipeline's per-bookie carve."""
+    pick = (
+        f"CASE WHEN info = 'Line' THEN string_split({col}, ' ')[1]"
+        f" ELSE string_split({col}, ' ')[-1] END"
+    )
+    nulled = f"CASE WHEN {col} IN ('N/A', '') THEN NULL ELSE {pick} END"
+    evened = f"CASE WHEN ({nulled}) IN ('EVEN', 'even') THEN '+100' ELSE ({nulled}) END"
+    return (
+        f"CASE WHEN info = 'Line'"
+        f" THEN regexp_replace(regexp_replace({evened}, '^o', '+'), '^u', '-')"
+        f" ELSE ({evened}) END"
+    )
+
+
+# Shared CTE chain: raw fixture → canonical long odds (oracle twin of
+# normalize_odds, re-derived in SQL from arbitrage_scanner.py semantics)
+_NORM_CTES = f"""
+    raw AS (SELECT * FROM {_values_sql()}),
+    filt AS (
+      SELECT * FROM raw WHERE team <> 'Team' AND team <> '' AND team IS NOT NULL
+    ),
+    clean AS (
+      SELECT _seq, sport, dk, fd, cz,
+             CASE WHEN len(string_split(t2, ' ')) >= 3
+                  THEN string_split(t2, ' ')[1] ELSE t2 END AS team
+      FROM (SELECT *, regexp_replace(rtrim(team, ' +'), '^\\d+ ', '') AS t2 FROM filt)
+    ),
+    gid AS (
+      SELECT *, CAST(FLOOR((row_number() OVER (PARTITION BY sport ORDER BY _seq) - 1) / 2)
+                     + 1 AS BIGINT) AS game_id
+      FROM clean
+    ),
+    bt AS (
+      SELECT *, CASE WHEN regexp_matches(dk, '[ou]') THEN 'Over/Under'
+                     WHEN length(dk) IN (4, 5) THEN 'ML'
+                     WHEN regexp_matches(dk, '[+-]') THEN 'Spread'
+                     ELSE 'ERROR' END AS bet_type
+      FROM gid
+    ),
+    longrows AS (
+      SELECT b.*, i.info FROM bt b
+      CROSS JOIN (VALUES ('Line'), ('Payout')) i(info)
+      WHERE NOT (b.bet_type = 'ML' AND i.info = 'Line')
+    ),
+    canon AS (
+      SELECT sport, game_id, team, bet_type, info,
+             {_carve_sql('dk')} AS dk_v, {_carve_sql('fd')} AS fd_v,
+             {_carve_sql('cz')} AS cz_v
+      FROM longrows
+    )
+"""
+
+
+@query(
+    "pipe_normalize_odds",
+    oracle=f"""
+    WITH {_NORM_CTES}
+    SELECT sport AS "Sport", game_id, team AS "Team", bet_type, info,
+           dk_v AS "DraftKings", fd_v AS "FanDuel", cz_v AS "Caesars"
+    FROM canon
+    """,
+    note="Pipeline: normalize_odds over the A1 fixture (arbitrage_scanner.py:60-209); "
+    "oracle re-derives header drop, team cleanup, pair ids, Line/Payout explode and "
+    "token fixes independently in SQL.",
+)
+def pipe_normalize_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normalize_odds(_raw_df(spark), BOOKIES)
+
+
+# Arbitrage chain on top of the canonical odds (oracle twin of
+# find_arbitrage: greatest, argmax bookie, window arb test, stakes)
+_ARB_CTES = f"""
+    {_NORM_CTES},
+    pay AS (
+      SELECT sport, game_id, team, bet_type,
+             CAST(dk_v AS DOUBLE) AS dk, CAST(fd_v AS DOUBLE) AS fd,
+             CAST(cz_v AS DOUBLE) AS cz
+      FROM canon WHERE info = 'Payout'
+    ),
+    mx AS (
+      SELECT *, GREATEST(COALESCE(dk, -1e18), COALESCE(fd, -1e18), COALESCE(cz, -1e18))
+                  AS max_payout,
+             CASE WHEN dk = GREATEST(COALESCE(dk, -1e18), COALESCE(fd, -1e18),
+                                     COALESCE(cz, -1e18)) THEN 'DraftKings'
+                  WHEN fd = GREATEST(COALESCE(dk, -1e18), COALESCE(fd, -1e18),
+                                     COALESCE(cz, -1e18)) THEN 'FanDuel'
+                  ELSE 'Caesars' END AS best_bookie
+      FROM pay
+    ),
+    arb AS (
+      SELECT *,
+             SUM(max_payout) OVER (PARTITION BY sport, game_id, bet_type) AS arb_sum,
+             COUNT(*) OVER (PARTITION BY sport, game_id, bet_type) AS n_sides,
+             row_number() OVER (PARTITION BY sport, game_id, bet_type ORDER BY team) AS seq,
+             FIRST_VALUE(max_payout) OVER (PARTITION BY sport, game_id, bet_type
+                                           ORDER BY team
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND
+                                           UNBOUNDED FOLLOWING) AS first_payout
+      FROM mx
+    ),
+    dec AS (
+      SELECT *,
+             CASE WHEN max_payout > 0 THEN max_payout / 100.0 + 1.0
+                  WHEN max_payout < 0 THEN 100.0 / ABS(max_payout) + 1.0
+                  ELSE 1.0 END AS d_own,
+             CASE WHEN first_payout > 0 THEN first_payout / 100.0 + 1.0
+                  WHEN first_payout < 0 THEN 100.0 / ABS(first_payout) + 1.0
+                  ELSE 1.0 END AS d_first
+      FROM arb WHERE arb_sum > 0 AND n_sides = 2
+    ),
+    staked AS (
+      SELECT *, ROUND(CASE WHEN seq = 1 THEN 100.0
+                           ELSE 100.0 * d_first / d_own END, 2) AS stake
+      FROM dec
+    ),
+    opps AS (
+      SELECT sport, game_id, bet_type, team, best_bookie, max_payout,
+             CASE WHEN CAST(max_payout AS INT) > 0
+                  THEN '+' || CAST(CAST(max_payout AS INT) AS VARCHAR)
+                  ELSE CAST(CAST(max_payout AS INT) AS VARCHAR) END AS rendered_odds,
+             stake,
+             CAST(ROUND((100.0 * d_first
+                         - SUM(stake) OVER (PARTITION BY sport, game_id, bet_type))
+                        / SUM(stake) OVER (PARTITION BY sport, game_id, bet_type)
+                        * 100.0, 0) AS INT) AS profit_margin
+      FROM staked
+    )
+"""
+
+
+@query(
+    "pipe_find_arbitrage",
+    oracle=f"""
+    WITH {_ARB_CTES}
+    SELECT sport AS "Sport", game_id, bet_type, team AS "Team", best_bookie,
+           max_payout, rendered_odds, stake, profit_margin
+    FROM opps
+    """,
+    note="Pipeline: normalize_odds → find_arbitrage over the A1 fixture "
+    "(arbitrage_scanner.py:269-293,360-378); oracle re-derives best-payout, argmax "
+    "bookie, window arb test and stake/margin math in SQL.",
+)
+def pipe_find_arbitrage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return find_arbitrage(normalize_odds(_raw_df(spark), BOOKIES), BOOKIES)
+
+
+@query(
+    "pipe_decide_alerts",
+    oracle=f"""
+    WITH {_ARB_CTES},
+    log AS (
+      SELECT * FROM (VALUES
+        ('Cardinals', TIMESTAMP '2024-05-01 08:00:00'),
+        ('Cardinals', TIMESTAMP '2024-05-01 09:00:00'),
+        ('Cardinals', TIMESTAMP '2024-05-01 10:00:00'),
+        ('Braves', TIMESTAMP '2024-04-30 09:00:00')
+      ) AS log(team, updated_at)
+    ),
+    sent AS (
+      SELECT team, CAST(updated_at AS DATE) AS day, COUNT(*) AS n_sent
+      FROM log GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT o.*, CAST(TIMESTAMP '{_ALERT_TS}' AS DATE) AS day
+      FROM opps o WHERE profit_margin >= 3
+    )
+    SELECT c.sport AS "Sport", c.game_id, c.bet_type, c.team AS "Team",
+           c.best_bookie, c.max_payout, c.rendered_odds, c.stake, c.profit_margin,
+           c.day, TIMESTAMP '{_ALERT_TS}' AS alert_ts,
+           c.sport || ' game ' || CAST(c.game_id AS VARCHAR) || ' ' || c.bet_type
+             || ': ' || c.team || ' @ ' || c.rendered_odds || ' (' || c.best_bookie
+             || ') margin ' || CAST(c.profit_margin AS VARCHAR) || '%' AS combined
+    FROM cand c
+    LEFT JOIN sent s ON c.team = s.team AND c.day = s.day
+    WHERE s.n_sent IS NULL OR s.n_sent < 3
+    """,
+    note="Pipeline: full chain through decide_alerts with a seeded notification log "
+    "(arbitrage_scanner.py:323-514): threshold, <3/day rate limit against the log, "
+    "message build. 'Cardinals' is rate-limited out by the fixture.",
+)
+def pipe_decide_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    opps = find_arbitrage(normalize_odds(_raw_df(spark), BOOKIES), BOOKIES).withColumn(
+        "alert_ts", F.lit(_ALERT_TS).cast("timestamp")
+    )
+    log = spark.createDataFrame(_LOG_ROWS, "Team string, updated_at timestamp")
+    to_send, _ = decide_alerts(opps, log)
+    return to_send
+
+
+_BLOB = (
+    "Bovada Sportsbook live odds feed " + "x" * 220 + " "
+    "1/12/24 7:05 PM SeahawksCardinals + -3.5(-110) +3.5(-105) -180 +155 "
+    "O 47.5(-105) U 47.5(-115) "
+    "1/13/24 6:30 PM PackersBears + -7(-110) +7(EVEN) EVEN +170 "
+    "O 44.5(-110) U 44.5(-105) "
+    "1/14/24 NFL Bets "
+    "1/15/24 8:00 PM RamsSeahawks + -2.5(-110) +2.5(-110) -130 +110 "
+    "O 41(-110) U 41(-110)"
+)
+
+
+@query(
+    "pipe_parse_bovada",
+    oracle=None,  # semi-structured parse incl. CamelCase split; checked by
+    # pytest golden tests (tests/test_pipelines.py) — rows-only here
+    note="Pipeline: parse_bovada over the A2 blob fixture (bovada_pull.py:44-200): "
+    "date segmentation, camel team split, paren/token carving, junk filter, "
+    "whole-game duplicate drop. Rows-only for the driver; value-level golden "
+    "coverage lives in tests/test_pipelines.py.",
+)
+def pipe_parse_bovada(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.pipelines import parse_bovada
+
+    blob = spark.createDataFrame([(_BLOB,)], "payload string")
+    return parse_bovada(blob)

@@ -1,0 +1,78 @@
+"""Source/sink adapters (SURVEY §2.1 S1/S2/S5/K1-K3)."""
+
+from __future__ import annotations
+
+from banksy_spark.io import read_csv_dim, write_append, write_overwrite
+from banksy_spark.sources import (
+    blob_to_df,
+    poll_until_valid,
+    rows_to_df,
+    send_notifications,
+)
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        return self.t
+
+    def sleep(self, s):
+        self.t += s
+
+
+def test_poll_until_valid_retries_then_succeeds():
+    clock = FakeClock()
+    payloads = iter(["", "short", "x" * 300])
+    fetched = []
+
+    def fetch():
+        p = next(payloads)
+        fetched.append(p)
+        return p
+
+    out = poll_until_valid(fetch, sleep=clock.sleep, clock=clock)
+    assert out == "x" * 300
+    assert len(fetched) == 3           # retried until valid
+    assert clock.t == 4.0              # 2s between attempts (bovada_pull.py:40)
+
+
+def test_poll_until_valid_gives_up_after_timeout():
+    clock = FakeClock()
+    out = poll_until_valid(lambda: "nope", sleep=clock.sleep, clock=clock, timeout_s=60.0)
+    assert out is None
+    assert clock.t >= 60.0             # gave up at the 60s budget (:34-38)
+
+
+def test_blob_and_rows_sources(spark):
+    assert blob_to_df(spark, "hello").count() == 1
+    empty = blob_to_df(spark, None)
+    assert empty.count() == 0 and empty.columns == ["payload"]
+    df = rows_to_df(spark, [("A", 1), ("B", 2)], "team string, n int")
+    assert df.count() == 2
+
+
+def test_send_notifications_min_batch(spark):
+    alerts = spark.createDataFrame([("a1",), ("a2",)], "combined string")
+    posted = []
+    n = send_notifications(alerts, posted.append)
+    assert n == 2 and posted == ["a1\na2"]
+    # below min batch (>1 row required, arbitrage_scanner.py:434): no send
+    one = spark.createDataFrame([("only",)], "combined string")
+    assert send_notifications(one, posted.append) == 0
+    assert len(posted) == 1
+
+
+def test_csv_dim_and_parquet_sinks(spark, tmp_path):
+    # heterogeneous dim schemas: select the common subset (S3, :188-191)
+    p = tmp_path / "teams.csv"
+    p.write_text("ID,Name,Team,Abbreviation,Conference,Division,Sport\n"
+                 "1,Buffalo,Bills,BUF,AFC,East,NFL\n")
+    dim = read_csv_dim(spark, str(p), columns=["Team", "Abbreviation", "Sport"])
+    assert dim.columns == ["Team", "Abbreviation", "Sport"]
+
+    out = tmp_path / "sink"
+    write_overwrite(dim, str(out))
+    write_append(dim, str(out))
+    assert spark.read.parquet(str(out)).count() == 2  # K1 overwrite + K2 append
