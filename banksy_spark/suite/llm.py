@@ -297,6 +297,8 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.size("toks") / 16).cast("bigint").alias("len_bucket"),
             F.expr(_SH2_SPARK).alias("hs"),
         )
+        .withColumn("n_hs", F.size("hs"))
+        .persist()  # both sides of the self-join reuse the shingle sets
     )
     a = d.alias("a")
     b = d.alias("b")
@@ -306,9 +308,11 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.len_bucket") == F.col("b.len_bucket"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
-    jac = F.size(F.array_intersect("a.hs", "b.hs")).cast("double") / F.size(
-        F.array_union("a.hs", "b.hs")
-    )
+    # |A∪B| = |A|+|B|-|A∩B| for distinct sets: one array op per pair
+    # instead of intersect+union (the filter pushdown re-evaluates the
+    # projected expression, so every heavy op saved counts double).
+    i = F.size(F.array_intersect("a.hs", "b.hs"))
+    jac = i.cast("double") / (F.col("a.n_hs") + F.col("b.n_hs") - i)
     return joined.select(
         F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), jac.alias("jaccard")
     ).filter(F.col("jaccard") >= 0.1)
@@ -405,6 +409,12 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("sig", F.expr(sig_list))
         .select("doc_id", "sig")
+        # The sig table feeds the band explode AND both sides of the
+        # pair join — without materialization Spark re-hashes every
+        # document 3× (4 parquet scans in the physical plan, measured).
+        # At cluster scale this is "write sigs to a table"; locally,
+        # persist() is the same cut.
+        .persist()
     )
     band_structs = F.array(
         *[
