@@ -662,3 +662,122 @@ def llm_multimodal_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return fake_decode_media(d)
+
+
+# --- Training-data pipeline utilities --------------------------------------
+
+
+@query(
+    "llm_split_assign",
+    oracle=f"""
+    SELECT doc_id,
+           {_POLY_DUCK.format(s='text')} % 100 AS bucket,
+           CASE WHEN {_POLY_DUCK.format(s='text')} % 100 < 90 THEN 'train'
+                WHEN {_POLY_DUCK.format(s='text')} % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    note="Train/val/test assignment by content hash (90/5/5): deterministic, "
+    "content-stable across re-ingestion — the split survives row reshuffles and "
+    "dedup because it keys on the text, not the row. Narrow scan, no shuffle.",
+)
+def llm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    bucket = F.expr(_POLY_SPARK.format(s="text")) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return d.select("doc_id", bucket.alias("bucket"), split.alias("split"))
+
+
+@query(
+    "llm_term_freq",
+    oracle="""
+    SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+    GROUP BY term
+    HAVING COUNT(*) >= 5
+    """,
+    note="Vocabulary building: corpus term and document frequencies via explode + "
+    "two-level aggregate. Scale: the explode is map-side; the single shuffle keys on "
+    "the term — partial counts combine before the exchange.",
+)
+def llm_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    return (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("tf") >= 5)
+    )
+
+
+@query(
+    "llm_pack_sequences",
+    oracle="""
+    SELECT doc_id, n_tok,
+           CAST(FLOOR((cum - n_tok) / 512) AS BIGINT) AS pack_id
+    FROM (
+      SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM (SELECT doc_id, doc_id % 4 AS shard,
+                   len(string_split(text, ' ')) AS n_tok
+            FROM documents)
+    )
+    """,
+    note="Sequence packing: greedy running-token-sum bins of 512 per shard "
+    "(pack_id = floor(preceding-cumsum/512)). The running sum partitions by shard, so "
+    "1000 executors pack 1000 shards independently — no global order dependency.",
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 4).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("n_tok").over(w)
+    pack = F.floor((cum - F.col("n_tok")) / 512).cast("bigint")
+    return d.select("doc_id", "n_tok", pack.alias("pack_id"))
+
+
+@query(
+    "llm_redact",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(synth,
+               '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+               '\\d{3}-\\d{4}', '<PHONE>', 'g') AS redacted,
+           len(regexp_extract_all(synth, '[a-z0-9.]+@[a-z0-9.]+')) AS n_emails
+    FROM (
+      SELECT doc_id,
+             string_split(text, ' ')[1] || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@mail.test or 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS synth
+      FROM documents
+    )
+    """,
+    note="PII-style redaction: email/phone regex scrubbing (the pre-training cleanup "
+    "pass). The corpus is synthetic-clean, so identifiers are synthesized "
+    "deterministically per doc, then redacted — both steps oracle-checked.",
+)
+def llm_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.split("text", " ")[0],
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.test or 555-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+    )
+    base = d.select("doc_id", synth.alias("synth"))
+    red = F.regexp_replace(
+        F.regexp_replace("synth", r"[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+        r"\d{3}-\d{4}",
+        "<PHONE>",
+    )
+    n_mail = F.size(F.regexp_extract_all("synth", F.lit(r"[a-z0-9.]+@[a-z0-9.]+"), 0)).cast(
+        "bigint"
+    )
+    return base.select("doc_id", red.alias("redacted"), n_mail.alias("n_emails"))
