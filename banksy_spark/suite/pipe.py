@@ -260,14 +260,100 @@ _BLOB = (
 )
 
 
+def _bovada_oracle() -> str:
+    """DuckDB twin of parse_bovada. RE2 has no lookahead, so the
+    CamelCase boundary is found with a char-list comprehension instead
+    of the Spark regex: first 1-based index i≥2 whose char is uppercase
+    and (i==2 or the previous char isn't a space) — the reference's
+    char walk (bovada_pull.py:105-118) verbatim."""
+    emit = " UNION ALL ".join(
+        f"SELECT game_id, date, {team} AS team, '{bt}' AS bet_type, "
+        f"'{info}' AS info, {val} AS v FROM fields"
+        for team, bt, info, val in [
+            ("team_1", "ML", "Payout", "ml_1"),
+            ("team_2", "ML", "Payout", "ml_2"),
+            ("team_1", "Spread", "Line", "spread_1"),
+            ("team_1", "Spread", "Payout", "sp_pay_1"),
+            ("team_2", "Spread", "Line", "spread_2"),
+            ("team_2", "Spread", "Payout", "sp_pay_2"),
+            ("team_1", "Over/Under", "Line", "'+' || total_o"),
+            ("team_1", "Over/Under", "Payout", "ou_pay_1"),
+            ("team_2", "Over/Under", "Line", "'-' || total_u"),
+            ("team_2", "Over/Under", "Payout", "ou_pay_2"),
+        ]
+    )
+    return f"""
+    WITH blob(payload) AS (VALUES ('{_BLOB}')),
+    valid AS (SELECT * FROM blob WHERE length(payload) >= 250),
+    sliced AS (
+      SELECT regexp_extract_all(payload, '\\d{{1,2}}/\\d{{1,2}}/\\d{{2}}') AS dates,
+             string_split_regex(payload, '\\d{{1,2}}/\\d{{1,2}}/\\d{{2}}') AS parts
+      FROM valid
+    ),
+    seg AS (
+      SELECT CAST(i - 1 AS INT) AS game_id, dates[i] AS date, trim(parts[i + 1]) AS seg
+      FROM sliced, unnest(generate_series(1, len(dates))) AS t(i)
+    ),
+    kept AS (
+      SELECT * FROM seg WHERE length(seg) >= 25 OR NOT ends_with(seg, ' Bets')
+    ),
+    body_t AS (
+      SELECT game_id, date,
+             trim(CASE WHEN GREATEST(strpos(seg, 'AM'), strpos(seg, 'PM')) > 0
+                  THEN substr(seg, GREATEST(strpos(seg, 'AM'), strpos(seg, 'PM')) + 3)
+                  ELSE seg END) AS body
+      FROM kept
+    ),
+    teamed AS (
+      SELECT game_id, date, body, tb,
+             COALESCE(([i FOR i IN generate_series(2, length(tb))
+                        IF chars[i] BETWEEN 'A' AND 'Z'
+                           AND (i = 2 OR chars[i - 1] <> ' ')])[1], 0) AS idx
+      FROM (SELECT *, string_split(body, ' ')[1] AS tb,
+                   string_split_regex(string_split(body, ' ')[1], '') AS chars
+            FROM body_t)
+    ),
+    fields AS (
+      SELECT game_id, date,
+             CASE WHEN idx = 0 THEN tb ELSE substr(tb, 1, idx - 1) END AS team_1,
+             CASE WHEN idx = 0 THEN tb ELSE substr(tb, idx) END AS team_2,
+             toks[3] AS spread_1, toks[4] AS spread_2,
+             toks[5] AS ml_1, toks[6] AS ml_2,
+             toks[8] AS total_o, toks[10] AS total_u,
+             pays[1] AS sp_pay_1, pays[2] AS sp_pay_2,
+             pays[3] AS ou_pay_1, pays[4] AS ou_pay_2
+      FROM (
+        SELECT t.*, regexp_extract_all(body, '\\(([^)]*)\\)', 1) AS pays,
+               string_split(trim(regexp_replace(regexp_replace(body,
+                 '\\([^)]*\\)', '', 'g'), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM teamed t
+      )
+    ),
+    longrows AS ({emit}),
+    normed AS (
+      SELECT game_id, date, team, bet_type, info,
+             CASE WHEN v IN ('EVEN', 'even') THEN '+100' ELSE v END AS bovada
+      FROM longrows
+    ),
+    offending AS (
+      SELECT DISTINCT game_id FROM (
+        SELECT game_id, row_number() OVER (PARTITION BY team, bet_type, info
+                                           ORDER BY game_id) AS rn
+        FROM normed
+      ) WHERE rn >= 2
+    )
+    SELECT game_id, date, team AS "Team", bet_type, info, bovada AS "Bovada"
+    FROM normed WHERE game_id NOT IN (SELECT game_id FROM offending)
+    """
+
+
 @query(
     "pipe_parse_bovada",
-    oracle=None,  # semi-structured parse incl. CamelCase split; checked by
-    # pytest golden tests (tests/test_pipelines.py) — rows-only here
+    oracle=_bovada_oracle(),
     note="Pipeline: parse_bovada over the A2 blob fixture (bovada_pull.py:44-200): "
     "date segmentation, camel team split, paren/token carving, junk filter, "
-    "whole-game duplicate drop. Rows-only for the driver; value-level golden "
-    "coverage lives in tests/test_pipelines.py.",
+    "whole-game duplicate drop. Oracle re-derives the parse in SQL (char-list "
+    "comprehension replaces the lookahead regex for the camel boundary).",
 )
 def pipe_parse_bovada(spark: SparkSession, sf_dir: str) -> DataFrame:
     from banksy_spark.pipelines import parse_bovada
