@@ -948,3 +948,38 @@ def f_camel_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         camel_boundary_team_1(F.col("camel")).alias("team_1"),
         camel_boundary_team_2(F.col("camel")).alias("team_2"),
     )
+
+
+@query(
+    "a_salted_sum",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    note="Skewed-aggregation cure: two-stage salted sum (operators/skew.py). "
+    "l_returnflag has only 3 values — at 100 TB each key would serialize onto one "
+    "reducer; salting by pmod(hash(l_orderkey), 16) spreads stage 1 over 48 partials, "
+    "stage 2 combines them. DECIMAL partials make the result bit-equal to the plain "
+    "single-stage oracle.",
+)
+def a_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.operators.skew import salted_agg
+
+    li = T(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "sum_qty": F.sum(F.col("l_quantity").cast("decimal(12,2)")),
+            "n_rows": F.count("*"),
+        },
+        salt_col=F.hash("l_orderkey"),
+        n_salt=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+    )

@@ -14,9 +14,14 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from banksy_spark.session import get_spark
 
-    spark = get_spark("banksy-tests", shuffle_partitions=8)
+    warehouse = tmp_path_factory.mktemp("warehouse")
+    spark = get_spark(
+        "banksy-tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": str(warehouse)},
+    )
     yield spark
     spark.stop()

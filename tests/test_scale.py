@@ -1,0 +1,63 @@
+"""Scale-posture machinery: salted aggregation and bucketed co-located
+joins (SURVEY §7 phase 6; the 100 TB strategies, demonstrated small)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from banksy_spark.operators.skew import salted_agg
+from tests.conftest import SF_SMOKE
+
+
+def test_salted_agg_matches_plain(spark):
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    salted = salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "sum_qty": F.sum(F.col("l_quantity").cast("decimal(12,2)")),
+            "n": F.count("*"),
+        },
+        salt_col=F.hash("l_orderkey"),
+        n_salt=16,
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+    s = {r.l_returnflag: (float(r.sum_qty), r.n) for r in salted.collect()}
+    p = {r.l_returnflag: (float(r.sum_qty), r.n) for r in plain.collect()}
+    assert s == p
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Pre-bucketing both sides on the join key removes the Exchange
+    entirely — the co-location strategy for repeated big joins."""
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_bucketed")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("o_bucketed")
+
+    lb = spark.table("li_bucketed")
+    ob = spark.table("o_bucketed")
+    # force the sort-merge path (broadcast would hide the point)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    assert "SortMergeJoin" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0
+    # sanity: the join still answers correctly
+    assert joined.count() == lb.count()
