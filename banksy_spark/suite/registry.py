@@ -46,6 +46,9 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
        microsecond timestamp (truncation matches DuckDB's ns→us).
     """
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    # DuckDB reads the naive parquet timestamps as wall-clock; a Spark
+    # session in a non-UTC zone would shift to_date/date_trunc results.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F

@@ -59,3 +59,12 @@ def test_column_pruning_reaches_scan(spark):
     cols = {c.split("#")[0] for c in m.group(1).split(",") if c}
     # only the 4 projected columns + the filter column are read
     assert cols == {"l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag", "l_quantity"}
+
+
+def test_ann_broadcasts_query_set(spark):
+    # the similarity-search scale contract: the small query side
+    # broadcasts; candidates never shuffle
+    plan = _plan(spark, "llm_ann_bruteforce")
+    assert "Broadcast" in plan
+    plan2 = _plan(spark, "llm_ann_lsh_bucketed")
+    assert "Broadcast" in plan2

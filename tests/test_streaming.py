@@ -73,3 +73,34 @@ def test_rate_limited_stream_never_exceeds_quota(spark, events_dir, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == sent.count()
+
+
+def test_stateful_rate_limit_across_batches(spark, tmp_path):
+    """applyInPandasWithState: quota state persists across micro-batches
+    (two copies of the events file, maxFilesPerTrigger=1 → 2 batches)."""
+    import shutil
+
+    src = tmp_path / "multi_in"
+    src.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "a.parquet")
+
+    from banksy_spark.streaming.stateful import rate_limit_stateful
+
+    stream = read_events_stream(spark, str(src)).filter(F.col("event_type") == "error")
+    limited = rate_limit_stateful(stream)
+    q = (
+        limited.writeStream.format("memory")
+        .queryName("stateful_rl")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM stateful_rl")
+    assert out.count() > 0
+    per_day = out.groupBy("user_id", "day").count()
+    assert per_day.agg(F.max("count")).first()[0] <= 3
+    # nth_today is a proper 1..3 counter within each (user, day)
+    bad = out.filter((F.col("nth_today") < 1) | (F.col("nth_today") > 3))
+    assert bad.count() == 0
