@@ -6,14 +6,17 @@ semantics of the reference are reified as columns (SURVEY.md §4.3.1).
 """
 
 from banksy_spark.operators.reshape import (
-    with_seq,
-    pair_id,
-    pair_parity,
+    drop_groups_with_dup,
+    explode_pair,
     forward_fill,
     keep_first,
     melt,
-    explode_pair,
+    pair_id,
+    pair_parity,
+    union_all,
+    with_seq,
 )
+from banksy_spark.operators.skew import salted_agg
 
 __all__ = [
     "with_seq",
@@ -21,6 +24,9 @@ __all__ = [
     "pair_parity",
     "forward_fill",
     "keep_first",
+    "drop_groups_with_dup",
     "melt",
     "explode_pair",
+    "union_all",
+    "salted_agg",
 ]
