@@ -781,3 +781,112 @@ def llm_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bigint"
     )
     return base.select("doc_id", red.alias("redacted"), n_mail.alias("n_emails"))
+
+
+_CENT_DUCK = """
+    cent AS (
+      SELECT label, list(c ORDER BY pos) AS centroid
+      FROM (
+        SELECT label, i AS pos,
+               CAST(SUM(CAST(v[i] AS DECIMAL(27,18))) / COUNT(*) AS DOUBLE) AS c
+        FROM n, unnest(generate_series(1, 64)) AS t(i)
+        GROUP BY label, i
+      ) GROUP BY label
+    ),
+    centn AS (
+      SELECT label AS cell, centroid,
+             sqrt(list_reduce([centroid[i] * centroid[i]
+                               for i in generate_series(1, len(centroid))],
+                              (x, y) -> x + y)) AS cnorm
+      FROM cent
+    ),
+    assigned AS (
+      SELECT vec_id, label, v, nrm, cell
+      FROM (
+        SELECT e.vec_id, e.label, e.v, e.nrm, c.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_reduce([e.v[i] * c.centroid[i]
+                                       for i in generate_series(1, len(e.v))],
+                                      (x, y) -> x + y) / (e.nrm * c.cnorm) DESC,
+                          c.cell) AS rk
+        FROM n e CROSS JOIN centn c
+      ) WHERE rk = 1
+    )
+"""
+
+
+@query(
+    "llm_ann_ivf",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, label, v, {_NORM_DUCK.format(v='v')} AS nrm FROM e),
+    {_CENT_DUCK}
+    SELECT q.vec_id AS qid, a.vec_id AS neighbor_id, q.cell,
+           CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             {_DOT_DUCK.format(a='q.v', b='a.v')} / (q.nrm * a.nrm) DESC, a.vec_id)
+             AS BIGINT) AS rnk,
+           {_DOT_DUCK.format(a='q.v', b='a.v')} / (q.nrm * a.nrm) AS cosine
+    FROM (SELECT * FROM assigned WHERE vec_id < 8) q
+    JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.vec_id
+    QUALIFY rnk <= 3
+    """,
+    note="Similarity search, IVF variant: a coarse quantizer is trained in-engine "
+    "(per-label centroids via exact DECIMAL element sums, so both engines compute "
+    "bit-identical centroids), every vector is assigned to its nearest centroid cell "
+    "(nprobe=1), and queries rerank exactly within their own cell. At 100 TB the "
+    "centroid table broadcasts and the cell id is the shuffle key — the classic "
+    "IVF-Flat layout.",
+)
+def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    n = e.withColumn("nrm", F.expr(_NORM_SPARK.format(v="v"))).persist()
+
+    # coarse quantizer: exact per-dimension decimal means per label
+    dims = n.select("label", F.posexplode("v").alias("pos", "val"))
+    cent_elems = dims.groupBy("label", "pos").agg(
+        (F.sum(F.col("val").cast("decimal(27,18)")) / F.count("*"))
+        .cast("double")
+        .alias("c")
+    )
+    cent = cent_elems.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").alias(
+            "centroid"
+        )
+    )
+    centn = cent.select(
+        F.col("label").alias("cell"),
+        "centroid",
+        F.expr(_NORM_SPARK.format(v="centroid")).alias("cnorm"),
+    )
+
+    # assign every vector to its nearest centroid (nprobe=1)
+    crossed = n.crossJoin(F.broadcast(centn))
+    sim_c = F.expr(_DOT_SPARK.format(a="v", b="centroid")) / (F.col("nrm") * F.col("cnorm"))
+    wa = Window.partitionBy("vec_id").orderBy(F.col("_simc").desc(), F.col("cell"))
+    assigned = (
+        crossed.withColumn("_simc", sim_c)
+        .withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "label", "v", "nrm", "cell")
+        .persist()
+    )
+
+    q = assigned.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), "cell",
+    )
+    joined = assigned.join(F.broadcast(q), "cell").filter(F.col("vec_id") != F.col("qid"))
+    cosine = F.expr(_DOT_SPARK.format(a="qv", b="v")) / (F.col("qn") * F.col("nrm"))
+    wr = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        joined.select("qid", F.col("vec_id").alias("neighbor_id"), "cell", cosine.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("qid", "neighbor_id", "cell", "rnk", "cosine")
+    )

@@ -34,6 +34,7 @@ HEADLINE = [
     "llm_dedup_minhash_lsh",  # minhash sigs + LSH band join
     "llm_dedup_ngram_jaccard",# blocked shingle-set jaccard join
     "llm_ann_bruteforce",     # cosine top-k, broadcast queries
+    "llm_ann_ivf",            # IVF: centroid train + cell-local rerank
     "llm_simhash",            # 16-bit simhash over token hashes
 ]
 
