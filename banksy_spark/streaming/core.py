@@ -100,3 +100,18 @@ def rate_limited_alert_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_earliest_within_watermark(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming form of keep-earliest dedup (bovada_pull.py:156-162;
+    suite.stream.stream_dedup_earliest is the batch oracle form): on a
+    stream, ``dropDuplicatesWithinWatermark`` keeps the first arrival
+    per (user_id, event_type) and expires its dedup state once the
+    watermark passes — bounded state for unbounded keys."""
+    if not events.isStreaming:
+        # batch degenerate form: plain dropDuplicates (arrival order is
+        # scan order; the oracle-checked earliest form is the rank query)
+        return events.dropDuplicates(["user_id", "event_type"])
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )

@@ -174,3 +174,79 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
     )
+
+
+@query(
+    "stream_asof_join",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_at,
+           s.event_id AS last_signup_id,
+           strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_at
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON e.user_id = s.user_id AND e.ts >= s.ts
+    """,
+    note="As-of join (brief's custom-operator example): each error event matched to "
+    "the most recent prior signup of the same user. Spark lacks ASOF JOIN, so it is "
+    "composed: union both sides tagged, forward-fill the last signup over a "
+    "(user, ts) window, keep the error rows — one shuffle on user_id, no range "
+    "explosion. Oracle uses DuckDB's native ASOF JOIN, so the composition is checked "
+    "against a real asof implementation.",
+)
+def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", F.lit(None).cast("bigint").alias("signup_id"),
+        F.lit(None).cast("timestamp").alias("signup_ts"), F.lit(1).alias("is_err"),
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts", F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("signup_ts"), F.lit(0).alias("is_err"),
+    )
+    both = errors.unionByName(signups)
+    # order: by event time; at equal ts the signup sorts first so an
+    # error at the same instant still sees it (ASOF's ts >= ts)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_err", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = both.withColumn(
+        "last_signup_id", F.last("signup_id", ignorenulls=True).over(w)
+    ).withColumn("last_signup_ts", F.last("signup_ts", ignorenulls=True).over(w))
+    return filled.filter(F.col("is_err") == 1).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("error_at"),
+        "last_signup_id",
+        F.date_format("last_signup_ts", "yyyy-MM-dd HH:mm:ss").alias("signup_at"),
+    )
+
+
+@query(
+    "j_range_broadcast",
+    oracle="""
+    SELECT e.event_id, e.value, b.tier
+    FROM events e
+    LEFT JOIN (VALUES ('low', 0.0, 0.33), ('mid', 0.33, 0.66), ('high', 0.66, 1e9))
+      AS b(tier, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    """,
+    note="Range join (brief's custom-operator example): events banded into value "
+    "tiers by a non-equi range predicate. The tier table is tiny and broadcasts, so "
+    "the non-equi condition costs a 3-row nested-loop per row — the right plan for "
+    "band lookups at any scale (never a shuffle, never a cartesian blow-up).",
+)
+def j_range_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 0.33), ("mid", 0.33, 0.66), ("high", 0.66, 1e9)],
+        "tier string, lo double, hi double",
+    )
+    joined = e.join(
+        F.broadcast(bands),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        "left",
+    )
+    return joined.select("event_id", "value", "tier")

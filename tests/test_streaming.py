@@ -104,3 +104,22 @@ def test_stateful_rate_limit_across_batches(spark, tmp_path):
     # nth_today is a proper 1..3 counter within each (user, day)
     bad = out.filter((F.col("nth_today") < 1) | (F.col("nth_today") > 3))
     assert bad.count() == 0
+
+
+def test_dedup_within_watermark_stream(spark, events_dir, tmp_path):
+    from banksy_spark.streaming.core import dedup_earliest_within_watermark
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        dedup_earliest_within_watermark(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT user_id, event_type FROM dedup_wm")
+    # exactly one row per observed (user, event_type) key
+    assert out.count() == out.distinct().count() > 0
