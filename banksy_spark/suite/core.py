@@ -983,3 +983,43 @@ def a_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_qty").cast("double").alias("sum_qty"),
         F.col("n_rows").cast("bigint").alias("n_rows"),
     )
+
+
+@query(
+    "a_exact_median",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN rn * 2 IN (cnt, cnt + 1, cnt + 2) THEN l_quantity END)
+                / COUNT(CASE WHEN rn * 2 IN (cnt, cnt + 1, cnt + 2) THEN 1 END)
+                AS DOUBLE) AS median_qty
+    FROM (
+      SELECT l_returnflag, l_quantity,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+      FROM lineitem
+    ) GROUP BY l_returnflag
+    """,
+    note="Exact grouped median without engine-specific interpolation: rank the values "
+    "with a deterministic tie-break, average the middle one or two. (percentile/"
+    "quantile_cont interpolate with engine-dependent float order, so this rank form "
+    "is the cross-engine-verifiable shape; medians are absent from the reference, "
+    "SURVEY §2.4 'not present'.) Values here are half-integers, so the 2-element "
+    "mean is exact.",
+)
+def a_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    cw = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(cw).alias("cnt"),
+    )
+    mid = F.col("rn") * 2
+    is_mid = mid.isin(F.col("cnt"), F.col("cnt") + 1, F.col("cnt") + 2)
+    picked = F.when(is_mid, F.col("l_quantity"))
+    return ranked.groupBy("l_returnflag").agg(
+        (F.sum(picked) / F.count(picked)).cast("double").alias("median_qty")
+    )

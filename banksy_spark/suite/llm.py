@@ -890,3 +890,43 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("qid", "neighbor_id", "cell", "rnk", "cosine")
     )
+
+
+@query(
+    "llm_distinct_sketch_kmv",
+    oracle=f"""
+    WITH hashes AS (
+      SELECT DISTINCT {_POLY_DUCK.format(s='term')} AS h
+      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    ),
+    smallest AS (SELECT h FROM hashes ORDER BY h LIMIT 32),
+    kth AS (SELECT MAX(h) AS kth, COUNT(*) AS k FROM smallest)
+    SELECT k, kth,
+           CAST((k - 1) * 1000000007.0 / kth AS DOUBLE) AS est_distinct,
+           (SELECT COUNT(*) FROM hashes) AS true_distinct
+    FROM kth
+    """,
+    note="Novel deterministic sketch (brief: 'a novel sketch'): K-minimum-values "
+    "distinct-count estimate over corpus terms. Unlike HLL/approx_count_distinct "
+    "(engine-specific hashing, unverifiable), KMV over the shared polynomial hash is "
+    "bit-reproducible in SQL: keep the 32 smallest distinct term hashes, estimate "
+    "(k-1)*P/kth_min. Scale: the sketch state is 32 values regardless of corpus "
+    "size; partial sketches merge by union+re-truncate.",
+)
+def llm_distinct_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    terms = d.select(F.explode(F.split("text", " ")).alias("term"))
+    hashes = terms.select(
+        F.expr(_POLY_SPARK.format(s="term")).alias("h")
+    ).distinct().persist()
+    smallest = hashes.orderBy("h").limit(32)
+    kth = smallest.agg(F.max("h").alias("kth"), F.count("*").alias("k"))
+    true_cnt = hashes.count()
+    return kth.select(
+        "k",
+        "kth",
+        ((F.col("k") - 1) * F.lit(1000000007.0) / F.col("kth")).cast("double").alias(
+            "est_distinct"
+        ),
+        F.lit(true_cnt).cast("bigint").alias("true_distinct"),
+    )

@@ -250,3 +250,40 @@ def j_range_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     )
     return joined.select("event_id", "value", "tier")
+
+
+@query(
+    "stream_rollup_multigrain",
+    oracle="""
+    SELECT grain, bucket, event_type, n_events
+    FROM (
+      SELECT 'day' AS grain, strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+             event_type, COUNT(*) AS n_events
+      FROM events GROUP BY 2, 3
+      UNION ALL
+      SELECT 'month', strftime(date_trunc('month', ts), '%Y-%m-%d'),
+             event_type, COUNT(*)
+      FROM events GROUP BY 2, 3
+    )
+    """,
+    note="Hypertable-style continuous-aggregate rollup (brief's custom-operator "
+    "example): the same events aggregated at day and month grain in ONE pass via "
+    "GROUPING SETS — Catalyst expands the sets without rescanning, where the naive "
+    "form is two scans + union. Oracle uses the two-scan form, proving equivalence.",
+)
+def stream_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day_b"),
+        F.date_format(F.date_trunc("month", F.col("ts")), "yyyy-MM-dd").alias("month_b"),
+    )
+    e.createOrReplaceTempView("_rollup_src")
+    return e.sparkSession.sql(
+        """
+        SELECT CASE WHEN day_b IS NOT NULL THEN 'day' ELSE 'month' END AS grain,
+               COALESCE(day_b, month_b) AS bucket, event_type,
+               COUNT(*) AS n_events
+        FROM _rollup_src
+        GROUP BY GROUPING SETS ((day_b, event_type), (month_b, event_type))
+        """
+    )
