@@ -930,3 +930,33 @@ def llm_distinct_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(true_cnt).cast("bigint").alias("true_distinct"),
     )
+
+
+@query(
+    "llm_embed_quantize_int8",
+    oracle="""
+    SELECT vec_id, i - 1 AS dim,
+           CAST(FLOOR(v[i] / mx * 127.0 + 0.5) AS INT) AS q
+    FROM (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             list_aggregate(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE))), 'max')
+               AS mx
+      FROM embeddings
+    ), unnest(generate_series(1, len(v))) AS t(i)
+    WHERE mx > 0
+    """,
+    note="Embedding int8 quantization (symmetric, per-vector absmax scale): "
+    "q = floor(x/absmax*127 + 0.5). floor(+0.5) is round-half-up in BOTH engines "
+    "(double->int casts differ: Spark truncates, DuckDB rounds — floor sidesteps it). "
+    "Scale: narrow scan, zero shuffles; the explode is map-side and 4× smaller on "
+    "the wire than the float32 input.",
+)
+def llm_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        F.expr("array_max(transform(embedding, x -> ABS(CAST(x AS DOUBLE))))").alias("mx"),
+    ).filter(F.col("mx") > 0)
+    out = e.select("vec_id", "mx", F.posexplode("v").alias("dim", "x"))
+    q = F.floor(F.col("x") / F.col("mx") * 127.0 + 0.5).cast("int")
+    return out.select("vec_id", "dim", q.alias("q"))

@@ -36,6 +36,12 @@ HEADLINE = [
     "llm_ann_bruteforce",     # cosine top-k, broadcast queries
     "llm_ann_ivf",            # IVF: centroid train + cell-local rerank
     "llm_simhash",            # 16-bit simhash over token hashes
+    "llm_term_freq",          # explode + term-keyed aggregate
+    "stream_asof_join",       # union + forward-fill asof composition
+    "stream_rollup_multigrain", # GROUPING SETS day+month one-pass
+    "a_exact_median",         # rank-form exact grouped median
+    "j_anti_subquery",        # anti-join vs derived key set
+    "a_salted_sum",           # two-stage salted aggregation
 ]
 
 
