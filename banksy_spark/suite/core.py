@@ -1023,3 +1023,41 @@ def a_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("l_returnflag").agg(
         (F.sum(picked) / F.count(picked)).cast("double").alias("median_qty")
     )
+
+
+@query(
+    "j_multi_join_topk",
+    oracle="""
+    SELECT o.o_orderkey, c.c_mktsegment, CAST(o.o_orderdate AS DATE) AS od,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'O'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    note="TPC-H Q3-shaped multi-way join + top-k: two fact joins, filtered segments, "
+    "decimal revenue, deterministic top-10 (revenue desc, key tiebreak so the LIMIT "
+    "selects the same rows in both engines). Scale: customer side is filtered before "
+    "the join (Catalyst pushes the segment predicate below), the top-k is a "
+    "TakeOrdered — no global sort materializes.",
+)
+def j_multi_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    li = T(spark, sf_dir, "lineitem")
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
+    ).cast("double")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "c_mktsegment", F.to_date("o_orderdate").alias("od"))
+        .agg(rev.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
