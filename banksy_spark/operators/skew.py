@@ -20,24 +20,28 @@ def salted_agg(
     aggs: dict[str, Column],
     salt_col: Column,
     n_salt: int = 16,
+    combiners: dict[str, object] | None = None,
 ) -> DataFrame:
     """Two-stage salted aggregation for hot grouping keys.
 
     Stage 1 groups by (keys…, salt) — the hot key's rows spread over
     ``n_salt`` reducers; stage 2 re-aggregates the partials by the real
-    keys. Correct only for algebraic aggregates whose partial form is
-    itself (sum, count via sum, min, max); pass DECIMAL-cast columns
-    for order-independent sums (suite parity convention).
+    keys. Correct only for algebraic aggregates whose partial combines
+    with a second-stage aggregate: sum/count combine with SUM (the
+    default); min/max must pass ``combiners={'name': F.min}`` etc. —
+    their partials do NOT sum. Pass DECIMAL-cast columns for
+    order-independent sums (suite parity convention).
 
-    ``aggs`` maps output column name → stage-1 aggregate expression;
-    stage 2 sums the partials. ``salt_col`` must be deterministic from
-    row content (e.g. ``pmod(hash(id_col), n_salt)``) so re-runs and
-    retries land rows in the same salt bucket.
+    ``aggs`` maps output column name → stage-1 aggregate expression.
+    ``salt_col`` must be deterministic from row content (e.g.
+    ``hash(id_col)``) so re-runs and retries land rows in the same salt
+    bucket.
     """
+    combiners = combiners or {}
     salt = F.pmod(salt_col, F.lit(n_salt)).alias("_salt")
     stage1 = df.groupBy(*keys, salt).agg(
         *[expr.alias(name) for name, expr in aggs.items()]
     )
     return stage1.groupBy(*keys).agg(
-        *[F.sum(name).alias(name) for name in aggs]
+        *[combiners.get(name, F.sum)(name).alias(name) for name in aggs]
     )

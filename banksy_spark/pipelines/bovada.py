@@ -56,32 +56,45 @@ def parse_bovada(blob: DataFrame, min_payload_len: int = 250) -> DataFrame:
     # 2. junk filter, De Morgan form kept from the reference (:56)
     seg = seg.filter((F.length("seg") >= 25) | (~F.col("seg").endswith(" Bets")))
 
-    # 3. strip the clock: text after 'AM'/'PM' + 1 space (:58-65)
-    ampm = F.greatest(F.locate("AM", F.col("seg")), F.locate("PM", F.col("seg")))
-    body = F.when(ampm > 0, F.substr(F.col("seg"), ampm + F.lit(3))).otherwise(F.col("seg"))
-    seg = seg.withColumn("body", F.trim(body))
+    # 3. strip the clock (:58-61): slice from find('AM')-preferred-else-
+    #    find('PM') + 3. Python's not-found (-1) yields [2:]; locate()'s
+    #    not-found (0) + 3 = substr(3) reproduces that exactly.
+    ampm = F.when(F.locate("AM", F.col("seg")) > 0, F.locate("AM", F.col("seg"))).otherwise(
+        F.locate("PM", F.col("seg"))
+    )
+    seg = seg.withColumn("body", F.trim(F.substr(F.col("seg"), ampm + F.lit(3))))
 
-    # 4. CamelCase team split on the concatenated pair (:105-118)
-    teams_blob = F.split(F.col("body"), " ")[0]
-    seg = seg.withColumn("team_1", camel_boundary_team_1(teams_blob)).withColumn(
-        "team_2", camel_boundary_team_2(teams_blob)
+    # 4. split the team pair from the odds at the first ' + ' (else
+    #    ' - ') marker (:63-65) — multi-word team names stay intact;
+    #    then the CamelCase boundary split (:105-118)
+    marker = F.when(F.locate(" + ", F.col("body")) > 0, F.locate(" + ", F.col("body"))).otherwise(
+        F.locate(" - ", F.col("body"))
+    )
+    teams_blob = F.when(marker > 0, F.substring(F.col("body"), 1, marker - 1)).otherwise(
+        F.col("body")
+    )
+    rest = F.when(marker > 0, F.substr(F.col("body"), marker + F.lit(3))).otherwise(F.col("body"))
+    seg = (
+        seg.withColumn("team_1", camel_boundary_team_1(teams_blob))
+        .withColumn("team_2", camel_boundary_team_2(teams_blob))
+        .withColumn("rest", rest)
     )
 
     # 5. parenthesized payouts in order; spreads/MLs/totals from the
-    #    de-parenthesized token stream (:69-97)
+    #    de-parenthesized token stream of the odds part (:69-97)
     seg = seg.withColumn(
-        "payouts", F.expr(r"regexp_extract_all(body, '\\(([^)]*)\\)', 1)")
+        "payouts", F.expr(r"regexp_extract_all(rest, '\\(([^)]*)\\)', 1)")
     ).withColumn(
         "toks",
-        F.split(F.trim(F.regexp_replace(F.regexp_replace("body", r"\([^)]*\)", ""), r"\s+", " ")), " "),
+        F.split(F.trim(F.regexp_replace(F.regexp_replace("rest", r"\([^)]*\)", ""), r"\s+", " ")), " "),
     )
-    # toks: [TeamPair, '+', s1, s2, ml1, ml2, 'O', total, 'U', total]
+    # toks: [s1, s2, ml1, ml2, 'O', total, 'U', total]
     get = lambda i: F.element_at(F.col("toks"), i)  # noqa: E731
     seg = seg.select(
         "game_id", "date", "team_1", "team_2",
-        get(3).alias("spread_1"), get(4).alias("spread_2"),
-        get(5).alias("ml_1"), get(6).alias("ml_2"),
-        get(8).alias("total_o"), get(10).alias("total_u"),
+        get(1).alias("spread_1"), get(2).alias("spread_2"),
+        get(3).alias("ml_1"), get(4).alias("ml_2"),
+        get(6).alias("total_o"), get(8).alias("total_u"),
         F.element_at("payouts", 1).alias("sp_pay_1"),
         F.element_at("payouts", 2).alias("sp_pay_2"),
         F.element_at("payouts", 3).alias("ou_pay_1"),

@@ -27,7 +27,7 @@ from banksy_spark.functions.odds import (
     sign_prefix,
 )
 from banksy_spark.functions.text import extract_second_word, first_token, last_token
-from banksy_spark.operators.reshape import pair_id
+from banksy_spark.operators.reshape import melt, pair_id
 
 
 def normalize_odds(raw: DataFrame, bookies: list[str]) -> DataFrame:
@@ -43,10 +43,11 @@ def normalize_odds(raw: DataFrame, bookies: list[str]) -> DataFrame:
     # 1. stray header rows: the scrape repeats the header as data
     df = raw.filter((F.col("Team") != "Team") & (F.col("Team") != "") & F.col("Team").isNotNull())
 
-    # 2. team cleanup (:76-87): rstrip ' +' tails, strip '^\\d+ ' rank
-    #    prefixes, then the reference's extract_second_word quirk
-    team = F.expr("trim(TRAILING ' +' FROM Team)")
-    team = F.regexp_replace(team, r"^\d+ ", "")
+    # 2. team cleanup (:76-84): strip '^\\d+ ' rank prefixes, then the
+    #    reference's extract_second_word quirk. The rstrip(' +') belongs
+    #    to the BOOKIE columns (:86-87), handled in carve below — the
+    #    reference never strips tails from Team.
+    team = F.regexp_replace(F.col("Team"), r"^\d+ ", "")
     team = extract_second_word(team)
     df = df.withColumn("Team", team)
 
@@ -54,8 +55,9 @@ def normalize_odds(raw: DataFrame, bookies: list[str]) -> DataFrame:
     w = Window.partitionBy("Sport").orderBy("_seq")
     df = df.withColumn("game_id", pair_id(F.row_number().over(w)))
 
-    # 4. classify bet type from the first bookie's raw value (:90-99)
-    probe = F.col(bookies[0])
+    # 4. classify bet type from the first bookie's cleaned value (:90-99;
+    #    the rstrip at :86-87 runs before the classifier)
+    probe = F.expr(f"trim(TRAILING ' +' FROM {bookies[0]})")
     bet_type = (
         F.when(probe.rlike("[ou]"), "Over/Under")
         .when(F.length(probe).isin(4, 5), "ML")
@@ -76,9 +78,10 @@ def normalize_odds(raw: DataFrame, bookies: list[str]) -> DataFrame:
         ),
     )
 
-    # 6. per-bookie value carving + token fixes (:146-181, 254-255)
+    # 6. per-bookie value carving + token fixes (:86-87 rstrip ' +',
+    #    :146-181 token fixes, :254-255 N/A handling)
     def carve(b: str):
-        raw_v = F.col(b)
+        raw_v = F.expr(f"trim(TRAILING ' +' FROM {b})")
         line = first_token(raw_v)
         payout = last_token(raw_v)
         v = F.when(F.col("info") == "Line", line).otherwise(payout)
@@ -127,6 +130,10 @@ def find_arbitrage(odds: DataFrame, bookies: list[str]) -> DataFrame:
     pay = pay.withColumn("arb_sum", F.sum("max_payout").over(g))
     pay = pay.withColumn("n_sides", F.count("*").over(g))
     opps = pay.filter((F.col("arb_sum") > 0) & (F.col("n_sides") == 2))
+    # the both-sides-EVEN pseudo-arbitrage (+100/+100 sums to 200 but
+    # pays nothing) is excluded, mirroring the reference's
+    # `~((MaxPayout == 100) & (Arbitrage Calc == 200))` filter
+    opps = opps.filter(~((F.col("max_payout") == 100) & (F.col("arb_sum") == 200)))
 
     # stake math: first side (by Team order within the game) stakes 100,
     # the second equalizes payouts (:360-370)
@@ -158,17 +165,44 @@ def decide_alerts(
     log: DataFrame,
     min_margin: int = 3,
     max_per_day: int = 3,
+    odds: DataFrame | None = None,
+    bookies: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Entry point C (arbitrage_scanner.py:323-514): threshold filter
-    (≥3% :401), daily rate limit (<3 per Team per calendar day against
-    the notification log :434-461), message build (:478-491).
+    (≥3% :401), sign audit (:426-431), daily rate limit (<3 per Team per
+    calendar day against the notification log :434-461), message build
+    (:478-491).
 
     ``opps``: find_arbitrage output + an ``alert_ts`` timestamp column.
     ``log``: prior notifications (Team string, updated_at timestamp).
+    ``odds``/``bookies``: the canonical long odds table — when given,
+    each candidate's best-bookie Line value is joined back and games
+    whose line signs don't differ are dropped (a Spread pair quoted
+    '+3.5'/'+3.5' is a scrape glitch, not a hedge; ML rows carry no
+    Line so their sign set is empty and they pass, matching the
+    reference's NaN behavior).
     Returns (to_send, new_log_entries) — pure, so it runs identically
     in batch or inside foreachBatch (banksy_spark.streaming).
     """
     cand = opps.filter(F.col("profit_margin") >= min_margin)
+
+    if odds is not None and bookies is not None:
+        lines = melt(
+            odds.filter(F.col("info") == "Line"),
+            id_vars=["Sport", "game_id", "Team", "bet_type"],
+            value_vars=bookies,
+            var_name="best_bookie",
+            value_name="line_value",
+        )
+        cand = cand.join(
+            lines, ["Sport", "game_id", "Team", "bet_type", "best_bookie"], "left"
+        )
+        sign = F.substring("line_value", 1, 1)
+        gw = Window.partitionBy("Sport", "game_id")
+        n_signs = F.size(F.collect_set(sign).over(gw))  # collect_set drops NULLs
+        cand = cand.withColumn("_n_signs", n_signs).filter(F.col("_n_signs") != 1).drop(
+            "_n_signs", "line_value"
+        )
 
     sent_today = log.groupBy(
         "Team", F.to_date("updated_at").alias("day")

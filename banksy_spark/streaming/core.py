@@ -69,12 +69,18 @@ def rate_limited_alert_stream(
     from pyspark.sql import Window
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch.sparkSession
         day = F.to_date("ts")
         try:
             log = spark.read.parquet(log_path)
             sent = log.groupBy("user_id", "day").agg(F.count("*").alias("n_sent"))
-        except Exception:  # first batch: no log yet  # noqa: BLE001
+        except AnalysisException as e:
+            # only a genuinely absent log means "first batch"; any other
+            # read error must fail the batch, not silently reset quotas
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
             sent = None
 
         cand = batch.withColumn("day", day)
@@ -90,9 +96,14 @@ def rate_limited_alert_stream(
             cand.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("n_sent") + F.col("rnk") <= max_per_day)
             .select("event_id", "user_id", "day", "ts", "event_type")
-        )
-        picked.write.mode("append").parquet(out_path)
+        ).localCheckpoint()
+        # log FIRST: if the batch dies between the two writes and replays,
+        # a log-ahead entry suppresses the resend (quota can under-send by
+        # one batch but never over-send — the safe direction for alerts)
         picked.select("user_id", "day", "event_id").write.mode("append").parquet(log_path)
+        picked.select("event_id", "user_id", "day", "ts", "event_type").write.mode(
+            "append"
+        ).parquet(out_path)
 
     return (
         events.writeStream.foreachBatch(process)

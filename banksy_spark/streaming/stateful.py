@@ -27,25 +27,31 @@ _OUT_SCHEMA = "user_id bigint, event_id bigint, day string, nth_today int"
 _STATE_SCHEMA = "day string, n int"
 
 
-def _limit_group(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Per-user quota counter. State = (current day, sends so far)."""
-    day, n = state.get if state.exists else (None, 0)
-    out_rows = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for r in pdf.itertuples(index=False):
-            r_day = str(r.ts.date())
-            if r_day != day:  # midnight rollover resets the quota
-                day, n = r_day, 0
-            if n < 3:
-                n += 1
-                out_rows.append((key[0], r.event_id, r_day, n))
-    state.update((day, n))
-    yield pd.DataFrame(out_rows, columns=["user_id", "event_id", "day", "nth_today"])
+def _make_limiter(max_per_day: int):
+    """Build the per-group quota counter with the quota captured in the
+    closure (cloudpickle ships closures to the workers fine)."""
+
+    def _limit_group(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        # State = (current day, sends so far)
+        day, n = state.get if state.exists else (None, 0)
+        out_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for r in pdf.itertuples(index=False):
+                r_day = str(r.ts.date())
+                if r_day != day:  # midnight rollover resets the quota
+                    day, n = r_day, 0
+                if n < max_per_day:
+                    n += 1
+                    out_rows.append((key[0], r.event_id, r_day, n))
+        state.update((day, n))
+        yield pd.DataFrame(out_rows, columns=["user_id", "event_id", "day", "nth_today"])
+
+    return _limit_group
 
 
 def rate_limit_stateful(events: DataFrame, max_per_day: int = 3) -> DataFrame:
@@ -56,9 +62,8 @@ def rate_limit_stateful(events: DataFrame, max_per_day: int = 3) -> DataFrame:
     Spark lacks natively (SURVEY brief: applyInPandasWithState for
     custom stateful semantics).
     """
-    assert max_per_day == 3, "quota baked into _limit_group for picklability"
     return events.select("user_id", "event_id", "ts").groupBy("user_id").applyInPandasWithState(
-        _limit_group,
+        _make_limiter(max_per_day),
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",

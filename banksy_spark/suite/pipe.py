@@ -23,7 +23,7 @@ BOOKIES = ["DraftKings", "FanDuel", "Caesars"]
 
 _RAW_ROWS = [
     (0, "Team", "NFL", "DraftKings", "FanDuel", "Caesars"),
-    (1, "3 Seattle Seahawks +", "NFL", "+145", "EVEN", "N/A"),
+    (1, "3 Seattle Seahawks", "NFL", "+145 +", "EVEN", "N/A"),
     (2, "Cardinals", "NFL", "-160", "-155", "+130"),
     (3, "Bills", "NFL", "-3.5 -110", "-3.5 -105", "N/A"),
     (4, "Jets", "NFL", "+3.5 -110", "+3.5 +120", ""),
@@ -58,8 +58,10 @@ def _values_sql() -> str:
     return f"(VALUES {rows}) AS raw(_seq, team, sport, dk, fd, cz)"
 
 
-def _carve_sql(col: str) -> str:
-    """DuckDB twin of odds_pipeline's per-bookie carve."""
+def _carve_sql(raw: str) -> str:
+    """DuckDB twin of odds_pipeline's per-bookie carve (incl. the
+    reference's bookie-column rstrip(' +') at :86-87)."""
+    col = f"rtrim({raw}, ' +')"
     pick = (
         f"CASE WHEN info = 'Line' THEN string_split({col}, ' ')[1]"
         f" ELSE string_split({col}, ' ')[-1] END"
@@ -84,7 +86,7 @@ _NORM_CTES = f"""
       SELECT _seq, sport, dk, fd, cz,
              CASE WHEN len(string_split(t2, ' ')) >= 3
                   THEN string_split(t2, ' ')[1] ELSE t2 END AS team
-      FROM (SELECT *, regexp_replace(rtrim(team, ' +'), '^\\d+ ', '') AS t2 FROM filt)
+      FROM (SELECT *, regexp_replace(team, '^\\d+ ', '') AS t2 FROM filt)
     ),
     gid AS (
       SELECT *, CAST(FLOOR((row_number() OVER (PARTITION BY sport ORDER BY _seq) - 1) / 2)
@@ -92,9 +94,9 @@ _NORM_CTES = f"""
       FROM clean
     ),
     bt AS (
-      SELECT *, CASE WHEN regexp_matches(dk, '[ou]') THEN 'Over/Under'
-                     WHEN length(dk) IN (4, 5) THEN 'ML'
-                     WHEN regexp_matches(dk, '[+-]') THEN 'Spread'
+      SELECT *, CASE WHEN regexp_matches(rtrim(dk, ' +'), '[ou]') THEN 'Over/Under'
+                     WHEN length(rtrim(dk, ' +')) IN (4, 5) THEN 'ML'
+                     WHEN regexp_matches(rtrim(dk, ' +'), '[+-]') THEN 'Spread'
                      ELSE 'ERROR' END AS bet_type
       FROM gid
     ),
@@ -139,9 +141,12 @@ _ARB_CTES = f"""
       FROM canon WHERE info = 'Payout'
     ),
     mx AS (
-      SELECT *, GREATEST(COALESCE(dk, -1e18), COALESCE(fd, -1e18), COALESCE(cz, -1e18))
-                  AS max_payout,
-             CASE WHEN dk = GREATEST(COALESCE(dk, -1e18), COALESCE(fd, -1e18),
+      SELECT *,
+             CASE WHEN dk IS NULL AND fd IS NULL AND cz IS NULL THEN NULL
+                  ELSE GREATEST(COALESCE(dk, -1e18), COALESCE(fd, -1e18),
+                                COALESCE(cz, -1e18)) END AS max_payout,
+             CASE WHEN dk IS NULL AND fd IS NULL AND cz IS NULL THEN NULL
+                  WHEN dk = GREATEST(COALESCE(dk, -1e18), COALESCE(fd, -1e18),
                                      COALESCE(cz, -1e18)) THEN 'DraftKings'
                   WHEN fd = GREATEST(COALESCE(dk, -1e18), COALESCE(fd, -1e18),
                                      COALESCE(cz, -1e18)) THEN 'FanDuel'
@@ -167,7 +172,9 @@ _ARB_CTES = f"""
              CASE WHEN first_payout > 0 THEN first_payout / 100.0 + 1.0
                   WHEN first_payout < 0 THEN 100.0 / ABS(first_payout) + 1.0
                   ELSE 1.0 END AS d_first
-      FROM arb WHERE arb_sum > 0 AND n_sides = 2
+      FROM arb
+      WHERE arb_sum > 0 AND n_sides = 2
+        AND NOT (max_payout = 100 AND arb_sum = 200)
     ),
     staked AS (
       SELECT *, ROUND(CASE WHEN seq = 1 THEN 100.0
@@ -256,7 +263,9 @@ _BLOB = (
     "O 44.5(-110) U 44.5(-105) "
     "1/14/24 NFL Bets "
     "1/15/24 8:00 PM RamsSeahawks + -2.5(-110) +2.5(-110) -130 +110 "
-    "O 41(-110) U 41(-110)"
+    "O 41(-110) U 41(-110) "
+    "1/16/24 7:10 PM Red SoxYankees + -1.5(-140) +1.5(+120) -115 -105 "
+    "O 8.5(-110) U 8.5(-110)"
 )
 
 
@@ -299,32 +308,41 @@ def _bovada_oracle() -> str:
     ),
     body_t AS (
       SELECT game_id, date,
-             trim(CASE WHEN GREATEST(strpos(seg, 'AM'), strpos(seg, 'PM')) > 0
-                  THEN substr(seg, GREATEST(strpos(seg, 'AM'), strpos(seg, 'PM')) + 3)
-                  ELSE seg END) AS body
+             trim(substr(seg, (CASE WHEN strpos(seg, 'AM') > 0 THEN strpos(seg, 'AM')
+                               ELSE strpos(seg, 'PM') END) + 3)) AS body
       FROM kept
     ),
+    marked AS (
+      SELECT game_id, date, body,
+             CASE WHEN strpos(body, ' + ') > 0 THEN strpos(body, ' + ')
+                  ELSE strpos(body, ' - ') END AS mpos
+      FROM body_t
+    ),
     teamed AS (
-      SELECT game_id, date, body, tb,
+      SELECT game_id, date, tb, rest,
              COALESCE(([i FOR i IN generate_series(2, length(tb))
                         IF chars[i] BETWEEN 'A' AND 'Z'
                            AND (i = 2 OR chars[i - 1] <> ' ')])[1], 0) AS idx
-      FROM (SELECT *, string_split(body, ' ')[1] AS tb,
-                   string_split_regex(string_split(body, ' ')[1], '') AS chars
-            FROM body_t)
+      FROM (SELECT game_id, date,
+                   CASE WHEN mpos > 0 THEN substr(body, 1, mpos - 1) ELSE body END AS tb,
+                   CASE WHEN mpos > 0 THEN substr(body, mpos + 3) ELSE body END AS rest,
+                   string_split_regex(
+                     CASE WHEN mpos > 0 THEN substr(body, 1, mpos - 1) ELSE body END,
+                     '') AS chars
+            FROM marked)
     ),
     fields AS (
       SELECT game_id, date,
              CASE WHEN idx = 0 THEN tb ELSE substr(tb, 1, idx - 1) END AS team_1,
              CASE WHEN idx = 0 THEN tb ELSE substr(tb, idx) END AS team_2,
-             toks[3] AS spread_1, toks[4] AS spread_2,
-             toks[5] AS ml_1, toks[6] AS ml_2,
-             toks[8] AS total_o, toks[10] AS total_u,
+             toks[1] AS spread_1, toks[2] AS spread_2,
+             toks[3] AS ml_1, toks[4] AS ml_2,
+             toks[6] AS total_o, toks[8] AS total_u,
              pays[1] AS sp_pay_1, pays[2] AS sp_pay_2,
              pays[3] AS ou_pay_1, pays[4] AS ou_pay_2
       FROM (
-        SELECT t.*, regexp_extract_all(body, '\\(([^)]*)\\)', 1) AS pays,
-               string_split(trim(regexp_replace(regexp_replace(body,
+        SELECT t.*, regexp_extract_all(rest, '\\(([^)]*)\\)', 1) AS pays,
+               string_split(trim(regexp_replace(regexp_replace(rest,
                  '\\([^)]*\\)', '', 'g'), '\\s+', ' ', 'g')), ' ') AS toks
         FROM teamed t
       )

@@ -26,7 +26,7 @@ BOOKIES = ["DraftKings", "FanDuel", "Caesars"]
 RAW_ROWS = [
     # _seq, Team, Sport, DraftKings, FanDuel, Caesars
     (0, "Team", "NFL", "DraftKings", "FanDuel", "Caesars"),       # stray header
-    (1, "3 Seattle Seahawks +", "NFL", "+145", "EVEN", "N/A"),    # ML game 1
+    (1, "3 Seattle Seahawks", "NFL", "+145 +", "EVEN", "N/A"),    # ML game 1
     (2, "Cardinals", "NFL", "-160", "-155", "+130"),
     (3, "Bills", "NFL", "-3.5 -110", "-3.5 -105", "N/A"),         # Spread game 2
     (4, "Jets", "NFL", "+3.5 -110", "+3.5 +120", ""),
@@ -131,7 +131,9 @@ def test_decide_alerts_rate_limit(spark, raw):
         ],
         "Team string, updated_at timestamp",
     )
-    to_send, new_log = decide_alerts(opps, log)
+    to_send, new_log = decide_alerts(
+        opps, log, odds=normalize_odds(raw, BOOKIES), bookies=BOOKIES
+    )
     teams = {r.Team for r in to_send.collect()}
     assert "Cardinals" not in teams          # rate-limited (<3/day, :459)
     assert {"Seattle Seahawks", "Bills", "Jets"} <= teams
@@ -154,7 +156,9 @@ BLOB = (
     "O 44.5(-110) U 44.5(-105) "
     "1/14/24 NFL Bets "
     "1/15/24 8:00 PM RamsSeahawks + -2.5(-110) +2.5(-110) -130 +110 "
-    "O 41(-110) U 41(-110)"
+    "O 41(-110) U 41(-110) "
+    "1/16/24 7:10 PM Red SoxYankees + -1.5(-140) +1.5(+120) -115 -105 "
+    "O 8.5(-110) U 8.5(-110)"
 )
 
 
@@ -163,10 +167,15 @@ def test_parse_bovada_golden(spark):
     out = parse_bovada(blob)
     rows = {(r.Team, r.bet_type, r.info): r.Bovada for r in out.collect()}
 
-    # 2 games × 10 rows; junk ' Bets' segment dropped (:56); the repeat
+    # 3 games × 10 rows; junk ' Bets' segment dropped (:56); the repeat
     # Seahawks matchup drops the WHOLE RamsSeahawks game (:156-162)
-    assert out.count() == 20
+    assert out.count() == 30
     assert not any(t == "Rams" for (t, _, _) in rows)
+    # multi-word team names survive: the ' + ' marker split keeps
+    # 'Red SoxYankees' whole, the camel walk splits at 'Y' (space
+    # before 'S' is not a boundary, bovada_pull.py:105-118)
+    assert rows[("Red Sox", "ML", "Payout")] == "-115"
+    assert rows[("Yankees", "Spread", "Payout")] == "+120"
 
     assert rows[("Seahawks", "ML", "Payout")] == "-180"
     assert rows[("Cardinals", "ML", "Payout")] == "+155"
@@ -179,9 +188,31 @@ def test_parse_bovada_golden(spark):
     assert rows[("Bears", "Spread", "Payout")] == "+100"
     # dates rode along with their segment (:46-52)
     dates = {r.date for r in out.select("date").collect()}
-    assert dates == {"1/12/24", "1/13/24"}
+    assert dates == {"1/12/24", "1/13/24", "1/16/24"}
 
 
 def test_parse_bovada_rejects_short_payload(spark):
     blob = spark.createDataFrame([("1/12/24 7:05 PM AB + 1(2)",)], "payload string")
     assert parse_bovada(blob).count() == 0  # validity gate (:34)
+
+
+def test_decide_alerts_sign_audit(spark):
+    """arbitrage_scanner.py:426-431: a spread pair whose best-bookie
+    lines share a sign (scrape glitch) must not alert; ML games carry no
+    lines and pass (NaN sign group, nunique 0 != 1)."""
+    rows = [
+        (1, "Alpha", "NFL", "+3.5 -110", "+3.5 +120", "N/A"),   # same-sign lines!
+        (2, "Beta", "NFL", "+3.5 +130", "+3.5 -105", "N/A"),
+        (3, "Gamma", "NFL", "+150", "EVEN", "N/A"),             # ML game
+        (4, "Delta", "NFL", "-120", "+135", "N/A"),
+    ]
+    raw = spark.createDataFrame(rows, RAW_SCHEMA.replace("_seq bigint", "_seq int"))
+    odds = normalize_odds(raw, BOOKIES)
+    opps = find_arbitrage(odds, BOOKIES).withColumn(
+        "alert_ts", F.lit("2024-05-01 12:00:00").cast("timestamp")
+    )
+    empty_log = spark.createDataFrame([], "Team string, updated_at timestamp")
+    to_send, _ = decide_alerts(opps, empty_log, odds=odds, bookies=BOOKIES)
+    teams = {r.Team for r in to_send.collect()}
+    assert "Alpha" not in teams and "Beta" not in teams  # same-sign spread dropped
+    assert {"Gamma", "Delta"} <= teams                   # ML passes the audit

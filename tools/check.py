@@ -31,9 +31,7 @@ def canon(val) -> str:
     if isinstance(val, float):
         if math.isnan(val):
             return "NaN"
-        if val == int(val) and abs(val) < 1e15:
-            return repr(val)
-        return repr(val)
+        return repr(val)  # repr handles ±inf and shortest round-trip
     if isinstance(val, bool):
         return "true" if val else "false"
     if isinstance(val, datetime.datetime):
