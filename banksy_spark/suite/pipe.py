@@ -269,12 +269,14 @@ _BLOB = (
 )
 
 
-def _bovada_oracle() -> str:
-    """DuckDB twin of parse_bovada. RE2 has no lookahead, so the
-    CamelCase boundary is found with a char-list comprehension instead
-    of the Spark regex: first 1-based index i≥2 whose char is uppercase
-    and (i==2 or the previous char isn't a space) — the reference's
-    char walk (bovada_pull.py:105-118) verbatim."""
+def _bovada_ctes() -> str:
+    """DuckDB twin of parse_bovada as a reusable CTE chain ending in
+    ``bov`` (game_id, date, team, bet_type, info, bovada). RE2 has no
+    lookahead, so the CamelCase boundary is found with a char-list
+    comprehension instead of the Spark regex: first 1-based index i≥2
+    whose char is uppercase and (i==2 or the previous char isn't a
+    space) — the reference's char walk (bovada_pull.py:105-118)
+    verbatim."""
     emit = " UNION ALL ".join(
         f"SELECT game_id, date, {team} AS team, '{bt}' AS bet_type, "
         f"'{info}' AS info, {val} AS v FROM fields"
@@ -292,7 +294,7 @@ def _bovada_oracle() -> str:
         ]
     )
     return f"""
-    WITH blob(payload) AS (VALUES ('{_BLOB}')),
+    blob(payload) AS (VALUES ('{_BLOB}')),
     valid AS (SELECT * FROM blob WHERE length(payload) >= 250),
     sliced AS (
       SELECT regexp_extract_all(payload, '\\d{{1,2}}/\\d{{1,2}}/\\d{{2}}') AS dates,
@@ -347,11 +349,11 @@ def _bovada_oracle() -> str:
         FROM teamed t
       )
     ),
-    longrows AS ({emit}),
+    bov_longrows AS ({emit}),
     normed AS (
       SELECT game_id, date, team, bet_type, info,
              CASE WHEN v IN ('EVEN', 'even') THEN '+100' ELSE v END AS bovada
-      FROM longrows
+      FROM bov_longrows
     ),
     offending AS (
       SELECT DISTINCT game_id FROM (
@@ -359,15 +361,20 @@ def _bovada_oracle() -> str:
                                            ORDER BY game_id) AS rn
         FROM normed
       ) WHERE rn >= 2
-    )
-    SELECT game_id, date, team AS "Team", bet_type, info, bovada AS "Bovada"
-    FROM normed WHERE game_id NOT IN (SELECT game_id FROM offending)
-    """
+    ),
+    bov AS (
+      SELECT game_id, date, team, bet_type, info, bovada
+      FROM normed WHERE game_id NOT IN (SELECT game_id FROM offending)
+    )"""
 
 
 @query(
     "pipe_parse_bovada",
-    oracle=_bovada_oracle(),
+    oracle=f"""
+    WITH {_bovada_ctes()}
+    SELECT game_id, date, team AS "Team", bet_type, info, bovada AS "Bovada"
+    FROM bov
+    """,
     note="Pipeline: parse_bovada over the A2 blob fixture (bovada_pull.py:44-200): "
     "date segmentation, camel team split, paren/token carving, junk filter, "
     "whole-game duplicate drop. Oracle re-derives the parse in SQL (char-list "
@@ -378,3 +385,32 @@ def pipe_parse_bovada(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blob = spark.createDataFrame([(_BLOB,)], "payload string")
     return parse_bovada(blob)
+
+
+@query(
+    "pipe_join_bovada",
+    oracle=f"""
+    WITH {_bovada_ctes()},
+    {_NORM_CTES.lstrip()}
+    SELECT c.sport AS "Sport", c.game_id, c.team AS "Team", c.bet_type, c.info,
+           c.dk_v AS "DraftKings", c.fd_v AS "FanDuel", c.cz_v AS "Caesars",
+           b.bovada AS "Bovada"
+    FROM canon c
+    LEFT JOIN bov b
+      ON c.team = b.team AND c.bet_type = b.bet_type AND c.info = b.info
+    """,
+    note="Pipeline: the bovada enrichment join (arbitrage_scanner.py:206-209) — the "
+    "parsed Bovada odds become one more bookie column on the canonical table, joined "
+    "on (Team, bet_type, info) exactly like the reference (J2, 3-col key). Teams "
+    "present in both fixtures (Cardinals, Packers, Bears) fill; the rest stay NULL.",
+)
+def pipe_join_bovada(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.pipelines import parse_bovada
+
+    canonical = normalize_odds(_raw_df(spark), BOOKIES)
+    blob = spark.createDataFrame([(_BLOB,)], "payload string")
+    bov = parse_bovada(blob).select("Team", "bet_type", "info", "Bovada")
+    return canonical.join(bov, ["Team", "bet_type", "info"], "left").select(
+        "Sport", "game_id", "Team", "bet_type", "info",
+        "DraftKings", "FanDuel", "Caesars", "Bovada",
+    )
