@@ -300,6 +300,12 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_hs", F.size("hs"))
         .persist()  # both sides of the self-join reuse the shingle sets
     )
+    # Note on skew: a salted self-join (left split by doc_id%8, right
+    # replicated 8×) was benchmarked and changed nothing — the ~125
+    # (lang, bucket) blocks already outnumber the 32 cores and the
+    # largest block is ~6% of total work, so pair generation is CPU-
+    # bound, not skew-bound. Salting only pays when one block's
+    # quadratic pair space serializes onto a single task.
     a = d.alias("a")
     b = d.alias("b")
     joined = a.join(
