@@ -1061,3 +1061,117 @@ def j_multi_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "o_orderkey")
         .limit(10)
     )
+
+
+@query(
+    "o_set_ops",
+    oracle="""
+    SELECT o_orderkey, 'both' AS src FROM (
+      SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    UNION ALL
+    SELECT o_orderkey, 'only_f' AS src FROM (
+      SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    """,
+    note="Set operators intersect/except — absent from the reference (SURVEY §2.6 "
+    "'no intersect/except') but part of a complete engine surface. Both compile to "
+    "aggregate/anti-join forms, one shuffle each.",
+)
+def o_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    u = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    both = f.intersect(u).select("o_orderkey", F.lit("both").alias("src"))
+    only_f = f.exceptAll(u).distinct().select("o_orderkey", F.lit("only_f").alias("src"))
+    return both.unionByName(only_f)
+
+
+@query(
+    "o_pivot_wide",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END)
+                AS DOUBLE) AS qty_F,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END)
+                AS DOUBLE) AS qty_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    note="Pivot long→wide (the inverse of melt; the reference's implicit per-bookie "
+    "column layout, arbitrage_scanner.py:137-138). Spark pivot with an explicit value "
+    "list stays a single-pass aggregate — never use the value-discovering form at "
+    "scale (it runs an extra distinct job).",
+)
+def o_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("F").cast("double").alias("qty_F"),
+        F.col("O").cast("double").alias("qty_O"),
+    )
+
+
+@query(
+    "w_ntile_quartiles",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ntile(4) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+                AS INT) AS quartile,
+           CAST(rank() OVER (PARTITION BY l_returnflag
+                             ORDER BY CAST(l_quantity AS INT)) AS BIGINT) AS qty_rank,
+           CAST(dense_rank() OVER (PARTITION BY l_returnflag
+                                   ORDER BY CAST(l_quantity AS INT)) AS BIGINT)
+             AS qty_dense_rank
+    FROM lineitem
+    """,
+    note="Ranking family: ntile/rank/dense_rank over deterministic orders (absent from "
+    "the reference, SURVEY §2.5 'no ranking'; completes the window surface). rank ties "
+    "on integral quantity are legitimate and produce identical gaps in both engines.",
+)
+def w_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    w_price = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w_qty = Window.partitionBy("l_returnflag").orderBy(F.col("l_quantity").cast("int"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.ntile(4).over(w_price).cast("int").alias("quartile"),
+        F.rank().over(w_qty).cast("bigint").alias("qty_rank"),
+        F.dense_rank().over(w_qty).cast("bigint").alias("qty_dense_rank"),
+    )
+
+
+@query(
+    "w_lead_lag_delta",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice - lag(l_extendedprice) OVER w AS delta_prev,
+           lead(l_extendedprice) OVER w - l_extendedprice AS delta_next
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice)
+    """,
+    note="lead/lag deltas over the reified order (absent from the reference, SURVEY "
+    "§2.5 'no lead/lag'); the tie-broken order keeps both engines aligned on the "
+    "non-unique l_linenumber.",
+)
+def w_lead_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") - F.lag("l_extendedprice").over(w)).alias("delta_prev"),
+        (F.lead("l_extendedprice").over(w) - F.col("l_extendedprice")).alias("delta_next"),
+    )
