@@ -287,3 +287,40 @@ def stream_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((day_b, event_type), (month_b, event_type))
         """
     )
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+           CAST(FLOOR(epoch(p.ts)) AS BIGINT) - CAST(FLOOR(epoch(c.ts)) AS BIGINT)
+             AS lag_sec
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+    """,
+    note="Interval (stream-stream) join: each purchase matched to the same user's "
+    "clicks in the preceding 30 minutes — the attribution-window shape of Spark's "
+    "watermarked stream-stream joins, batch-checkable here. Scale: equi-key user_id "
+    "carries the shuffle; the time bound prunes the per-key cross product, and on a "
+    "stream the same bound is exactly what lets watermarks expire join state.",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    )
+    lag_sec = F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
+    return joined.select("purchase_id", "click_id", "user_id", lag_sec.alias("lag_sec"))
