@@ -1087,7 +1087,9 @@ def o_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
     u = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
     both = f.intersect(u).select("o_orderkey", F.lit("both").alias("src"))
-    only_f = f.exceptAll(u).distinct().select("o_orderkey", F.lit("only_f").alias("src"))
+    # subtract() is SQL EXCEPT (set semantics); exceptAll+distinct is NOT
+    # equivalent when the left side has duplicates of a right-side value
+    only_f = f.subtract(u).select("o_orderkey", F.lit("only_f").alias("src"))
     return both.unionByName(only_f)
 
 

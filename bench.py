@@ -56,6 +56,9 @@ def main() -> None:
     spark = get_spark("banksy-bench")
 
     def run(name: str) -> float:
+        # clear cached plans so run #2 re-executes for real — without this
+        # the persist()-ing fuzzy-dedup queries would measure cache reads
+        spark.catalog.clearCache()
         t0 = time.time()
         REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0
@@ -63,8 +66,8 @@ def main() -> None:
     # Warm-up: JVM/codegen/parquet-footer caches.
     REGISTRY["a_grouped_sum"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Best of two runs per query: one-shot numbers carry ±30% noise from
-    # JIT/IO warmup on local mode; min-of-2 is a stabler throughput figure.
+    # Best of two genuine runs per query: one-shot numbers carry ±30%
+    # noise from JIT/IO warmup on local mode.
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         per_query[name] = round(min(run(name), run(name)), 3)
@@ -77,6 +80,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "runs_per_query": 2,
                 "sf": sf,
             }
         )
