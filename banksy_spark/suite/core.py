@@ -1177,3 +1177,37 @@ def w_lead_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_extendedprice") - F.lag("l_extendedprice").over(w)).alias("delta_prev"),
         (F.lead("l_extendedprice").over(w) - F.col("l_extendedprice")).alias("delta_next"),
     )
+
+
+@query(
+    "a_cube_grouping",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS flag,
+           COALESCE(l_linestatus, '<all>') AS status,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    note="CUBE with GROUPING flags: all four aggregation grains of (flag, status) in "
+    "one pass, subtotal rows disambiguated from real NULLs by grouping id — the OLAP "
+    "companion to the grouping-sets rollup (absent from the reference, SURVEY §2.4 "
+    "'no grouping sets / cube / rollup').",
+)
+def a_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("int")
+            .alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("status"),
+            "gid",
+            "n",
+        )
+    )

@@ -966,3 +966,81 @@ def llm_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = e.select("vec_id", "mx", F.posexplode("v").alias("dim", "x"))
     q = F.floor(F.col("x") / F.col("mx") * 127.0 + 0.5).cast("int")
     return out.select("vec_id", "dim", q.alias("q"))
+
+
+@query(
+    "llm_pack_contexts",
+    oracle="""
+    WITH packed AS (
+      SELECT doc_id, text, shard, n_tok,
+             CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+                        / 512) AS BIGINT) AS pack_id
+      FROM (SELECT doc_id, text, doc_id % 4 AS shard,
+                   len(string_split(text, ' ')) AS n_tok
+            FROM documents)
+    )
+    SELECT shard, pack_id,
+           string_agg(text, chr(10) || '<|doc|>' || chr(10) ORDER BY doc_id) AS context,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           COUNT(*) AS n_docs
+    FROM packed GROUP BY shard, pack_id
+    """,
+    note="Training-context assembly: the packed bins from llm_pack_sequences become "
+    "actual contexts — documents concatenated in pack order with a separator token, "
+    "plus token accounting. Scale: the collect_list group width is bounded by the "
+    "512-token bin, so no unbounded string aggregation exists.",
+)
+def llm_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        (F.col("doc_id") % 4).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = d.withColumn(
+        "pack_id", F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512).cast("bigint")
+    )
+    ordered_concat = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("doc_id"), F.col("text")))),
+            lambda x: x["text"],
+        ),
+        "\n<|doc|>\n",
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        ordered_concat.alias("context"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@query(
+    "llm_contamination_check",
+    oracle="""
+    WITH bench AS (
+      SELECT array_to_string(string_split(text, ' ')[1:5], ' ') AS phrase
+      FROM documents WHERE doc_id = 0
+    )
+    SELECT d.doc_id, b.phrase AS benchmark_phrase,
+           contains(d.text, b.phrase) AS contaminated
+    FROM documents d CROSS JOIN bench b
+    """,
+    note="Benchmark decontamination: flag documents containing a held-out phrase "
+    "(here the first 5 tokens of doc 0 stand in for a benchmark n-gram). Scale: the "
+    "benchmark phrase set broadcasts; per-doc checks are a narrow scan — the real "
+    "pipeline sweeps thousands of phrases with the same broadcast shape.",
+)
+def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    bench = (
+        d.filter(F.col("doc_id") == 0)
+        .select(F.array_join(F.slice(F.split("text", " "), 1, 5), " ").alias("benchmark_phrase"))
+    )
+    return d.crossJoin(F.broadcast(bench)).select(
+        "doc_id",
+        "benchmark_phrase",
+        F.col("text").contains(F.col("benchmark_phrase")).alias("contaminated"),
+    )
