@@ -1211,3 +1211,75 @@ def a_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "f_string_distance",
+    oracle="""
+    SELECT p_partkey,
+           CAST(levenshtein(string_split(p_name, ' ')[1], string_split(p_name, ' ')[-1])
+                AS BIGINT) AS lev_tokens,
+           CAST(levenshtein(p_name, p_type) AS BIGINT) AS lev_type
+    FROM part
+    """,
+    note="Edit-distance scalar (levenshtein) between derived strings — the per-row "
+    "building block of edit-distance near-dup (the pairwise form would block like the "
+    "jaccard query; the scalar is what whole-stage codegen vectorizes).",
+)
+def f_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = T(spark, sf_dir, "part")
+    t1 = first_token(F.col("p_name"))
+    t2 = last_token(F.col("p_name"))
+    return p.select(
+        "p_partkey",
+        F.levenshtein(t1, t2).cast("bigint").alias("lev_tokens"),
+        F.levenshtein(F.col("p_name"), F.col("p_type")).cast("bigint").alias("lev_type"),
+    )
+
+
+@query(
+    "a_corr_manual",
+    oracle="""
+    SELECT l_returnflag,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
+           CAST(n AS BIGINT) AS n
+    FROM (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    """,
+    note="Pearson correlation from exact decimal moments: built-in corr() accumulates "
+    "doubles in partial-aggregation order (engine-dependent bits), so the five moments "
+    "are summed as exact DECIMALs and the correlation assembled in identical double "
+    "arithmetic — a bit-reproducible statistical aggregate. Scale: one shuffle, "
+    "map-side partials.",
+)
+def a_corr_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    qd = F.col("l_quantity").cast("decimal(12,2)")
+    pd_ = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(qd).cast("double").alias("sx"),
+        F.sum(pd_).cast("double").alias("sy"),
+        F.sum(qd * qd).cast("double").alias("sxx"),
+        F.sum(pd_ * pd_).cast("double").alias("syy"),
+        F.sum(qd * pd_).cast("double").alias("sxy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "l_returnflag", corr.alias("corr_qty_price"), F.col("n").cast("bigint").alias("n")
+    )
