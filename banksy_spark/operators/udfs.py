@@ -112,3 +112,41 @@ def fake_decode_media(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(decode, _MEDIA_SCHEMA)
+
+
+_RESIZED_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, width bigint, height bigint, n_frames bigint, "
+    "kind string, out_w bigint, out_h bigint, sampled_frames string"
+)
+
+
+def resize_and_sample(decoded: DataFrame, max_side: int = 128, frame_step: int = 4) -> DataFrame:
+    """Second Arrow stage of the multimodal pipeline: aspect-preserving
+    resize (integer arithmetic so the oracle reproduces it) plus
+    every-k-th frame sampling. Chained ``mapInPandas`` stages stream
+    batch-to-batch with no shuffle between them — the shape a real
+    decode→preprocess pipeline has at scale.
+
+    Real pixel resampling is stubbed (no image libs in this container);
+    the geometry math and frame index selection are the actual logic a
+    resize stage computes before touching pixels.
+    """
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].clip(lower=1)
+            h = pdf["height"].clip(lower=1)
+            scale_num = max_side
+            long_side = w.where(w >= h, h)
+            out_w = (w * scale_num) // long_side
+            out_h = (h * scale_num) // long_side
+            sampled = pdf["n_frames"].map(
+                lambda n: ",".join(str(i) for i in range(0, int(n), frame_step))
+            )
+            out = pdf.copy()
+            out["out_w"] = out_w.astype("int64")
+            out["out_h"] = out_h.astype("int64")
+            out["sampled_frames"] = sampled
+            yield out
+
+    return decoded.mapInPandas(stage, _RESIZED_SCHEMA)

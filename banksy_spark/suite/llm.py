@@ -1044,3 +1044,45 @@ def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "benchmark_phrase",
         F.col("text").contains(F.col("benchmark_phrase")).alias("contaminated"),
     )
+
+
+@query(
+    "llm_multimodal_pipeline",
+    oracle="""
+    SELECT doc_id, n_bytes, width, height, n_frames, kind,
+           (w1 * 128) // long_side AS out_w,
+           (h1 * 128) // long_side AS out_h,
+           CASE WHEN n_frames <= 0 THEN ''
+                ELSE array_to_string([CAST(i AS VARCHAR)
+                       for i in generate_series(0, CAST(n_frames AS INT) - 1, 4)], ',')
+           END AS sampled_frames
+    FROM (
+      SELECT *, CASE WHEN w1 >= h1 THEN w1 ELSE h1 END AS long_side
+      FROM (
+        SELECT doc_id, n_bytes, width, height, n_frames, kind,
+               CASE WHEN width < 1 THEN 1 ELSE width END AS w1,
+               CASE WHEN height < 1 THEN 1 ELSE height END AS h1
+        FROM (
+          SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+                 CAST(octet_length(CAST(text AS BLOB)) % 640 AS BIGINT) AS width,
+                 CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 AS BIGINT) AS height,
+                 CAST(octet_length(CAST(text AS BLOB)) % 16 AS BIGINT) AS n_frames,
+                 CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind
+          FROM documents
+        )
+      )
+    )
+    """,
+    note="Multimodal pipeline: decode → aspect-preserving resize (max side 128, "
+    "integer geometry) → every-4th frame sampling, as TWO chained mapInPandas stages "
+    "streaming Arrow batches with no shuffle between them (the brief's decode / "
+    "feature-extract / resize / frame-sample plumbing; codecs stubbed, geometry and "
+    "index selection real).",
+)
+def llm_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.operators.udfs import fake_decode_media, resize_and_sample
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return resize_and_sample(fake_decode_media(d))
