@@ -1247,14 +1247,14 @@ def f_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT l_returnflag,
              CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxy
       FROM lineitem GROUP BY l_returnflag
     )
     """,
@@ -1268,13 +1268,18 @@ def a_corr_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
     qd = F.col("l_quantity").cast("decimal(12,2)")
     pd_ = F.col("l_extendedprice").cast("decimal(18,2)")
+    # decimal→double conversion rounds differently across engines for
+    # wide values; decimal→string→double is a correctly-rounded parse in
+    # both, so the moments land on identical bits (verified: the direct
+    # cast diverged by one ulp at sf0.001)
+    as_dbl = lambda c: c.cast("string").cast("double")  # noqa: E731
     m = li.groupBy("l_returnflag").agg(
         F.count("*").cast("double").alias("n"),
-        F.sum(qd).cast("double").alias("sx"),
-        F.sum(pd_).cast("double").alias("sy"),
-        F.sum(qd * qd).cast("double").alias("sxx"),
-        F.sum(pd_ * pd_).cast("double").alias("syy"),
-        F.sum(qd * pd_).cast("double").alias("sxy"),
+        as_dbl(F.sum(qd)).alias("sx"),
+        as_dbl(F.sum(pd_)).alias("sy"),
+        as_dbl(F.sum(qd * qd)).alias("sxx"),
+        as_dbl(F.sum(pd_ * pd_)).alias("syy"),
+        as_dbl(F.sum(qd * pd_)).alias("sxy"),
     )
     corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))

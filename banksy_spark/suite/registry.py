@@ -12,6 +12,12 @@ Numeric-parity conventions used across the suite (SURVEY.md §4.3.3):
    both engines produce bit-identical results for the same expression.
  - Every computed column is aliased identically in the Spark query and
    the oracle SQL (driver hashes sort columns by name).
+ - DECIMAL→DOUBLE cast hazard: when the decimal carries more significant
+   digits than a double holds (~16), the engines' conversions can differ
+   by one ulp (DuckDB multiplies by an inexact 10^-scale; Spark rounds
+   the exact value). Route such conversions through a string —
+   decimal→VARCHAR→DOUBLE is a correctly-rounded parse in both engines
+   (see a_corr_manual, where the direct cast diverged at sf0.001).
 """
 
 from __future__ import annotations
