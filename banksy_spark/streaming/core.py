@@ -126,3 +126,30 @@ def dedup_earliest_within_watermark(events: DataFrame, watermark: str = "1 day")
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
+
+
+def purchase_attribution_stream(
+    purchases: DataFrame, clicks: DataFrame, window_minutes: int = 30
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each purchase joined to
+    the same user's clicks within the preceding ``window_minutes``
+    (batch-verified twin: suite.stream.stream_interval_join).
+
+    Both inputs carry 1-hour watermarks; with the time-bound condition
+    Spark can expire click state once no purchase can reach back to it —
+    the state-cleanup contract stream-stream joins require.
+    """
+    p = purchases.withWatermark("ts", "1 hour").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = clicks.withWatermark("ts", "1 hour").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    ).select("purchase_id", "click_id", "user_id")

@@ -123,3 +123,30 @@ def test_dedup_within_watermark_stream(spark, events_dir, tmp_path):
     out = spark.sql("SELECT user_id, event_type FROM dedup_wm")
     # exactly one row per observed (user, event_type) key
     assert out.count() == out.distinct().count() > 0
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_dir, tmp_path):
+    from banksy_spark.streaming.core import purchase_attribution_stream
+
+    stream = read_events_stream(spark, events_dir)
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    clicks = stream.filter(F.col("event_type") == "click")
+    q = (
+        purchase_attribution_stream(purchases, clicks)
+        .writeStream.format("memory")
+        .queryName("attribution")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM attribution").collect()
+    }
+    # batch twin over the same file
+    from banksy_spark.suite import REGISTRY
+    batch = REGISTRY["stream_interval_join"].fn(spark, SF_SMOKE)
+    want = {(r.purchase_id, r.click_id) for r in batch.collect()}
+    assert got == want and len(want) > 0
