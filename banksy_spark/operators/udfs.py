@@ -136,10 +136,9 @@ def resize_and_sample(decoded: DataFrame, max_side: int = 128, frame_step: int =
         for pdf in batches:
             w = pdf["width"].clip(lower=1)
             h = pdf["height"].clip(lower=1)
-            scale_num = max_side
             long_side = w.where(w >= h, h)
-            out_w = (w * scale_num) // long_side
-            out_h = (h * scale_num) // long_side
+            out_w = (w * max_side) // long_side
+            out_h = (h * max_side) // long_side
             sampled = pdf["n_frames"].map(
                 lambda n: ",".join(str(i) for i in range(0, int(n), frame_step))
             )

@@ -1,9 +1,15 @@
 """Structured Streaming slice (SURVEY.md §2.9)."""
 
 from banksy_spark.streaming.core import (
+    attribution_join,
     rate_limited_alert_stream,
     read_events_stream,
     tumbling_daily_counts,
 )
 
-__all__ = ["read_events_stream", "tumbling_daily_counts", "rate_limited_alert_stream"]
+__all__ = [
+    "read_events_stream",
+    "tumbling_daily_counts",
+    "rate_limited_alert_stream",
+    "attribution_join",
+]

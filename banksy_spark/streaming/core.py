@@ -128,21 +128,19 @@ def dedup_earliest_within_watermark(events: DataFrame, watermark: str = "1 day")
     )
 
 
-def purchase_attribution_stream(
+def attribution_join(
     purchases: DataFrame, clicks: DataFrame, window_minutes: int = 30
 ) -> DataFrame:
-    """Watermarked stream-stream interval join: each purchase joined to
-    the same user's clicks within the preceding ``window_minutes``
-    (batch-verified twin: suite.stream.stream_interval_join).
-
-    Both inputs carry 1-hour watermarks; with the time-bound condition
-    Spark can expire click state once no purchase can reach back to it —
-    the state-cleanup contract stream-stream joins require.
-    """
-    p = purchases.withWatermark("ts", "1 hour").select(
+    """The interval-join shape shared by the batch oracle query
+    (suite.stream.stream_interval_join) and the streaming form below:
+    each purchase joined to the same user's clicks within the preceding
+    ``window_minutes``. One definition, two execution modes — editing
+    the bound here keeps the twins in sync. Output keeps p_ts/c_ts for
+    downstream lag computation."""
+    p = purchases.select(
         F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
     )
-    c = clicks.withWatermark("ts", "1 hour").select(
+    c = clicks.select(
         F.col("event_id").alias("click_id"),
         F.col("user_id").alias("c_user"),
         F.col("ts").alias("c_ts"),
@@ -152,4 +150,20 @@ def purchase_attribution_stream(
         (F.col("user_id") == F.col("c_user"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES"))
         & (F.col("c_ts") < F.col("p_ts")),
+    )
+
+
+def purchase_attribution_stream(
+    purchases: DataFrame, clicks: DataFrame, window_minutes: int = 30
+) -> DataFrame:
+    """Watermarked stream-stream interval join over attribution_join.
+
+    Both inputs carry 1-hour watermarks; with the time-bound condition
+    Spark can expire click state once no purchase can reach back to it —
+    the state-cleanup contract stream-stream joins require.
+    """
+    return attribution_join(
+        purchases.withWatermark("ts", "1 hour"),
+        clicks.withWatermark("ts", "1 hour"),
+        window_minutes,
     ).select("purchase_id", "click_id", "user_id")

@@ -1242,7 +1242,8 @@ def f_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            (n * sxy - sx * sy)
-             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
+             / NULLIF(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0)
+             AS corr_qty_price,
            CAST(n AS BIGINT) AS n
     FROM (
       SELECT l_returnflag,
@@ -1281,9 +1282,13 @@ def a_corr_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_dbl(F.sum(pd_ * pd_)).alias("syy"),
         as_dbl(F.sum(qd * pd_)).alias("sxy"),
     )
-    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    # NULLIF guards the zero-variance group: Spark's non-ANSI x/0.0 is
+    # NULL while DuckDB's IEEE ops give inf/NaN — both sides must agree
+    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        den, F.lit(0.0)
     )
     return m.select(
         "l_returnflag", corr.alias("corr_qty_price"), F.col("n").cast("bigint").alias("n")

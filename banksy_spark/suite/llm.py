@@ -718,6 +718,26 @@ def llm_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _packed_docs(spark: SparkSession, sf_dir: str, bin_tokens: int = 512, n_shards: int = 4):
+    """Shared packing derivation for llm_pack_sequences and
+    llm_pack_contexts: per shard, greedy running-token-sum bins of
+    ``bin_tokens`` (pack_id = floor(preceding-cumsum/bin)). One
+    definition keeps the two queries' notion of a bin in sync."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        (F.col("doc_id") % n_shards).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return d.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / bin_tokens).cast("bigint"),
+    )
+
+
 @query(
     "llm_pack_sequences",
     oracle="""
@@ -737,17 +757,7 @@ def llm_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "1000 executors pack 1000 shards independently — no global order dependency.",
 )
 def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id",
-        (F.col("doc_id") % 4).alias("shard"),
-        F.size(F.split("text", " ")).alias("n_tok"),
-    )
-    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = F.sum("n_tok").over(w)
-    pack = F.floor((cum - F.col("n_tok")) / 512).cast("bigint")
-    return d.select("doc_id", "n_tok", pack.alias("pack_id"))
+    return _packed_docs(spark, sf_dir).select("doc_id", "n_tok", "pack_id")
 
 
 @query(
@@ -992,17 +1002,7 @@ def llm_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "512-token bin, so no unbounded string aggregation exists.",
 )
 def llm_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id", "text",
-        (F.col("doc_id") % 4).alias("shard"),
-        F.size(F.split("text", " ")).alias("n_tok"),
-    )
-    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    packed = d.withColumn(
-        "pack_id", F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512).cast("bigint")
-    )
+    packed = _packed_docs(spark, sf_dir)
     ordered_concat = F.array_join(
         F.transform(
             F.array_sort(F.collect_list(F.struct(F.col("doc_id"), F.col("text")))),

@@ -307,20 +307,13 @@ def stream_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream the same bound is exactly what lets watermarks expire join state.",
 )
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.streaming.core import attribution_join
+
     e = T(spark, sf_dir, "events")
-    p = e.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
-    )
-    c = e.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        F.col("user_id").alias("c_user"),
-        F.col("ts").alias("c_ts"),
-    )
-    joined = p.join(
-        c,
-        (F.col("user_id") == F.col("c_user"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
-        & (F.col("c_ts") < F.col("p_ts")),
+    joined = attribution_join(
+        e.filter(F.col("event_type") == "purchase"),
+        e.filter(F.col("event_type") == "click"),
+        window_minutes=30,
     )
     lag_sec = F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
     return joined.select("purchase_id", "click_id", "user_id", lag_sec.alias("lag_sec"))

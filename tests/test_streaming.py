@@ -36,7 +36,7 @@ def test_tumbling_daily_stream_equals_batch(spark, events_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream did not finish in time'
     got = {
         (str(r.day), r.event_type): r.n_events
         for r in spark.sql("SELECT * FROM daily_counts").collect()
@@ -57,7 +57,7 @@ def test_rate_limited_stream_never_exceeds_quota(spark, events_dir, tmp_path):
     q = rate_limited_alert_stream(
         stream, log_path=log, out_path=out, checkpoint=str(tmp_path / "ckpt2")
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream did not finish in time'
 
     sent = spark.read.parquet(out)
     per_day = sent.groupBy("user_id", "day").count()
@@ -71,7 +71,7 @@ def test_rate_limited_stream_never_exceeds_quota(spark, events_dir, tmp_path):
     q2 = rate_limited_alert_stream(
         stream, log_path=log, out_path=out, checkpoint=str(tmp_path / "ckpt2")
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), 'stream did not finish in time'
     assert spark.read.parquet(out).count() == sent.count()
 
 
@@ -96,7 +96,7 @@ def test_stateful_rate_limit_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream did not finish in time'
     out = spark.sql("SELECT * FROM stateful_rl")
     assert out.count() > 0
     per_day = out.groupBy("user_id", "day").count()
@@ -119,7 +119,7 @@ def test_dedup_within_watermark_stream(spark, events_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream did not finish in time'
     out = spark.sql("SELECT user_id, event_type FROM dedup_wm")
     # exactly one row per observed (user, event_type) key
     assert out.count() == out.distinct().count() > 0
@@ -140,7 +140,7 @@ def test_stream_stream_interval_join_equals_batch(spark, events_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream did not finish in time'
     got = {
         (r.purchase_id, r.click_id)
         for r in spark.sql("SELECT * FROM attribution").collect()
