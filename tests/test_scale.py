@@ -61,3 +61,21 @@ def test_bucketed_join_has_no_shuffle(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0
     # sanity: the join still answers correctly
     assert joined.count() == lb.count()
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """SCALE.md's scan-layer claim, pinned: a day-partitioned layout lets
+    a day filter prune partitions at the file index, not post-scan."""
+    from banksy_spark.io import write_overwrite
+    from banksy_spark.suite.registry import T
+
+    events = T(spark, SF_SMOKE, "events").withColumn("day", F.to_date("ts"))
+    out = str(tmp_path / "events_by_day")
+    write_overwrite(events, out, partition_by=["day"])
+
+    pruned = spark.read.parquet(out).filter(F.col("day") == "2024-01-03")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[.*day.*\]", plan)
+    # correctness: pruned read equals the unpartitioned filter
+    want = events.filter(F.to_date("ts") == "2024-01-03").count()
+    assert pruned.count() == want > 0
