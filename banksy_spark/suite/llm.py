@@ -1086,3 +1086,88 @@ def llm_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return resize_and_sample(fake_decode_media(d))
+
+
+@query(
+    "llm_dedup_normalized",
+    oracle="""
+    SELECT doc_id, md5(norm) AS norm_hash,
+           MIN(doc_id) OVER (PARTITION BY md5(norm)) AS canonical_id,
+           COUNT(*) OVER (PARTITION BY md5(norm)) AS n_copies
+    FROM (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                 '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    )
+    """,
+    note="Near-exact dedup: normalize (lowercase, strip punctuation, collapse "
+    "whitespace) THEN content-hash — catches trivially-reformatted duplicates exact "
+    "dedup misses. Same shuffle-on-hash shape as llm_dedup_exact.",
+)
+def llm_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), r"\s+", " "
+        )
+    )
+    d = d.withColumn("norm_hash", F.md5(norm.cast("binary")))
+    w = Window.partitionBy("norm_hash")
+    return d.select(
+        "doc_id",
+        "norm_hash",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count("*").over(w).alias("n_copies"),
+    )
+
+
+@query(
+    "llm_quality_filter",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN n_tok < 20 THEN 'too_short'
+                WHEN n_tok > 380 THEN 'too_long'
+                WHEN stop_ratio > 0.12 THEN 'too_stoppy'
+                ELSE 'keep' END AS verdict
+    FROM (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+             len(list_filter(string_split(text, ' '), t -> t IN ('a', 'the')))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+      FROM documents
+    )
+    """,
+    note="Quality filtering pass with reason codes (the keep/drop decision that "
+    "precedes training): first-match-wins rule chain over length and stopword "
+    "density — the operational form of llm_quality_score.",
+)
+def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    stop_ratio = F.size(
+        F.expr("filter(split(text, ' '), t -> t IN ('a', 'the'))")
+    ) / n_tok.cast("double")
+    verdict = (
+        F.when(n_tok < 20, "too_short")
+        .when(n_tok > 380, "too_long")
+        .when(stop_ratio > 0.12, "too_stoppy")
+        .otherwise("keep")
+    )
+    return d.select("doc_id", verdict.alias("verdict"))
+
+
+@query(
+    "llm_sample_by_hash",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_POLY_DUCK.format(s='text')} % 10 = 3
+    """,
+    note="Deterministic content-hash sampling (~10%): the downsampling pass that is "
+    "reproducible across runs and immune to row order — same hash family as the "
+    "split assignment, so samples and splits can be made disjoint or nested.",
+)
+def llm_sample_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.filter(F.expr(_POLY_SPARK.format(s="text")) % 10 == 3).select("doc_id", "lang")
