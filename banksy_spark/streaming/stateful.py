@@ -36,22 +36,64 @@ def _make_limiter(max_per_day: int):
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        # State = (current day, sends so far)
+        # State = (current day, sends so far). Vectorized per batch:
+        # consecutive same-day runs get a cumcount; only the first run
+        # can continue the carried-over day's quota (a day change —
+        # including out-of-order regressions, matching the reference's
+        # transition semantics — resets the counter).
         day, n = state.get if state.exists else (None, 0)
-        out_rows = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for r in pdf.itertuples(index=False):
-                r_day = str(r.ts.date())
-                if r_day != day:  # midnight rollover resets the quota
-                    day, n = r_day, 0
-                if n < max_per_day:
-                    n += 1
-                    out_rows.append((key[0], r.event_id, r_day, n))
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+            r_day = pdf["ts"].dt.strftime("%Y-%m-%d")
+            run = (r_day != r_day.shift()).cumsum()
+            nth = pdf.groupby(run).cumcount() + 1
+            if day is not None and r_day.iloc[0] == day:
+                nth = nth.where(run != run.iloc[0], nth + n)
+            day = r_day.iloc[-1]
+            n = int(min(nth[run == run.iloc[-1]].max(), max_per_day))
+            keep = nth <= max_per_day
+            yield pd.DataFrame(
+                {
+                    "user_id": key[0],
+                    "event_id": pdf.loc[keep, "event_id"],
+                    "day": r_day[keep],
+                    "nth_today": nth[keep].astype("int32"),
+                }
+            )
         state.update((day, n))
-        yield pd.DataFrame(out_rows, columns=["user_id", "event_id", "day", "nth_today"])
 
     return _limit_group
+
+
+_BATCH_OUT_SCHEMA = "event_id bigint, user_id bigint, day date, nth_today bigint"
+
+
+def rate_limit_batch(events: DataFrame, max_per_day: int = 3) -> DataFrame:
+    """Batch twin of :func:`rate_limit_stateful`: identical per-key
+    quota semantics (first ``max_per_day`` events per calendar day
+    pass, ordered by (ts, event_id)), replayed over a bounded frame via
+    ``applyInPandas`` so the DuckDB oracle can verify the quota logic
+    the state-store variant runs incrementally.
+
+    Fully vectorized per group — sort once, day = date(ts), cumcount
+    within day — no per-row Python. Scale: one shuffle on user_id, the
+    same state partitioning as the streaming form.
+    """
+
+    def limit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        pdf["day"] = pdf["ts"].dt.date
+        pdf["nth_today"] = pdf.groupby("day").cumcount() + 1
+        out = pdf[pdf["nth_today"] <= max_per_day]
+        return out[["event_id", "user_id", "day", "nth_today"]]
+
+    return (
+        events.select("event_id", "user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandas(limit, _BATCH_OUT_SCHEMA)
+    )
 
 
 def rate_limit_stateful(events: DataFrame, max_per_day: int = 3) -> DataFrame:

@@ -720,15 +720,38 @@ def llm_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _packed_docs(spark: SparkSession, sf_dir: str, bin_tokens: int = 512, n_shards: int = 4):
+def shard_count_expr() -> F.Column:
+    """Packing parallelism rule: n_shards = greatest(32, n_docs/10000).
+    Aggregate expression over the input — the shard count scales with
+    the corpus (one shard per ~10k docs) instead of being a constant
+    that caps window parallelism at cluster scale. Floor of 32 keeps
+    local runs busy on every core."""
+    return F.greatest(F.lit(32).cast("bigint"), F.floor(F.count("*") / 10000)).alias(
+        "n_shards"
+    )
+
+
+_NS_DUCK = "(SELECT GREATEST(32, COUNT(*) // 10000) AS n_shards FROM documents)"
+
+
+def _packed_docs(spark: SparkSession, sf_dir: str, bin_tokens: int = 512):
     """Shared packing derivation for llm_pack_sequences and
     llm_pack_contexts: per shard, greedy running-token-sum bins of
     ``bin_tokens`` (pack_id = floor(preceding-cumsum/bin)). One
-    definition keeps the two queries' notion of a bin in sync."""
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id", "text",
-        (F.col("doc_id") % n_shards).alias("shard"),
-        F.size(F.split("text", " ")).alias("n_tok"),
+    definition keeps the two queries' notion of a bin in sync.
+
+    The shard count is a lazy 1-row aggregate (shard_count_expr) cross-
+    joined in — it broadcasts, so the shard assignment stays a narrow
+    map stage and the whole plan remains one shuffle (the shard
+    window)."""
+    raw = T(spark, sf_dir, "documents")
+    ns = raw.agg(shard_count_expr())
+    d = (
+        raw.select(
+            "doc_id", "text", F.size(F.split("text", " ")).alias("n_tok")
+        )
+        .crossJoin(F.broadcast(ns))
+        .withColumn("shard", F.col("doc_id") % F.col("n_shards"))
     )
     w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -741,21 +764,23 @@ def _packed_docs(spark: SparkSession, sf_dir: str, bin_tokens: int = 512, n_shar
 
 @query(
     "llm_pack_sequences",
-    oracle="""
+    oracle=f"""
     SELECT doc_id, n_tok,
            CAST(FLOOR((cum - n_tok) / 512) AS BIGINT) AS pack_id
     FROM (
       SELECT doc_id, n_tok,
              SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-      FROM (SELECT doc_id, doc_id % 4 AS shard,
+      FROM (SELECT doc_id, doc_id % ns.n_shards AS shard,
                    len(string_split(text, ' ')) AS n_tok
-            FROM documents)
+            FROM documents, {_NS_DUCK} ns)
     )
     """,
     note="Sequence packing: greedy running-token-sum bins of 512 per shard "
-    "(pack_id = floor(preceding-cumsum/512)). The running sum partitions by shard, so "
-    "1000 executors pack 1000 shards independently — no global order dependency.",
+    "(pack_id = floor(preceding-cumsum/512)). The running sum partitions by shard and "
+    "the shard count scales with corpus size (greatest(32, n_docs/10000), a lazy "
+    "broadcast aggregate), so 1000 executors pack thousands of shards independently — "
+    "no global order dependency, no constant parallelism cap.",
 )
 def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _packed_docs(spark, sf_dir).select("doc_id", "n_tok", "pack_id")
@@ -910,6 +935,93 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_ann_recall",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, label, v, {_NORM_DUCK.format(v='v')} AS nrm FROM e),
+    bf AS (
+      SELECT qid, neighbor_id FROM (
+        SELECT q.qid, n.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 {_DOT_DUCK.format(a='q.qv', b='n.v')} / (q.qn * n.nrm) DESC, n.vec_id) AS rnk
+        FROM (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 8) q
+        JOIN n ON n.vec_id <> q.qid
+      ) WHERE rnk <= 3
+    ),
+    nb AS (
+      SELECT vec_id, v, nrm,
+             (CASE WHEN v[1] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN v[3] > 0 THEN 1 ELSE 0 END) AS bucket
+      FROM n
+    ),
+    lsh AS (
+      SELECT qid, neighbor_id FROM (
+        SELECT q.qid, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 {_DOT_DUCK.format(a='q.qv', b='c.v')} / (q.qn * c.nrm) DESC, c.vec_id) AS rnk
+        FROM (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket FROM nb WHERE vec_id < 8) q
+        JOIN nb c USING (bucket)
+        WHERE c.vec_id <> q.qid
+      ) WHERE rnk <= 3
+    ),
+    {_CENT_DUCK},
+    ivf AS (
+      SELECT qid, neighbor_id FROM (
+        SELECT q.vec_id AS qid, a.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 {_DOT_DUCK.format(a='q.v', b='a.v')} / (q.nrm * a.nrm) DESC, a.vec_id) AS rnk
+        FROM (SELECT * FROM assigned WHERE vec_id < 8) q
+        JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.vec_id
+      ) WHERE rnk <= 3
+    ),
+    truth AS (SELECT qid, COUNT(*) AS n_truth FROM bf GROUP BY qid),
+    hi AS (SELECT bf.qid, COUNT(*) AS h FROM bf JOIN ivf USING (qid, neighbor_id)
+           GROUP BY bf.qid),
+    hl AS (SELECT bf.qid, COUNT(*) AS h FROM bf JOIN lsh USING (qid, neighbor_id)
+           GROUP BY bf.qid)
+    SELECT t.qid, CAST(t.n_truth AS BIGINT) AS n_truth,
+           COALESCE(hi.h, 0) / CAST(t.n_truth AS DOUBLE) AS recall_ivf,
+           COALESCE(hl.h, 0) / CAST(t.n_truth AS DOUBLE) AS recall_lsh
+    FROM truth t
+    LEFT JOIN hi ON hi.qid = t.qid
+    LEFT JOIN hl ON hl.qid = t.qid
+    """,
+    note="ANN quality measurement: recall@3 of the IVF (nprobe=1) and LSH-bucketed "
+    "variants against the brute-force exact top-3 ground truth, per query id — the "
+    "number that tells you what the bucketing trades away. Composes the three ANN "
+    "queries (shared derivations, so the oracle re-verifies them in combination). "
+    "Scale: ground truth and approximate top-k are tiny per-query sets; the joins key "
+    "on (qid, neighbor_id) and the heavy lifting is the already-bucketed ANN scans.",
+)
+def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = (
+        llm_ann_bruteforce(spark, sf_dir)
+        .filter(F.col("rnk") <= 3)
+        .select("qid", "neighbor_id")
+    )
+    ivf = llm_ann_ivf(spark, sf_dir).select("qid", "neighbor_id")
+    lsh = llm_ann_lsh_bucketed(spark, sf_dir).select("qid", "neighbor_id")
+    truth = bf.groupBy("qid").agg(F.count("*").alias("n_truth"))
+    hi = bf.join(ivf, ["qid", "neighbor_id"]).groupBy("qid").agg(F.count("*").alias("h_ivf"))
+    hl = bf.join(lsh, ["qid", "neighbor_id"]).groupBy("qid").agg(F.count("*").alias("h_lsh"))
+    out = truth.join(hi, "qid", "left").join(hl, "qid", "left")
+    return out.select(
+        "qid",
+        F.col("n_truth").cast("bigint").alias("n_truth"),
+        (F.coalesce(F.col("h_ivf"), F.lit(0)) / F.col("n_truth").cast("double")).alias(
+            "recall_ivf"
+        ),
+        (F.coalesce(F.col("h_lsh"), F.lit(0)) / F.col("n_truth").cast("double")).alias(
+            "recall_lsh"
+        ),
+    )
+
+
+@query(
     "llm_distinct_sketch_kmv",
     oracle=f"""
     WITH hashes AS (
@@ -983,15 +1095,15 @@ def llm_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_pack_contexts",
-    oracle="""
+    oracle=f"""
     WITH packed AS (
       SELECT doc_id, text, shard, n_tok,
              CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
                         / 512) AS BIGINT) AS pack_id
-      FROM (SELECT doc_id, text, doc_id % 4 AS shard,
+      FROM (SELECT doc_id, text, doc_id % ns.n_shards AS shard,
                    len(string_split(text, ' ')) AS n_tok
-            FROM documents)
+            FROM documents, {_NS_DUCK} ns)
     )
     SELECT shard, pack_id,
            string_agg(text, chr(10) || '<|doc|>' || chr(10) ORDER BY doc_id) AS context,

@@ -71,6 +71,30 @@ def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_rate_limit_stateful",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS DATE) AS day, CAST(rn AS BIGINT) AS nth_today
+    FROM (
+      SELECT event_id, user_id, ts,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+    note="§2.9 stateful rate limit, custom-operator form: the applyInPandas quota "
+    "replay (banksy_spark.streaming.stateful.rate_limit_batch — the batch twin of the "
+    "applyInPandasWithState limiter) verified against the same window-form oracle as "
+    "stream_rate_limit. Proves the Arrow-batched per-key quota logic, not just the "
+    "window rewrite (arbitrage_scanner.py:434-461).",
+)
+def stream_rate_limit_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.streaming.stateful import rate_limit_batch
+
+    e = T(spark, sf_dir, "events")
+    return rate_limit_batch(e, max_per_day=3)
+
+
+@query(
     "stream_suppress_terminal",
     oracle="""
     SELECT event_id, user_id, event_type FROM events

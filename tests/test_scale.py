@@ -79,3 +79,18 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # correctness: pruned read equals the unpartitioned filter
     want = events.filter(F.to_date("ts") == "2024-01-03").count()
     assert pruned.count() == want > 0
+
+
+def test_packing_shards_scale_with_corpus(spark):
+    """The packing shard count is a function of corpus size
+    (greatest(32, n_docs/10000)) — parallelism grows with data instead
+    of sitting at a constant that caps window concurrency at scale."""
+    from banksy_spark.suite.llm import shard_count_expr
+
+    def shards(n_rows: int) -> int:
+        return spark.range(n_rows).agg(shard_count_expr()).collect()[0].n_shards
+
+    assert shards(2_000) == 32          # floor keeps local cores busy
+    assert shards(320_000) == 32        # at the knee
+    assert shards(640_000) == 64        # grows with the corpus
+    assert shards(1_280_000) == 128

@@ -150,3 +150,40 @@ def test_stream_stream_interval_join_equals_batch(spark, events_dir, tmp_path):
     batch = REGISTRY["stream_interval_join"].fn(spark, SF_SMOKE)
     want = {(r.purchase_id, r.click_id) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_stateful_limiter_equals_batch_twin(spark, tmp_path):
+    """The applyInPandasWithState limiter and its applyInPandas batch
+    twin (the oracle-checked suite form) agree on a single batch."""
+    import shutil
+
+    from banksy_spark.streaming.stateful import rate_limit_batch, rate_limit_stateful
+
+    src = tmp_path / "twin_in"
+    src.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "a.parquet")
+
+    stream = read_events_stream(spark, str(src)).filter(F.col("event_type") == "error")
+    q = (
+        rate_limit_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_twin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_twin"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish in time"
+    got = {
+        (r.event_id, r.day, r.nth_today)
+        for r in spark.sql("SELECT * FROM stateful_twin").collect()
+    }
+
+    from banksy_spark.suite.registry import T
+
+    batch = T(spark, SF_SMOKE, "events").filter(F.col("event_type") == "error")
+    want = {
+        (r.event_id, str(r.day), r.nth_today)
+        for r in rate_limit_batch(batch).collect()
+    }
+    assert got == want and len(got) > 0
