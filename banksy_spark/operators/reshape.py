@@ -92,14 +92,20 @@ def drop_groups_with_dup(
     df: DataFrame,
     dup_keys: Sequence[ColumnOrName],
     order_by: Sequence[ColumnOrName],
-    group_col: ColumnOrName,
+    group_col: str,
 ) -> DataFrame:
     """Group-level anti-join parity with bovada_pull.py:156-162: when a
     key (team) appears a second time, drop the *entire* second group
     (game) — repeat row and its partner rows alike. Rank occurrences per
-    key, collect the group ids of rank≥2 rows, anti-join them away."""
+    key, collect the group ids of rank≥2 rows, anti-join them away.
+
+    ``group_col`` must be a column *name* (str): the join-back needs the
+    output column name, and deriving one from a Column expression relies
+    on private APIs that don't exist under Spark Connect."""
+    if not isinstance(group_col, str):
+        raise TypeError("group_col must be a column name (str)")
+    group_name = group_col
     w = Window.partitionBy(*dup_keys).orderBy(*order_by)
-    group_name = group_col if isinstance(group_col, str) else group_col._jc.toString()  # noqa: SLF001
     offending = (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") >= 2)

@@ -73,7 +73,12 @@ def parse_bovada(blob: DataFrame, min_payload_len: int = 250) -> DataFrame:
     teams_blob = F.when(marker > 0, F.substring(F.col("body"), 1, marker - 1)).otherwise(
         F.col("body")
     )
-    rest = F.when(marker > 0, F.substr(F.col("body"), marker + F.lit(3))).otherwise(F.col("body"))
+    # the reference slices conditionally then applies .str[3:]
+    # UNconditionally (bovada_pull.py:65) — so a no-marker body still
+    # loses its first 3 chars: substr(body, 4) in the fallback arm
+    rest = F.when(marker > 0, F.substr(F.col("body"), marker + F.lit(3))).otherwise(
+        F.substr(F.col("body"), F.lit(4))
+    )
     seg = (
         seg.withColumn("team_1", camel_boundary_team_1(teams_blob))
         .withColumn("team_2", camel_boundary_team_2(teams_blob))

@@ -30,7 +30,16 @@ from banksy_spark.functions.text import extract_second_word, first_token, last_t
 from banksy_spark.operators.reshape import melt, pair_id
 
 
-def normalize_odds(raw: DataFrame, bookies: list[str]) -> DataFrame:
+def _ident(name: str) -> str:
+    """Backtick-quote a column name for safe use inside F.expr — bookie
+    names with spaces, dashes, or reserved words must parse as a single
+    identifier, not as SQL."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def normalize_odds(
+    raw: DataFrame, bookies: list[str], probe_bookie: str | None = None
+) -> DataFrame:
     """Wide scraped odds → canonical long odds table (FIXTURES.md A6):
     (Sport, game_id, Team, bet_type, info ∈ {Line, Payout},
     <bookie> × N).
@@ -39,6 +48,12 @@ def normalize_odds(raw: DataFrame, bookies: list[str]) -> DataFrame:
     team cleanup (:76-87), bet-type classify (:90-99), adjacent-pair
     game ids (:103-119), Line/Payout row expansion (:122-133), odds
     token fixes 'EVEN'→'+100' / 'o'→'+' / 'u'→'-' (:172-181).
+
+    ``probe_bookie`` selects which bookie column the bet-type classifier
+    inspects; default is ``bookies[0]``. The reference hard-wires the
+    Bet365 column (arbitrage_scanner.py:90-99) regardless of column
+    order — pass ``probe_bookie="Bet365"`` for exact reference parity
+    when the first bookie differs.
     """
     # 1. stray header rows: the scrape repeats the header as data
     df = raw.filter((F.col("Team") != "Team") & (F.col("Team") != "") & F.col("Team").isNotNull())
@@ -55,9 +70,9 @@ def normalize_odds(raw: DataFrame, bookies: list[str]) -> DataFrame:
     w = Window.partitionBy("Sport").orderBy("_seq")
     df = df.withColumn("game_id", pair_id(F.row_number().over(w)))
 
-    # 4. classify bet type from the first bookie's cleaned value (:90-99;
+    # 4. classify bet type from the probe bookie's cleaned value (:90-99;
     #    the rstrip at :86-87 runs before the classifier)
-    probe = F.expr(f"trim(TRAILING ' +' FROM {bookies[0]})")
+    probe = F.expr(f"trim(TRAILING ' +' FROM {_ident(probe_bookie or bookies[0])})")
     bet_type = (
         F.when(probe.rlike("[ou]"), "Over/Under")
         .when(F.length(probe).isin(4, 5), "ML")
@@ -81,7 +96,7 @@ def normalize_odds(raw: DataFrame, bookies: list[str]) -> DataFrame:
     # 6. per-bookie value carving + token fixes (:86-87 rstrip ' +',
     #    :146-181 token fixes, :254-255 N/A handling)
     def carve(b: str):
-        raw_v = F.expr(f"trim(TRAILING ' +' FROM {b})")
+        raw_v = F.expr(f"trim(TRAILING ' +' FROM {_ident(b)})")
         line = first_token(raw_v)
         payout = last_token(raw_v)
         v = F.when(F.col("info") == "Line", line).otherwise(payout)

@@ -177,8 +177,11 @@ _ARB_CTES = f"""
         AND NOT (max_payout = 100 AND arb_sum = 200)
     ),
     staked AS (
-      SELECT *, ROUND(CASE WHEN seq = 1 THEN 100.0
-                           ELSE 100.0 * d_first / d_own END, 2) AS stake
+      -- round_even = banker's rounding, matching Spark's F.bround (the
+      -- pandas .round() the reference uses); plain ROUND is
+      -- half-away-from-zero and diverges on exact half-cents
+      SELECT *, round_even(CASE WHEN seq = 1 THEN 100.0
+                                ELSE 100.0 * d_first / d_own END, 2) AS stake
       FROM dec
     ),
     opps AS (
@@ -187,7 +190,7 @@ _ARB_CTES = f"""
                   THEN '+' || CAST(CAST(max_payout AS INT) AS VARCHAR)
                   ELSE CAST(CAST(max_payout AS INT) AS VARCHAR) END AS rendered_odds,
              stake,
-             CAST(ROUND((100.0 * d_first
+             CAST(round_even((100.0 * d_first
                          - SUM(stake) OVER (PARTITION BY sport, game_id, bet_type))
                         / SUM(stake) OVER (PARTITION BY sport, game_id, bet_type)
                         * 100.0, 0) AS INT) AS profit_margin
@@ -327,7 +330,9 @@ def _bovada_ctes() -> str:
                            AND (i = 2 OR chars[i - 1] <> ' ')])[1], 0) AS idx
       FROM (SELECT game_id, date,
                    CASE WHEN mpos > 0 THEN substr(body, 1, mpos - 1) ELSE body END AS tb,
-                   CASE WHEN mpos > 0 THEN substr(body, mpos + 3) ELSE body END AS rest,
+                   -- reference applies .str[3:] unconditionally
+                   -- (bovada_pull.py:65): no-marker bodies also lose 3 chars
+                   CASE WHEN mpos > 0 THEN substr(body, mpos + 3) ELSE substr(body, 4) END AS rest,
                    string_split_regex(
                      CASE WHEN mpos > 0 THEN substr(body, 1, mpos - 1) ELSE body END,
                      '') AS chars
