@@ -76,3 +76,57 @@ def test_csv_dim_and_parquet_sinks(spark, tmp_path):
     write_overwrite(dim, str(out))
     write_append(dim, str(out))
     assert spark.read.parquet(str(out)).count() == 2  # K1 overwrite + K2 append
+
+
+def _scripted_fetch(payloads):
+    """A fresh scripted fetch per run — last payload repeats forever."""
+    seq = list(payloads)
+    calls = []
+
+    def fetch():
+        p = seq[min(len(calls), len(seq) - 1)]
+        calls.append(p)
+        return p
+
+    return fetch, calls
+
+
+def test_scrape_stream_equals_batch_poll(spark, tmp_path):
+    """Stream twin of poll_until_valid: same scripted fetch sequence →
+    the sink holds exactly the payload the batch poll returns, with the
+    same attempt count."""
+    from banksy_spark.sources import blob_to_df, scrape_until_valid
+
+    script = ["", "short", "x" * 300]
+
+    fetch_b, calls_b = _scripted_fetch(script)
+    clock = FakeClock()
+    batch_payload = poll_until_valid(fetch_b, sleep=clock.sleep, clock=clock)
+
+    fetch_s, calls_s = _scripted_fetch(script)
+    got = scrape_until_valid(
+        spark, fetch_s,
+        str(tmp_path / "payloads"), str(tmp_path / "ckpt"),
+        interval_s=0.05,
+    )
+    rows = got.collect()
+    assert [r.payload for r in rows] == [batch_payload]
+    assert rows[0].attempt == len(calls_b) == 3
+    assert calls_s == calls_b
+
+
+def test_scrape_stream_gives_up_like_batch(spark, tmp_path):
+    """Give-up parity: an always-invalid fetch times out with ZERO rows
+    in the sink — the same empty frame blob_to_df(None) seeds."""
+    from banksy_spark.sources import blob_to_df, scrape_until_valid
+
+    fetch, calls = _scripted_fetch(["nope"])
+    got = scrape_until_valid(
+        spark, fetch,
+        str(tmp_path / "payloads"), str(tmp_path / "ckpt"),
+        interval_s=0.05, timeout_s=0.3,
+    )
+    assert got.count() == 0
+    assert got.columns == ["payload", "attempt"]
+    assert len(calls) >= 1
+    assert blob_to_df(spark, None).count() == 0  # the batch give-up twin
