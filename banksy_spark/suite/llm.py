@@ -647,27 +647,40 @@ def llm_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Multimodal column plumbing -------------------------------------------
 
 
+def binary_payload() -> F.Column:
+    """Genuinely non-UTF8 synthetic media payload: the text's sha256
+    digest bytes repeated 1–5× (variable length 32–160 bytes,
+    deterministic per doc). Unlike ``text.cast("binary")`` — which is
+    always valid UTF-8 — roughly half these raw digest bytes form
+    invalid UTF-8 sequences, so the Arrow binary transfer path into
+    mapInPandas is exercised on real binary, not re-encoded text."""
+    reps = (F.length("text") % 5 + 1).cast("int")
+    return F.unhex(F.repeat(F.sha2(F.col("text"), 256), reps))
+
+
+_PAYLOAD_DUCK = "unhex(repeat(sha256(text), (length(text) % 5) + 1))"
+
+
 @query(
     "llm_multimodal_stub",
-    oracle="""
-    SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-           CAST(octet_length(CAST(text AS BLOB)) % 640 AS BIGINT) AS width,
-           CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 AS BIGINT) AS height,
-           CAST(octet_length(CAST(text AS BLOB)) % 16 AS BIGINT) AS n_frames,
+    oracle=f"""
+    SELECT doc_id, CAST(octet_length({_PAYLOAD_DUCK}) AS BIGINT) AS n_bytes,
+           CAST(octet_length({_PAYLOAD_DUCK}) % 640 AS BIGINT) AS width,
+           CAST((octet_length({_PAYLOAD_DUCK}) * 7) % 480 AS BIGINT) AS height,
+           CAST(octet_length({_PAYLOAD_DUCK}) % 16 AS BIGINT) AS n_frames,
            CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind
     FROM documents
     """,
     note="Multimodal columns: opaque binary payload + typed metadata decoded via "
     "mapInPandas (Arrow batches). The real codec is stubbed (no image/audio libs in "
-    "container) with deterministic fake dimensions; the Spark-side plumbing — binary "
-    "column, batch iteration, schema — is real and oracle-checked.",
+    "container) with deterministic fake dimensions; the Spark-side plumbing — a true "
+    "non-UTF8 variable-length binary column, batch iteration, schema — is real and "
+    "oracle-checked.",
 )
 def llm_multimodal_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from banksy_spark.operators.udfs import fake_decode_media
 
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
-    )
+    d = T(spark, sf_dir, "documents").select("doc_id", binary_payload().alias("payload"))
     return fake_decode_media(d)
 
 
@@ -1163,7 +1176,7 @@ def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_multimodal_pipeline",
-    oracle="""
+    oracle=f"""
     SELECT doc_id, n_bytes, width, height, n_frames, kind,
            (w1 * 128) // long_side AS out_w,
            (h1 * 128) // long_side AS out_h,
@@ -1178,10 +1191,10 @@ def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN width < 1 THEN 1 ELSE width END AS w1,
                CASE WHEN height < 1 THEN 1 ELSE height END AS h1
         FROM (
-          SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-                 CAST(octet_length(CAST(text AS BLOB)) % 640 AS BIGINT) AS width,
-                 CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 AS BIGINT) AS height,
-                 CAST(octet_length(CAST(text AS BLOB)) % 16 AS BIGINT) AS n_frames,
+          SELECT doc_id, CAST(octet_length({_PAYLOAD_DUCK}) AS BIGINT) AS n_bytes,
+                 CAST(octet_length({_PAYLOAD_DUCK}) % 640 AS BIGINT) AS width,
+                 CAST((octet_length({_PAYLOAD_DUCK}) * 7) % 480 AS BIGINT) AS height,
+                 CAST(octet_length({_PAYLOAD_DUCK}) % 16 AS BIGINT) AS n_frames,
                  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind
           FROM documents
         )
@@ -1197,9 +1210,7 @@ def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from banksy_spark.operators.udfs import fake_decode_media, resize_and_sample
 
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
-    )
+    d = T(spark, sf_dir, "documents").select("doc_id", binary_payload().alias("payload"))
     return resize_and_sample(fake_decode_media(d))
 
 

@@ -99,3 +99,54 @@ def test_camel_split_pandas_udf_twin_agrees(spark):
     for r in rows:
         assert r.r1 == r.u1
         assert r.r2 == r.u2
+
+
+def test_multimodal_binary_path_on_real_nonutf8_parquet(spark, tmp_path):
+    """A parquet file with a TRUE binary column — invalid-UTF8 byte
+    sequences included — flows through both mapInPandas stages intact:
+    the Arrow transfer must hand Python raw bytes, never strings."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from banksy_spark.operators.udfs import fake_decode_media, resize_and_sample
+
+    payloads = [
+        b"\xff\xfe\x00\x01" * 20,          # UTF-16 BOM + NULs: invalid UTF-8
+        b"\x80\x81\x82",                   # bare continuation bytes
+        bytes(range(256)),                 # every byte value once
+    ]
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "payload": pa.array(payloads, pa.binary())})
+    path = tmp_path / "media.parquet"
+    pq.write_table(tbl, path)
+
+    df = spark.read.parquet(str(path))
+    assert dict(df.dtypes)["payload"] == "binary"
+    out = {r.doc_id: r for r in resize_and_sample(fake_decode_media(df)).collect()}
+    assert out[0].n_bytes == 80 and out[0].kind == "image"
+    assert out[1].n_bytes == 3 and out[1].kind == "audio"
+    assert out[2].n_bytes == 256
+    # geometry on the every-byte row: w=256, h=(256*7)%480=352 → long
+    # side h scales to 128, w to 256*128//352 = 93
+    assert (out[2].out_w, out[2].out_h) == (93, 128)
+
+
+def test_binary_payload_is_genuinely_non_utf8(spark):
+    """The suite's synthetic payload (sha256-digest bytes) must not be
+    decodable as UTF-8 for at least some docs — otherwise the binary
+    column is text in disguise and the test proves nothing."""
+    from banksy_spark.suite.llm import binary_payload
+
+    df = spark.createDataFrame(
+        [(i, f"document number {i} body") for i in range(20)], "doc_id long, text string"
+    ).select("doc_id", binary_payload().alias("payload"))
+    rows = df.collect()
+    lens = {len(r.payload) for r in rows}
+    assert lens <= {32, 64, 96, 128, 160} and len(lens) > 1  # variable length
+    bad = 0
+    for r in rows:
+        try:
+            r.payload.decode("utf-8")
+        except UnicodeDecodeError:
+            bad += 1
+    assert bad > 0
