@@ -42,6 +42,8 @@ HEADLINE = [
     "a_exact_median",         # rank-form exact grouped median
     "j_anti_subquery",        # anti-join vs derived key set
     "a_salted_sum",           # two-stage salted aggregation
+    "llm_ann_recall",         # recall@3 of IVF+LSH vs brute-force truth
+    "stream_rate_limit_stateful",  # applyInPandas per-key quota replay
 ]
 
 
