@@ -871,32 +871,13 @@ _CENT_DUCK = """
 """
 
 
-@query(
-    "llm_ann_ivf",
-    oracle=f"""
-    WITH e AS (
-      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-    ),
-    n AS (SELECT vec_id, label, v, {_NORM_DUCK.format(v='v')} AS nrm FROM e),
-    {_CENT_DUCK}
-    SELECT q.vec_id AS qid, a.vec_id AS neighbor_id, q.cell,
-           CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
-             {_DOT_DUCK.format(a='q.v', b='a.v')} / (q.nrm * a.nrm) DESC, a.vec_id)
-             AS BIGINT) AS rnk,
-           {_DOT_DUCK.format(a='q.v', b='a.v')} / (q.nrm * a.nrm) AS cosine
-    FROM (SELECT * FROM assigned WHERE vec_id < 8) q
-    JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.vec_id
-    QUALIFY rnk <= 3
-    """,
-    note="Similarity search, IVF variant: a coarse quantizer is trained in-engine "
-    "(per-label centroids via exact DECIMAL element sums, so both engines compute "
-    "bit-identical centroids), every vector is assigned to its nearest centroid cell "
-    "(nprobe=1), and queries rerank exactly within their own cell. At 100 TB the "
-    "centroid table broadcasts and the cell id is the shuffle key — the classic "
-    "IVF-Flat layout.",
-)
-def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared IVF derivation: ``(n, centn, assigned)`` — normalized
+    vectors, per-label centroids with norms, and every vector assigned
+    to its nearest centroid cell. Used by llm_ann_ivf (nprobe=1) and
+    the multiprobe variant in llm_extra."""
     e = T(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
     )
@@ -931,6 +912,36 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "v", "nrm", "cell")
         .persist()
     )
+    return n, centn, assigned
+
+
+@query(
+    "llm_ann_ivf",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, label, v, {_NORM_DUCK.format(v='v')} AS nrm FROM e),
+    {_CENT_DUCK}
+    SELECT q.vec_id AS qid, a.vec_id AS neighbor_id, q.cell,
+           CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             {_DOT_DUCK.format(a='q.v', b='a.v')} / (q.nrm * a.nrm) DESC, a.vec_id)
+             AS BIGINT) AS rnk,
+           {_DOT_DUCK.format(a='q.v', b='a.v')} / (q.nrm * a.nrm) AS cosine
+    FROM (SELECT * FROM assigned WHERE vec_id < 8) q
+    JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.vec_id
+    QUALIFY rnk <= 3
+    """,
+    note="Similarity search, IVF variant: a coarse quantizer is trained in-engine "
+    "(per-label centroids via exact DECIMAL element sums, so both engines compute "
+    "bit-identical centroids), every vector is assigned to its nearest centroid cell "
+    "(nprobe=1), and queries rerank exactly within their own cell. At 100 TB the "
+    "centroid table broadcasts and the cell id is the shuffle key — the classic "
+    "IVF-Flat layout.",
+)
+def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, assigned = ivf_parts(spark, sf_dir)
 
     q = assigned.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"),

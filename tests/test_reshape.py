@@ -72,3 +72,26 @@ def test_union_all(spark):
     b = spark.createDataFrame([("y", 2)], "v string, k int")  # different column order
     out = union_all([a, b])
     assert sorted((r.k, r.v) for r in out.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation labels a 7-node chain (diameter 6 — worse
+    than any LSH near-clique) and a separate triangle correctly, and
+    leaves the two components distinct."""
+    from banksy_spark.operators.graph import connected_components
+
+    edges = [(i, i + 1) for i in range(10, 16)]          # chain 10..16
+    edges += [(30, 31), (31, 32), (30, 32)]              # triangle
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.node: r.lab for r in connected_components(df).collect()}
+    assert got == {**{i: 10 for i in range(10, 17)}, **{i: 30 for i in (30, 31, 32)}}
+
+
+def test_connected_components_insufficient_rounds_detectable(spark):
+    """With rounds < eccentricity the far end of a chain keeps a stale
+    label — the failure mode the recursive-CTE oracle would catch."""
+    from banksy_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(5)], "src bigint, dst bigint")
+    got = {r.node: r.lab for r in connected_components(df, rounds=2).collect()}
+    assert got[5] != 0 and got[2] == 0
