@@ -1,0 +1,317 @@
+"""Corpus-level training-data operators, round-3 batch 2: span-level
+exact dedup (C4-style), eval-set n-gram decontamination, BM25 retrieval,
+and a decorrelated per-group-average filter (TPC-H Q17 shape).
+
+Registered after the round-2/3 priority families (suite.__init__ import
+order) so the driver's capped verification window keeps its recorded
+green rows stable; these are verified by the same oracle harness via
+tools/check.py.
+
+Determinism rules (registry docstring): integer outputs wherever
+possible; double sums routed through DECIMAL so partial-agg order is
+irrelevant; DECIMAL->DOUBLE conversions routed through VARCHAR (the
+correctly-rounded parse both engines share).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from banksy_spark.suite.llm import _POLY_DUCK, _POLY_SPARK
+from banksy_spark.suite.registry import T, query
+
+# --- Span-level exact dedup (C4-style) -------------------------------------
+
+_SPAN_W = 8  # tokens per span
+
+
+@query(
+    "llm_dedup_spans",
+    oracle=f"""
+    WITH sp AS (
+      SELECT doc_id, unnest(spans) AS span_text,
+             unnest(generate_series(0, len(spans) - 1)) AS span_pos
+      FROM (
+        SELECT doc_id,
+               list_transform(
+                 generate_series(0, CAST(ceil(len(w) / {_SPAN_W}.0) AS BIGINT) - 1),
+                 i -> array_to_string(w[i*{_SPAN_W}+1:i*{_SPAN_W}+{_SPAN_W}], ' ')) AS spans
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      )
+    ),
+    k AS (
+      SELECT doc_id, span_pos, span_text,
+             row_number() OVER (PARTITION BY span_text ORDER BY doc_id, span_pos) = 1 AS kept
+      FROM sp
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(span_text, ' ' ORDER BY span_pos) FILTER (WHERE kept), '')
+             AS clean_text,
+           CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS spans_kept,
+           CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT) AS spans_dropped
+    FROM k GROUP BY doc_id
+    """,
+    note="C4-style span-level exact dedup: chunk each document into fixed "
+    f"{_SPAN_W}-token spans, keep only the globally-first occurrence of each "
+    "distinct span (ordered by doc_id, position), reassemble the surviving spans "
+    "in order. Scale: shuffle 1 keys on the span text (the dedup window — "
+    "cardinality ~corpus tokens/8, uniformly spread), shuffle 2 keys on doc_id "
+    "(reassembly). No collect, no quadratic step; this is the shape C4/CCNet "
+    "line-dedup runs at web scale.",
+)
+def llm_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("w"))
+    spans = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(w) / {_SPAN_W}.0) as int) - 1),"
+                f" i -> concat_ws(' ', slice(w, i*{_SPAN_W}+1, {_SPAN_W})))"
+            )
+        ).alias("span_pos", "span_text"),
+    )
+    first = Window.partitionBy("span_text").orderBy("doc_id", "span_pos")
+    flagged = spans.withColumn("kept", F.row_number().over(first) == 1)
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(CASE WHEN kept THEN"
+                " struct(span_pos, span_text) END)), x -> x.span_text)"
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(F.col("kept").cast("bigint")).alias("spans_kept"),
+        F.sum((~F.col("kept")).cast("bigint")).alias("spans_dropped"),
+    )
+
+
+# --- Eval-set n-gram decontamination ---------------------------------------
+
+_NGRAM_N = 13
+
+
+@query(
+    "llm_decontam_overlap",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, {_POLY_DUCK.format(s='text')} % 100 AS bucket,
+             list_distinct(CASE WHEN len(w) >= {_NGRAM_N}
+               THEN list_transform(generate_series(1, len(w) - {_NGRAM_N - 1}),
+                      i -> array_to_string(w[i:i+{_NGRAM_N - 1}], ' '))
+               ELSE CAST([] AS VARCHAR[]) END) AS grams
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+    ),
+    ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE bucket >= 95),
+    tr AS (SELECT doc_id, grams FROM g WHERE bucket < 90),
+    m AS (
+      SELECT t.doc_id, count(*) AS n_overlap
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM tr) t
+      JOIN ev USING (gram) GROUP BY t.doc_id
+    )
+    SELECT tr.doc_id, CAST(len(tr.grams) AS BIGINT) AS n_grams,
+           CAST(COALESCE(m.n_overlap, 0) AS BIGINT) AS n_overlap,
+           COALESCE(m.n_overlap, 0) > 0 AS contaminated
+    FROM tr LEFT JOIN m ON tr.doc_id = m.doc_id
+    """,
+    note=f"GPT-3-style decontamination: flag training documents sharing any "
+    f"{_NGRAM_N}-gram with the held-out split (the same content-hash split as "
+    "llm_split_assign, so the eval set is deterministic). Scale: the eval "
+    "side is the small one — its distinct n-gram set broadcasts; the train "
+    "side streams through a map-side hash join, no shuffle of the corpus. "
+    "Per-doc distinct grams via array_distinct before the explode keeps the "
+    "join input minimal.",
+)
+def llm_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.expr(_POLY_SPARK.format(s="text")) % 100).alias("bucket"),
+        F.split("text", " ").alias("w"),
+    )
+    g = d.select(
+        "doc_id",
+        "bucket",
+        F.expr(
+            f"array_distinct(CASE WHEN size(w) >= {_NGRAM_N} THEN"
+            f" transform(sequence(1, size(w) - {_NGRAM_N - 1}),"
+            f" i -> concat_ws(' ', slice(w, i, {_NGRAM_N})))"
+            " ELSE array() END)"
+        ).alias("grams"),
+    )
+    ev = (
+        g.filter(F.col("bucket") >= 95)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    tr = g.filter(F.col("bucket") < 90).select("doc_id", "grams")
+    matched = (
+        tr.select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap_m"))
+    )
+    return tr.join(matched, "doc_id", "left").select(
+        "doc_id",
+        F.size("grams").cast("bigint").alias("n_grams"),
+        F.coalesce("n_overlap_m", F.lit(0)).cast("bigint").alias("n_overlap"),
+        (F.coalesce("n_overlap_m", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+# --- BM25 retrieval --------------------------------------------------------
+
+_BM25_QUERIES = [
+    ("q1", "customer"),
+    ("q1", "query"),
+    ("q2", "join"),
+    ("q2", "filter"),
+    ("q2", "agg"),
+    ("q3", "stream"),
+    ("q3", "batch"),
+]
+_K1, _B, _TOPK = 1.2, 0.75, 10
+
+_BM25_Q_DUCK = " UNION ALL ".join(
+    f"SELECT '{qid}' AS qid, '{t}' AS term" for qid, t in _BM25_QUERIES
+)
+
+
+@query(
+    "llm_bm25_topk",
+    oracle=f"""
+    WITH q(qid, term) AS ({_BM25_Q_DUCK}),
+    docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             CAST(CAST(SUM(CAST(len(w) AS DECIMAL(18,0))) AS VARCHAR) AS DOUBLE)
+               / count(*) AS avgdl
+      FROM docs
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+      FROM (SELECT doc_id, unnest(w) AS term, len(w) AS dl FROM docs)
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (
+      SELECT q.qid, q.term, tf.doc_id, tf.tf, tf.dl,
+             count(tf.doc_id) OVER (PARTITION BY q.qid, q.term) AS df
+      FROM q JOIN tf USING (term)
+    ),
+    scored AS (
+      SELECT qid, doc_id,
+             CAST(CAST(SUM(CAST(
+               ln((s.n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * (tf * ({_K1} + 1.0))
+                 / (tf + {_K1} * (1.0 - {_B} + {_B} * dl / s.avgdl))
+               AS DECIMAL(27,12))) AS VARCHAR) AS DOUBLE) AS score
+      FROM dfreq CROSS JOIN stats s
+      GROUP BY qid, doc_id
+    )
+    SELECT qid, doc_id, score, rank FROM (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
+               AS rank
+      FROM scored
+    ) WHERE rank <= {_TOPK}
+    """,
+    note="BM25 top-k retrieval (k1=1.2, b=0.75) for a literal query set over "
+    "the corpus: tf/df/dl from one explode+agg, idf the Robertson-Sparck-Jones "
+    "ln form, per-term scores DECIMAL-summed per (query, doc) so partial-agg "
+    "order is irrelevant, deterministic doc_id tie-break in the top-k window. "
+    "Scale: one term-keyed shuffle for tf (map-side combine), query list "
+    "broadcast, corpus stats a 1-row broadcast cross join; top-k is a "
+    "per-query window over only the docs containing a query term.",
+)
+def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.expr(
+                "CAST(CAST(SUM(CAST(size(w) AS DECIMAL(18,0))) AS STRING) AS DOUBLE)"
+            )
+            / F.count("*")
+        ).alias("avgdl"),
+    )
+    tf = (
+        d.select("doc_id", F.size("w").alias("dl"), F.explode("w").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.any_value("dl").alias("dl"))
+    )
+    q = spark.createDataFrame(_BM25_QUERIES, "qid string, term string")
+    joined = F.broadcast(q).join(tf, "term").withColumn(
+        "df", F.count("doc_id").over(Window.partitionBy("qid", "term"))
+    )
+    per_term = joined.crossJoin(F.broadcast(stats)).withColumn(
+        "s",
+        F.expr(
+            f"CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0D)"
+            f" * (tf * ({_K1} + 1.0D))"
+            f" / (tf + {_K1} * (1.0D - {_B} + {_B} * dl / avgdl))"
+            " AS DECIMAL(27,12))"
+        ),
+    )
+    scored = per_term.groupBy("qid", "doc_id").agg(
+        F.expr("CAST(CAST(SUM(s) AS STRING) AS DOUBLE)").alias("score")
+    )
+    topk = Window.partitionBy("qid").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(topk))
+        .filter(F.col("rank") <= _TOPK)
+        .select("qid", "doc_id", "score", "rank")
+    )
+
+
+# --- Decorrelated per-group-average filter (TPC-H Q17 shape) ---------------
+
+
+@query(
+    "a_decorrelated_avg",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+             AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      AND l.l_quantity < (
+        SELECT 0.2 * (CAST(CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                 AS VARCHAR) AS DOUBLE) / COUNT(*))
+        FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey)
+    """,
+    note="TPC-H Q17 shape: small-order revenue for selected brands, filtering "
+    "each lineitem against 20% of its part's average quantity. The oracle is "
+    "the classic correlated scalar subquery; the Spark plan is hand-"
+    "decorrelated — the per-part average is a window over l_partkey, so the "
+    "lineitem table is scanned ONCE and never self-joined. Parity: the "
+    "average is DECIMAL-summed then VARCHAR-routed to DOUBLE; the 0.2* "
+    "threshold and the < comparison are then identical IEEE ops in both "
+    "engines. Scale: one shuffle (window on l_partkey), part dim broadcast "
+    "after brand pushdown.",
+)
+def a_decorrelated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    per_part = Window.partitionBy("l_partkey")
+    with_avg = l.withColumn(
+        "part_avg_qty",
+        F.expr(
+            "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))"
+            " OVER (PARTITION BY l_partkey) AS STRING) AS DOUBLE)"
+        )
+        / F.count("*").over(per_part),
+    )
+    return (
+        with_avg.join(F.broadcast(p), with_avg.l_partkey == p.p_partkey)
+        .filter(F.col("l_quantity") < 0.2 * F.col("part_avg_qty"))
+        .agg(
+            F.expr(
+                "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))"
+                " AS STRING) AS DOUBLE) / 7.0D"
+            ).alias("avg_yearly")
+        )
+    )

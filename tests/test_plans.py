@@ -68,3 +68,27 @@ def test_ann_broadcasts_query_set(spark):
     assert "Broadcast" in plan
     plan2 = _plan(spark, "llm_ann_lsh_bucketed")
     assert "Broadcast" in plan2
+
+
+def test_decorrelated_avg_scans_lineitem_once(spark):
+    # the Q17 shape must decorrelate to a window, never a lineitem
+    # self-join: one lineitem FileScan, a Window, and a broadcast part dim
+    plan = _plan(spark, "a_decorrelated_avg")
+    assert len(re.findall(r"FileScan parquet[^\n]*lineitem", plan)) == 1
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_decontam_broadcasts_eval_grams(spark):
+    # the eval-side n-gram set is the small side: it must broadcast so
+    # the train corpus streams map-side through the contamination join
+    plan = _plan(spark, "llm_decontam_overlap")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_span_dedup_two_exchanges(spark):
+    # span dedup = one shuffle on span_text (the dedup window) + one on
+    # doc_id (reassembly); anything more means a redundant exchange
+    plan = _plan(spark, "llm_dedup_spans")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
