@@ -315,3 +315,167 @@ def a_decorrelated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_yearly")
         )
     )
+
+
+# --- Product-quantization ANN (ADC) ----------------------------------------
+
+_PQ_M = 8  # subspaces (64-dim vectors -> 8 dims each)
+_PQ_K = 4  # codes per subspace codebook
+_PQ_TOPK = 3
+
+# L2^2 between two equal-length lists, left-fold in index order (same
+# fold shape both engines; Spark's extra 0D init is IEEE-exact: 0 + x = x).
+_L2_SPARK = "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+_L2_DUCK = (
+    "list_reduce([({a}[i] - {b}[i]) * ({a}[i] - {b}[i])"
+    " for i in generate_series(1, len({a}))], (x, y) -> x + y)"
+)
+
+
+@query(
+    "llm_ann_pq",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cb_elems AS (
+      -- mean = exact DECIMAL sum, VARCHAR-routed to DOUBLE, then IEEE
+      -- double division — a decimal division here is NOT cross-engine
+      -- stable (quotient scale/rounding differs)
+      SELECT vec_id % {_PQ_K} AS grp, CAST((i - 1) // 8 AS BIGINT) AS s,
+             i AS pos,
+             CAST(CAST(SUM(CAST(v[i] AS DECIMAL(27,18))) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) AS c
+      FROM e, unnest(generate_series(1, 64)) AS t(i)
+      GROUP BY grp, s, i
+    ),
+    cb AS (
+      SELECT grp, s, list(c ORDER BY pos) AS subcent
+      FROM cb_elems GROUP BY grp, s
+    ),
+    subvecs AS (
+      SELECT vec_id, s, v[s*8+1:s*8+8] AS sv
+      FROM e, unnest(generate_series(0, {_PQ_M} - 1)) AS t(s)
+    ),
+    codes AS (
+      SELECT vec_id, s, grp AS code FROM (
+        SELECT sv.vec_id, sv.s, cb.grp,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.s
+                 ORDER BY {_L2_DUCK.format(a='sv.sv', b='cb.subcent')}, cb.grp) AS rk
+        FROM subvecs sv JOIN cb ON cb.s = sv.s
+      ) WHERE rk = 1
+    ),
+    dtab AS (
+      -- double->decimal routed through VARCHAR: DuckDB's direct cast
+      -- rounds the exact binary expansion while Spark's goes through the
+      -- shortest-repr string (BigDecimal.valueOf); the string hop makes
+      -- both engines parse the identical shortest repr (1-ulp parity,
+      -- mirror of the registry's decimal->double rule)
+      SELECT q.vec_id AS qid, cb.s, cb.grp AS code,
+             CAST(CAST({_L2_DUCK.format(a='q.sv', b='cb.subcent')} AS VARCHAR)
+               AS DECIMAL(27,18)) AS d
+      FROM (SELECT * FROM subvecs WHERE vec_id < 8) q
+      JOIN cb ON cb.s = q.s
+    ),
+    adc AS (
+      SELECT d.qid, c.vec_id AS neighbor_id,
+             CAST(CAST(SUM(d.d) AS VARCHAR) AS DOUBLE) AS adc_dist
+      FROM codes c JOIN dtab d ON d.s = c.s AND d.code = c.code
+      WHERE c.vec_id <> d.qid
+      GROUP BY d.qid, c.vec_id
+    )
+    SELECT qid, neighbor_id, adc_dist,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT qid, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY qid ORDER BY adc_dist, neighbor_id) AS rnk
+      FROM adc
+    ) WHERE rnk <= {_PQ_TOPK}
+    """,
+    note=f"Similarity search, product-quantization variant: {_PQ_M} subspaces × "
+    f"{_PQ_K}-entry codebooks trained in-engine (per-group DECIMAL element means, "
+    "groups keyed by vec_id % k for determinism), every vector encoded as its "
+    "per-subspace argmin code (L2, tie-break by code), queries scored against "
+    "candidates via asymmetric-distance lookup: a (query, subspace, code) "
+    "distance table replaces the full vectors. Per-subspace partial distances "
+    "are DECIMAL-summed, so the reduce order is irrelevant. Scale: codebook "
+    f"({_PQ_M}×{_PQ_K}×8 doubles) and the {_PQ_M * _PQ_K}-rows-per-query LUT both "
+    "broadcast; candidates ship only their codes (m bytes per vector at real "
+    "scale, not the embedding) — the memory shape that makes billion-vector "
+    "ANN feasible. One shuffle: the (qid, neighbor) partial-distance agg.",
+)
+def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+
+    # codebooks: per (grp, subspace) DECIMAL element means
+    cb_elems = (
+        e.select(
+            (F.col("vec_id") % _PQ_K).alias("grp"),
+            F.posexplode("v").alias("pos", "val"),  # pos 0-based
+        )
+        .groupBy("grp", (F.col("pos") / 8).cast("bigint").alias("s"), "pos")
+        .agg(
+            (
+                F.expr(
+                    "CAST(CAST(SUM(CAST(val AS DECIMAL(27,18))) AS STRING) AS DOUBLE)"
+                )
+                / F.count("*")
+            ).alias("c")
+        )
+    )
+    cb = cb_elems.groupBy("grp", "s").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").alias(
+            "subcent"
+        )
+    )
+
+    subvecs = e.select(
+        "vec_id",
+        F.explode(F.expr(f"sequence(0, {_PQ_M - 1})")).alias("s"),
+        "v",
+    ).select("vec_id", "s", F.expr("slice(v, s*8+1, 8)").alias("sv"))
+
+    # encode: per-subspace argmin code against the broadcast codebook
+    l2 = F.expr(_L2_SPARK.format(a="sv", b="subcent"))
+    enc_w = Window.partitionBy("vec_id", "s").orderBy(F.col("_d"), F.col("grp"))
+    codes = (
+        subvecs.join(F.broadcast(cb), "s")
+        .withColumn("_d", l2)
+        .withColumn("rk", F.row_number().over(enc_w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "s", F.col("grp").alias("code"))
+    )
+
+    # ADC lookup table: (query, subspace, code) -> decimal partial distance
+    dtab = (
+        subvecs.filter(F.col("vec_id") < 8)
+        .withColumnRenamed("vec_id", "qid")
+        .join(F.broadcast(cb), "s")
+        .select(
+            "qid",
+            "s",
+            F.col("grp").alias("code"),
+            # explicit STRING hop (see oracle comment): both engines
+            # round the same shortest-repr string to DECIMAL(27,18)
+            F.expr(
+                f"CAST(CAST({_L2_SPARK.format(a='sv', b='subcent')} AS STRING)"
+                " AS DECIMAL(27,18))"
+            ).alias("d"),
+        )
+    )
+
+    adc = (
+        codes.join(F.broadcast(dtab), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.expr("CAST(CAST(SUM(d) AS STRING) AS DOUBLE)").alias("adc_dist"))
+    )
+    topk = Window.partitionBy("qid").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(topk).cast("bigint"))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+        .select("qid", "neighbor_id", "adc_dist", "rnk")
+    )

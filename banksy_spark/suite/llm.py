@@ -843,7 +843,11 @@ _CENT_DUCK = """
       SELECT label, list(c ORDER BY pos) AS centroid
       FROM (
         SELECT label, i AS pos,
-               CAST(SUM(CAST(v[i] AS DECIMAL(27,18))) / COUNT(*) AS DOUBLE) AS c
+               -- exact DECIMAL sum, VARCHAR-routed to DOUBLE, then IEEE
+               -- division: a decimal division's quotient scale/rounding
+               -- is not cross-engine stable (caught by llm_ann_pq)
+               CAST(CAST(SUM(CAST(v[i] AS DECIMAL(27,18))) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*) AS c
         FROM n, unnest(generate_series(1, 64)) AS t(i)
         GROUP BY label, i
       ) GROUP BY label
@@ -886,9 +890,10 @@ def ivf_parts(
     # coarse quantizer: exact per-dimension decimal means per label
     dims = n.select("label", F.posexplode("v").alias("pos", "val"))
     cent_elems = dims.groupBy("label", "pos").agg(
-        (F.sum(F.col("val").cast("decimal(27,18)")) / F.count("*"))
-        .cast("double")
-        .alias("c")
+        (
+            F.expr("CAST(CAST(SUM(CAST(val AS DECIMAL(27,18))) AS STRING) AS DOUBLE)")
+            / F.count("*")
+        ).alias("c")
     )
     cent = cent_elems.groupBy("label").agg(
         F.expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").alias(

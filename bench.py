@@ -48,6 +48,7 @@ HEADLINE = [
     "llm_decontam_overlap",   # 13-gram eval-overlap decontamination
     "llm_bm25_topk",          # BM25 retrieval: tf/df agg + top-k window
     "a_decorrelated_avg",     # TPC-H Q17 shape, window-decorrelated
+    "llm_ann_pq",             # PQ-ADC: codebook train + code join + LUT scoring
 ]
 
 

@@ -92,3 +92,11 @@ def test_span_dedup_two_exchanges(spark):
     # doc_id (reassembly); anything more means a redundant exchange
     plan = _plan(spark, "llm_dedup_spans")
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+
+
+def test_pq_broadcasts_codebook_and_lut(spark):
+    # PQ scale contract: codebook and the (query, subspace, code)
+    # distance LUT broadcast; candidates ship codes, never vectors
+    plan = _plan(spark, "llm_ann_pq")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
