@@ -137,7 +137,8 @@ def llm_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" i -> concat_ws(' ', slice(w, i, {_NGRAM_N})))"
             " ELSE array() END)"
         ).alias("grams"),
-    )
+    ).persist()  # consumed by 3 branches (eval set, train base, train explode);
+    # without it the char-level content hash + gram build runs 3x
     ev = (
         g.filter(F.col("bucket") >= 95)
         .select(F.explode("grams").alias("gram"))
@@ -426,17 +427,25 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c")
         )
     )
-    cb = cb_elems.groupBy("grp", "s").agg(
-        F.expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").alias(
-            "subcent"
+    cb = (
+        cb_elems.groupBy("grp", "s")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, c))), x -> x.c)"
+            ).alias("subcent")
         )
+        .persist()  # broadcast twice (encode join + query LUT join)
     )
 
-    subvecs = e.select(
-        "vec_id",
-        F.explode(F.expr(f"sequence(0, {_PQ_M - 1})")).alias("s"),
-        "v",
-    ).select("vec_id", "s", F.expr("slice(v, s*8+1, 8)").alias("sv"))
+    subvecs = (
+        e.select(
+            "vec_id",
+            F.explode(F.expr(f"sequence(0, {_PQ_M - 1})")).alias("s"),
+            "v",
+        )
+        .select("vec_id", "s", F.expr("slice(v, s*8+1, 8)").alias("sv"))
+        .persist()  # consumed by the encode pass and the query-side LUT
+    )
 
     # encode: per-subspace argmin code against the broadcast codebook
     l2 = F.expr(_L2_SPARK.format(a="sv", b="subcent"))
