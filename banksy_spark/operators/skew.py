@@ -45,3 +45,38 @@ def salted_agg(
     return stage1.groupBy(*keys).agg(
         *[combiners.get(name, F.sum)(name).alias(name) for name in aggs]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: Sequence[str],
+    salt_col: Column,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Salted equi-join for a skewed key when the small side is still
+    too large to broadcast (the manual fallback behind AQE's skew-join
+    splitting — use AQE first; this is for pathological single-key skew
+    or engines/stages where AQE cannot split).
+
+    The big side gets a deterministic content-derived salt in
+    ``[0, n_salt)``; the small side is replicated once per salt value, so
+    each (key, salt) shard joins independently — a hot key's rows spread
+    over ``n_salt`` reducers instead of serializing onto one.
+
+    ``salt_col`` must be deterministic from row content (e.g.
+    ``F.xxhash64(id_col)``) so retries land rows in the same shard.
+    Cost: the small side shuffles n_salt× its size — salt only when a
+    key is actually hot.
+    """
+    salted_big = big.withColumn(
+        "_salt", F.pmod(salt_col, F.lit(n_salt)).cast("bigint")
+    )
+    salted_small = small.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.lit(n_salt - 1).cast("bigint"))
+        ).alias("_salt"),
+    )
+    out = salted_big.join(salted_small, [*keys, "_salt"])
+    return out.drop("_salt")

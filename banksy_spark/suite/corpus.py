@@ -488,3 +488,163 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _PQ_TOPK)
         .select("qid", "neighbor_id", "adc_dist", "rnk")
     )
+
+
+# --- Salted skewed join ----------------------------------------------------
+
+
+@query(
+    "j_salted_skew_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+             AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    note="Skew-handling join: the fact side carries a deterministic salt "
+    "(xxhash64 of the order key mod 8), the 'dimension' side is replicated "
+    "once per salt value, and the join keys on (custkey, salt) — a hot "
+    "customer's orders spread over 8 reducers instead of serializing onto "
+    "one. The oracle is the plain join: salting must be invisible in the "
+    "result. The broadcast strategy is hinted OFF here deliberately — this "
+    "operator exists precisely for the case where the small side is too big "
+    "to broadcast and AQE cannot split the stage (operators/skew.py: "
+    "salted_join). First-line answer at 100 TB is still AQE skew-join "
+    "(session.py enables it); this is the manual fallback.",
+)
+def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.operators.skew import salted_join
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(
+        o,
+        c.hint("shuffle_hash"),  # simulate a non-broadcastable small side
+        ["o_custkey"],
+        salt_col=F.xxhash64("o_orderkey"),
+        n_salt=8,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE)"
+        ).alias("revenue"),
+    )
+
+
+# --- Exact grouped percentiles (nearest-rank) ------------------------------
+
+
+@query(
+    "a_exact_percentiles",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           MAX(CASE WHEN rn = (n * 25 + 99) // 100 THEN o_totalprice END) AS p25,
+           MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN o_totalprice END) AS p50,
+           MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN o_totalprice END) AS p95
+    FROM ranked GROUP BY o_orderpriority
+    """,
+    note="Exact grouped percentiles, nearest-rank definition: rank every row "
+    "within its group (value, then key tie-break), pick rank ceil(p*n/100) "
+    "via pure integer arithmetic ((n*p + 99) div 100 — no float quantile "
+    "boundary can diverge between engines), fold the three picks into one "
+    "row per group with conditional MAX. Generalizes a_exact_median; one "
+    "shuffle on the group key serves the window AND the final aggregate. "
+    "Values are untouched source doubles — bit-identical by construction.",
+)
+def a_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(F.expr(f"rn = (n * {p} + 99) DIV 100"), F.col("o_totalprice"))
+    ).alias(f"p{p}")
+    return ranked.groupBy("o_orderpriority").agg(pick(25), pick(50), pick(95))
+
+
+# --- Temperature-based mixture sampling ------------------------------------
+
+_MIX_TARGET = 200  # total docs to draw across strata
+
+
+@query(
+    "llm_mix_temperature",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n_s FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(CAST(SUM(CAST(CAST(sqrt(n_s) AS VARCHAR) AS DECIMAL(27,18)))
+               AS VARCHAR) AS DOUBLE) AS z
+      FROM counts
+    ),
+    quota AS (
+      SELECT lang, CAST(floor(sqrt(n_s) / z * {_MIX_TARGET}) AS BIGINT) AS quota
+      FROM counts CROSS JOIN tot
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang, CAST(r.rn AS BIGINT) AS samp_rank, q.quota
+    FROM ranked r JOIN quota q USING (lang)
+    WHERE r.rn <= q.quota
+    """,
+    note="Temperature-flattened mixture sampling (alpha = 0.5): stratum s "
+    f"draws floor(sqrt(n_s)/Z * {_MIX_TARGET}) docs, so small domains are "
+    "up-weighted relative to proportional sampling — the standard "
+    "multilingual-pretraining rebalance. Parity: sqrt is IEEE-correctly-"
+    "rounded in both engines; the normalizer Z sums the sqrt terms as "
+    "VARCHAR-routed DECIMALs so stratum order is irrelevant; selection is "
+    "the same md5-ordered deterministic rank as llm_domain_mix. Scale: "
+    "counts + quotas are a tiny broadcast; one window per stratum "
+    "(production swaps the full-stratum sort for count + hash-threshold, "
+    "same as domain_mix's note).",
+)
+def llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_s"))
+    tot = counts.agg(
+        F.expr(
+            "CAST(CAST(SUM(CAST(CAST(sqrt(n_s) AS STRING) AS DECIMAL(27,18)))"
+            " AS STRING) AS DOUBLE)"
+        ).alias("z")
+    )
+    quota = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.floor(F.sqrt("n_s") / F.col("z") * _MIX_TARGET)
+            .cast("bigint")
+            .alias("quota"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    return (
+        d.withColumn("samp_rank", F.row_number().over(w).cast("bigint"))
+        .join(F.broadcast(quota), "lang")
+        .filter(F.col("samp_rank") <= F.col("quota"))
+        .select("doc_id", "lang", "samp_rank", "quota")
+    )

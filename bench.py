@@ -49,6 +49,8 @@ HEADLINE = [
     "llm_bm25_topk",          # BM25 retrieval: tf/df agg + top-k window
     "a_decorrelated_avg",     # TPC-H Q17 shape, window-decorrelated
     "llm_ann_pq",             # PQ-ADC: codebook train + code join + LUT scoring
+    "j_salted_skew_join",     # salted shuffle join, broadcast hinted off
+    "a_exact_percentiles",    # nearest-rank p25/p50/p95 per group
 ]
 
 

@@ -100,3 +100,11 @@ def test_pq_broadcasts_codebook_and_lut(spark):
     plan = _plan(spark, "llm_ann_pq")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_salted_join_is_shuffle_not_broadcast(spark):
+    # the whole point of the salted join: the small side does NOT
+    # broadcast, and the join keys on (custkey, _salt)
+    plan = _plan(spark, "j_salted_skew_join")
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert "_salt" in plan

@@ -94,3 +94,32 @@ def test_packing_shards_scale_with_corpus(spark):
     assert shards(320_000) == 32        # at the knee
     assert shards(640_000) == 64        # grows with the corpus
     assert shards(1_280_000) == 128
+
+
+def test_salted_join_matches_plain_join_on_hot_key(spark):
+    """salted_join must be invisible in the result even when one key
+    owns most rows (the scenario it exists for)."""
+    from pyspark.sql import functions as F
+
+    from banksy_spark.operators.skew import salted_join
+
+    big = spark.range(10_000).select(
+        F.col("id").alias("row_id"),
+        # 80% of rows land on key 7 — a genuinely hot key
+        F.when(F.col("id") % 5 < 4, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        (F.col("id") % 13).alias("v"),
+    )
+    small = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    got = (
+        salted_join(big, small, ["k"], salt_col=F.xxhash64("row_id"), n_salt=8)
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum(F.col("v") + F.col("w")).alias("s"))
+    )
+    want = (
+        big.join(small, "k")
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum(F.col("v") + F.col("w")).alias("s"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
