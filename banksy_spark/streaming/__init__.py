@@ -2,6 +2,7 @@
 
 from banksy_spark.streaming.core import (
     attribution_join,
+    hopping_hourly_sums,
     rate_limited_alert_stream,
     read_events_stream,
     tumbling_daily_counts,
@@ -10,6 +11,7 @@ from banksy_spark.streaming.core import (
 __all__ = [
     "read_events_stream",
     "tumbling_daily_counts",
+    "hopping_hourly_sums",
     "rate_limited_alert_stream",
     "attribution_join",
 ]

@@ -47,6 +47,18 @@ def tumbling_daily_counts(events: DataFrame, watermark: str = "1 day") -> DataFr
     )
 
 
+def hopping_hourly_sums(events: "DataFrame", watermark: str = "2 hours") -> "DataFrame":
+    """Hopping window (1 h size, 15 min slide) per event_type — identical
+    logic to the batch query suite.corpus.stream_hopping_window; on a
+    stream the watermark bounds the 4-windows-per-event state."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events")
+    )
+
+
 def rate_limited_alert_stream(
     events: DataFrame,
     log_path: str,

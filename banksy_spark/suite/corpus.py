@@ -648,3 +648,82 @@ def llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("samp_rank") <= F.col("quota"))
         .select("doc_id", "lang", "samp_rank", "quota")
     )
+
+
+# --- Trailing time-range rolling window ------------------------------------
+
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "w_rolling_range",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN {_HOUR_US - 1} PRECEDING AND CURRENT ROW
+    )
+    """,
+    note="Trailing 1-hour rolling aggregate per user — a RANGE frame over "
+    "event time (not ROWS: gaps and ties follow wall-clock semantics). Both "
+    "engines order by integer epoch-microseconds with an identical numeric "
+    "frame bound, so peer/boundary behavior is byte-identical; the windowed "
+    "SUM goes through DECIMAL (frame evaluation order is engine-internal). "
+    "Scale: one shuffle on user_id; each partition is a single ordered scan "
+    "with a sliding frame — no self-join against the trailing hour.",
+)
+def w_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-(_HOUR_US - 1), 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("bigint").alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("sum_1h"),
+    )
+
+
+# --- Hopping (sliding) event-time window -----------------------------------
+
+
+@query(
+    "stream_hopping_window",
+    oracle="""
+    SELECT make_timestamp(((epoch_us(ts) // 900000000) - k) * 900000000) AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+    FROM events, unnest(generate_series(0, 3)) AS t(k)
+    GROUP BY 1, 2
+    """,
+    note="§2.9 extension: hopping window (size 1 h, slide 15 min) — each event "
+    "contributes to exactly 4 overlapping windows. Spark side is the native "
+    "window(ts, '1 hour', '15 minutes') grouping (streaming-ready: the same "
+    "expression works under readStream with a watermark); the oracle "
+    "materializes the 4 covering window starts per event via integer "
+    "epoch-microsecond arithmetic (epoch-aligned, exactly Spark's window "
+    "alignment). DECIMAL sums for order-independence. Scale: explode factor "
+    "is size/slide (4), then an ordinary partial-aggregated shuffle on "
+    "(window, type).",
+)
+def stream_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n_events", "value_sum"
+        )
+    )

@@ -51,6 +51,8 @@ HEADLINE = [
     "llm_ann_pq",             # PQ-ADC: codebook train + code join + LUT scoring
     "j_salted_skew_join",     # salted shuffle join, broadcast hinted off
     "a_exact_percentiles",    # nearest-rank p25/p50/p95 per group
+    "w_rolling_range",        # trailing 1h RANGE frame per user
+    "stream_hopping_window",  # 1h/15min hopping event-time windows
 ]
 
 

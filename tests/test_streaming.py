@@ -187,3 +187,28 @@ def test_stateful_limiter_equals_batch_twin(spark, tmp_path):
         for r in rate_limit_batch(batch).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_hopping_window_stream_equals_batch(spark, events_dir, tmp_path):
+    from banksy_spark.streaming import hopping_hourly_sums
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        hopping_hourly_sums(stream)
+        .writeStream.format("memory")
+        .queryName("hopping_sums")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hop"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish in time"
+    got = {
+        (str(r.win_start), r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM hopping_sums").collect()
+    }
+    from banksy_spark.suite.registry import T
+
+    batch = hopping_hourly_sums(T(spark, SF_SMOKE, "events"))
+    want = {(str(r.win_start), r.event_type): r.n_events for r in batch.collect()}
+    assert got == want and len(want) > 0
