@@ -59,6 +59,24 @@ def hopping_hourly_sums(events: "DataFrame", watermark: str = "2 hours") -> "Dat
     )
 
 
+def session_window_counts(events: "DataFrame", watermark: str = "2 hours") -> "DataFrame":
+    """Native session windows (30-min gap) per user — identical logic to
+    the batch query suite.corpus.stream_session_window_native; on a
+    stream the watermark lets the engine finalize and evict merged
+    session state."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def rate_limited_alert_stream(
     events: DataFrame,
     log_path: str,

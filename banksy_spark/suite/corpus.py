@@ -727,3 +727,56 @@ def stream_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("win_start"), "event_type", "n_events", "value_sum"
         )
     )
+
+
+# --- Native session windows ------------------------------------------------
+
+_SESSION_GAP_US = 1_800_000_000  # 30 minutes
+
+
+@query(
+    "stream_session_window_native",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    note="Native session windows: Spark's session_window(ts, '30 minutes') — "
+    "the engine merges an event into the running session iff it lands "
+    "strictly before previous_ts + gap, and reports end = last_ts + gap. The "
+    "oracle reproduces exactly that island rule at microsecond precision "
+    "(new session when the epoch-us delta >= gap). Complements "
+    "stream_sessionize (the lag+running-sum formulation): same shuffle "
+    "shape, but this form is streaming-native — the identical expression "
+    "runs under readStream with a watermark and per-key merging state. "
+    "One shuffle on user_id.",
+)
+def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -53,6 +53,7 @@ HEADLINE = [
     "a_exact_percentiles",    # nearest-rank p25/p50/p95 per group
     "w_rolling_range",        # trailing 1h RANGE frame per user
     "stream_hopping_window",  # 1h/15min hopping event-time windows
+    "stream_session_window_native",  # native session_window, 30min gap
 ]
 
 

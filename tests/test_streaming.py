@@ -212,3 +212,31 @@ def test_hopping_window_stream_equals_batch(spark, events_dir, tmp_path):
     batch = hopping_hourly_sums(T(spark, SF_SMOKE, "events"))
     want = {(str(r.win_start), r.event_type): r.n_events for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_session_window_stream_equals_batch(spark, events_dir, tmp_path):
+    from banksy_spark.streaming import session_window_counts
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        session_window_counts(stream)
+        .writeStream.format("memory")
+        .queryName("session_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish in time"
+    got = {
+        (r.user_id, str(r.session_start)): (str(r.session_end), r.n_events)
+        for r in spark.sql("SELECT * FROM session_counts").collect()
+    }
+    from banksy_spark.suite.registry import T
+
+    batch = session_window_counts(T(spark, SF_SMOKE, "events"))
+    want = {
+        (r.user_id, str(r.session_start)): (str(r.session_end), r.n_events)
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
