@@ -66,6 +66,22 @@ def read_csv_dim(spark: SparkSession, path: str, columns: list[str] | None = Non
     return df
 
 
+def read_jsonl_tolerant(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Tolerant JSON-lines scan: well-formed rows parse against
+    ``schema``; malformed lines survive in ``_corrupt_record`` instead
+    of failing the job (PERMISSIVE mode) so a cleanup/alerting branch
+    can count or quarantine them. The scraped-feed analog of the
+    reference's try/except row tolerance (bovada_pull.py's skip-on-
+    parse-failure), expressed as engine semantics instead of a loop.
+
+    Spark restriction: a query that references ONLY the corrupt-record
+    column of a raw JSON scan is disallowed — cache() the frame before
+    splitting it into good/quarantine branches."""
+    return spark.read.schema(schema + ", _corrupt_record STRING").option(
+        "mode", "PERMISSIVE"
+    ).option("columnNameOfCorruptRecord", "_corrupt_record").json(path)
+
+
 def write_overwrite(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     """Full-refresh sink (SURVEY §2.1 K1; arbitrage_scanner.py:307-320)."""
     writer = df.write.mode("overwrite")

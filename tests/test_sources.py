@@ -130,3 +130,35 @@ def test_scrape_stream_gives_up_like_batch(spark, tmp_path):
     assert got.columns == ["payload", "attempt"]
     assert len(calls) >= 1
     assert blob_to_df(spark, None).count() == 0  # the batch give-up twin
+
+
+def test_jsonl_tolerant_quarantines_bad_lines(spark, tmp_path):
+    from banksy_spark.io import read_jsonl_tolerant
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"game": "A@B", "odds": 120}\n'
+        "not json at all\n"
+        '{"game": "C@D", "odds": -145}\n'
+        '{"game": "E@F", "odds": }\n'
+    )
+    # Spark disallows referencing only _corrupt_record on a raw JSON
+    # scan; materialize first (see read_jsonl_tolerant docstring)
+    df = read_jsonl_tolerant(spark, str(p), "game STRING, odds BIGINT").cache()
+    good = df.filter("_corrupt_record IS NULL")
+    bad = df.filter("_corrupt_record IS NOT NULL")
+    assert good.count() == 2 and bad.count() == 2
+    assert {r.game for r in good.collect()} == {"A@B", "C@D"}
+
+
+def test_connected_components_checkpointing_identical(spark):
+    from banksy_spark.operators.graph import connected_components
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)]
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    plain = {r.node: r.lab for r in connected_components(df).collect()}
+    ckpt = {
+        r.node: r.lab
+        for r in connected_components(df, checkpoint_every=2).collect()
+    }
+    assert plain == ckpt and plain[4] == 1
