@@ -216,3 +216,50 @@ def test_decide_alerts_sign_audit(spark):
     teams = {r.Team for r in to_send.collect()}
     assert "Alpha" not in teams and "Beta" not in teams  # same-sign spread dropped
     assert {"Gamma", "Delta"} <= teams                   # ML passes the audit
+
+
+def test_end_to_end_scrape_to_alerts_stream_equals_batch(spark, raw, tmp_path):
+    """The reference's whole run, composed on the engine: flaky scrape
+    (2 bad attempts, then a valid payload) → bovada parse → enrichment
+    join onto the normalized scanner table → arbitrage scan over all 4
+    bookies → rate-limited alert decision. The streaming-sourced run
+    must produce byte-identical alerts to the driver-side-poll run."""
+    from banksy_spark.sources import blob_to_df, poll_until_valid, scrape_until_valid
+
+    def make_fetch():
+        calls = {"n": 0}
+
+        def fetch():
+            calls["n"] += 1
+            return [None, "too short", BLOB][min(calls["n"], 3) - 1]
+
+        return fetch
+
+    def downstream(payload_df):
+        bov = parse_bovada(payload_df).select("Team", "bet_type", "info", "Bovada")
+        all_bookies = BOOKIES + ["Bovada"]
+        odds = normalize_odds(raw, BOOKIES).join(
+            bov, ["Team", "bet_type", "info"], "left"
+        )
+        opps = find_arbitrage(odds, all_bookies).withColumn(
+            "alert_ts", F.lit("2024-05-01 12:00:00").cast("timestamp")
+        )
+        empty_log = spark.createDataFrame([], "Team string, updated_at timestamp")
+        to_send, _ = decide_alerts(opps, empty_log, odds=odds, bookies=all_bookies)
+        return to_send
+
+    streamed = downstream(
+        scrape_until_valid(
+            spark,
+            make_fetch(),
+            out_path=str(tmp_path / "payloads"),
+            checkpoint=str(tmp_path / "ckpt"),
+            interval_s=0.2,
+        ).select("payload")
+    )
+    batch = downstream(blob_to_df(spark, poll_until_valid(make_fetch(), interval_s=0)))
+
+    cols = sorted(streamed.columns)
+    got = sorted(map(tuple, streamed.select(*cols).collect()))
+    want = sorted(map(tuple, batch.select(*cols).collect()))
+    assert got == want and len(want) > 0
