@@ -333,10 +333,10 @@ _L2_DUCK = (
 )
 
 
-@query(
-    "llm_ann_pq",
-    oracle=f"""
-    WITH e AS (
+# Shared PQ derivation: codebook train -> encode -> query LUT -> ADC.
+# Used by llm_ann_pq and llm_ann_recall_pq (the oracle re-verifies the
+# chain in combination, like the IVF/LSH recall query).
+_PQ_CTES = f"""e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ),
@@ -385,14 +385,23 @@ _L2_DUCK = (
       FROM codes c JOIN dtab d ON d.s = c.s AND d.code = c.code
       WHERE c.vec_id <> d.qid
       GROUP BY d.qid, c.vec_id
-    )
-    SELECT qid, neighbor_id, adc_dist,
-           CAST(rnk AS BIGINT) AS rnk
-    FROM (
-      SELECT qid, neighbor_id, adc_dist,
-             row_number() OVER (PARTITION BY qid ORDER BY adc_dist, neighbor_id) AS rnk
-      FROM adc
-    ) WHERE rnk <= {_PQ_TOPK}
+    ),
+    pq AS (
+      SELECT qid, neighbor_id, adc_dist, CAST(rnk AS BIGINT) AS rnk
+      FROM (
+        SELECT qid, neighbor_id, adc_dist,
+               row_number() OVER (PARTITION BY qid ORDER BY adc_dist, neighbor_id)
+                 AS rnk
+        FROM adc
+      ) WHERE rnk <= {_PQ_TOPK}
+    )"""
+
+
+@query(
+    "llm_ann_pq",
+    oracle=f"""
+    WITH {_PQ_CTES}
+    SELECT qid, neighbor_id, adc_dist, rnk FROM pq
     """,
     note=f"Similarity search, product-quantization variant: {_PQ_M} subspaces × "
     f"{_PQ_K}-entry codebooks trained in-engine (per-group DECIMAL element means, "
@@ -407,6 +416,11 @@ _L2_DUCK = (
     "ANN feasible. One shuffle: the (qid, neighbor) partial-distance agg.",
 )
 def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_adc_topk(spark, sf_dir)
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared PQ derivation (see _PQ_CTES for the oracle twin)."""
     e = T(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
     )
@@ -779,4 +793,107 @@ def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sw.end").alias("session_end"),
             "n_events",
         )
+    )
+
+
+# --- PQ recall vs exact ground truth ---------------------------------------
+
+from banksy_spark.suite.llm import _DOT_DUCK, _NORM_DUCK, llm_ann_bruteforce  # noqa: E402
+
+
+@query(
+    "llm_ann_recall_pq",
+    oracle=f"""
+    WITH {_PQ_CTES},
+    n AS (SELECT vec_id, v, {_NORM_DUCK.format(v='v')} AS nrm FROM e),
+    bf AS (
+      SELECT qid, neighbor_id FROM (
+        SELECT q.qid, n.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 {_DOT_DUCK.format(a='q.qv', b='n.v')} / (q.qn * n.nrm) DESC, n.vec_id)
+                 AS rnk
+        FROM (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 8) q
+        JOIN n ON n.vec_id <> q.qid
+      ) WHERE rnk <= {_PQ_TOPK}
+    ),
+    truth AS (SELECT qid, COUNT(*) AS n_truth FROM bf GROUP BY qid),
+    hp AS (SELECT bf.qid, COUNT(*) AS h FROM bf JOIN pq USING (qid, neighbor_id)
+           GROUP BY bf.qid)
+    SELECT t.qid, CAST(t.n_truth AS BIGINT) AS n_truth,
+           COALESCE(hp.h, 0) / CAST(t.n_truth AS DOUBLE) AS recall_pq
+    FROM truth t LEFT JOIN hp ON hp.qid = t.qid
+    """,
+    note=f"ANN quality measurement for the PQ path: recall@{_PQ_TOPK} of the "
+    "ADC top-k against the brute-force exact cosine truth — quantifying both "
+    "quantization loss and the L2-vs-cosine metric gap in one number per "
+    "query. Same composition pattern as llm_ann_recall (shared derivations "
+    "re-verified in combination).",
+)
+def llm_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pq = pq_adc_topk(spark, sf_dir).select("qid", "neighbor_id")
+    bf = (
+        llm_ann_bruteforce(spark, sf_dir)
+        .filter(F.col("rnk") <= _PQ_TOPK)
+        .select("qid", "neighbor_id")
+    )
+    truth = bf.groupBy("qid").agg(F.count("*").alias("n_truth"))
+    hits = bf.join(pq, ["qid", "neighbor_id"]).groupBy("qid").agg(
+        F.count("*").alias("h")
+    )
+    return truth.join(hits, "qid", "left").select(
+        "qid",
+        F.col("n_truth").cast("bigint").alias("n_truth"),
+        (F.coalesce("h", F.lit(0)) / F.col("n_truth").cast("double")).alias(
+            "recall_pq"
+        ),
+    )
+
+
+# --- Decorrelated double-EXISTS (TPC-H Q21 shape) --------------------------
+
+
+@query(
+    "j_decorrelated_exists",
+    oracle="""
+    WITH failed AS (
+      SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      FROM lineitem l1
+      WHERE l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+    )
+    SELECT l_suppkey AS suppkey, COUNT(*) AS numwait
+    FROM failed GROUP BY l_suppkey
+    """,
+    note="TPC-H Q21 shape: suppliers who were the SOLE returning supplier in "
+    "a multi-supplier order. The oracle is the classic correlated EXISTS + "
+    "NOT-EXISTS pair (which an engine would execute as two more scans of "
+    "lineitem); the Spark plan decorrelates BOTH subqueries into one window "
+    "pass — per-order distinct-supplier counts (all, and returning-only) via "
+    "collect_set over the order partition, then a plain filter. One shuffle "
+    "on l_orderkey + the final suppkey aggregate; lineitem is scanned once.",
+)
+def j_decorrelated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    w = Window.partitionBy("l_orderkey")
+    n_supps = F.size(F.collect_set("l_suppkey").over(w))
+    n_ret_supps = F.size(
+        F.collect_set(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).over(w)
+    )
+    failed = (
+        l.withColumn("_ns", n_supps)
+        .withColumn("_nr", n_ret_supps)
+        .filter((F.col("l_returnflag") == "R") & (F.col("_ns") > 1) & (F.col("_nr") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return failed.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count("*").alias("numwait")
     )

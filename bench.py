@@ -54,6 +54,8 @@ HEADLINE = [
     "w_rolling_range",        # trailing 1h RANGE frame per user
     "stream_hopping_window",  # 1h/15min hopping event-time windows
     "stream_session_window_native",  # native session_window, 30min gap
+    "j_decorrelated_exists",  # Q21 double-EXISTS folded to one window pass
+    "llm_ann_recall_pq",      # PQ ADC recall vs exact cosine truth
 ]
 
 

@@ -108,3 +108,12 @@ def test_salted_join_is_shuffle_not_broadcast(spark):
     plan = _plan(spark, "j_salted_skew_join")
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
     assert "_salt" in plan
+
+
+def test_double_exists_decorrelates_to_single_scan(spark):
+    # Q21 shape: both correlated EXISTS subqueries must fold into one
+    # window pass — exactly one lineitem scan and no Join in the plan
+    plan = _plan(spark, "j_decorrelated_exists")
+    assert len(re.findall(r"FileScan parquet[^\n]*lineitem", plan)) == 1
+    assert "Join" not in plan
+    assert "Window" in plan
