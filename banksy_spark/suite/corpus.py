@@ -897,3 +897,146 @@ def j_decorrelated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return failed.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
         F.count("*").alias("numwait")
     )
+
+
+# --- CDC changelog apply (MERGE / SCD1 upsert semantics) -------------------
+
+_CDC_CUTOFF = "2001-01-01"
+
+
+@query(
+    "o_cdc_merge_apply",
+    oracle=f"""
+    WITH snap AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 7 <> 0
+    ),
+    chg AS (
+      SELECT o_custkey AS k,
+             CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+             o_totalprice AS new_bal
+      FROM (
+        SELECT o_custkey, o_orderstatus, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate >= TIMESTAMP '{_CDC_CUTOFF}'
+      ) WHERE rn = 1
+    )
+    SELECT s.c_custkey AS custkey, s.c_name AS name,
+           CASE WHEN c.op = 'U' THEN c.new_bal ELSE s.c_acctbal END AS acctbal,
+           CASE WHEN c.k IS NULL THEN 'kept' ELSE 'updated' END AS src
+    FROM snap s LEFT JOIN chg c ON c.k = s.c_custkey
+    WHERE c.op IS DISTINCT FROM 'D'
+    UNION ALL
+    SELECT c.k AS custkey, 'NEW-' || CAST(c.k AS VARCHAR) AS name,
+           c.new_bal AS acctbal, 'inserted' AS src
+    FROM chg c LEFT JOIN snap s ON s.c_custkey = c.k
+    WHERE c.op = 'U' AND s.c_custkey IS NULL
+    """,
+    note="Incremental snapshot maintenance (MERGE semantics, the SCD1/"
+    "compaction staple): reduce a changelog to its latest change per key "
+    "(deterministic (date, orderkey) tie-break), then apply to the snapshot — "
+    "matched+U updates, matched+D deletes, unmatched+U inserts, untouched "
+    "keys kept. Changelog = orders since the cutoff; snapshot = customers "
+    "with custkey % 7 <> 0 (so all four MERGE arms are populated). Scale "
+    "shape: latest-per-key is one shuffle on the key; the apply is an "
+    "equi-join on the same key — with both sides bucketed by key (the "
+    "production layout for iterated CDC) the merge is shuffle-free.",
+)
+def o_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snap = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 != 0)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    chg = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(_CDC_CUTOFF).cast("timestamp"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.when(F.col("o_orderstatus") == "F", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.col("o_totalprice").alias("new_bal"),
+        )
+    )
+    merged = (
+        snap.join(chg, snap.c_custkey == chg.k, "left")
+        .filter(~F.col("op").eqNullSafe("D"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.when(F.col("op") == "U", F.col("new_bal"))
+            .otherwise(F.col("c_acctbal"))
+            .alias("acctbal"),
+            F.when(F.col("k").isNull(), F.lit("kept"))
+            .otherwise(F.lit("updated"))
+            .alias("src"),
+        )
+    )
+    inserts = (
+        chg.filter(F.col("op") == "U")
+        .join(snap, chg.k == snap.c_custkey, "left_anti")
+        .select(
+            F.col("k").alias("custkey"),
+            F.concat(F.lit("NEW-"), F.col("k").cast("string")).alias("name"),
+            F.col("new_bal").alias("acctbal"),
+            F.lit("inserted").alias("src"),
+        )
+    )
+    return merged.unionByName(inserts)
+
+
+# --- SCD2 validity-interval build ------------------------------------------
+
+
+@query(
+    "w_scd2_intervals",
+    oracle="""
+    WITH daily AS (
+      SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS valid_from,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS net
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT custkey, valid_from,
+           lead(valid_from) OVER (PARTITION BY custkey ORDER BY valid_from)
+             AS valid_to,
+           CAST(CAST(SUM(net) OVER (PARTITION BY custkey ORDER BY valid_from
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR)
+             AS DOUBLE) AS bal
+    FROM daily
+    """,
+    note="Slowly-changing-dimension type-2 history build: collapse the order "
+    "stream to day-grain nets per key (DECIMAL so partial-agg order is "
+    "irrelevant), then one window pass emits each key's validity intervals — "
+    "valid_from = change day, valid_to = next change day (NULL = current "
+    "row), bal = cumulative balance (VARCHAR-routed decimal→double). Scale "
+    "shape: the explicit repartition on custkey satisfies BOTH the agg's "
+    "clustering (custkey ⊂ grouping keys) and the window's, so the whole "
+    "history build is one exchange (plan-asserted). The alternative default "
+    "plan shuffles twice — on (custkey, day) for the agg and again on "
+    "custkey for the window — and buys only a ~1:1 partial-agg collapse, "
+    "a bad trade at any scale.",
+)
+def w_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        T(spark, sf_dir, "orders")
+        .repartition("o_custkey")
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").cast("date").alias("valid_from"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("net"))
+    )
+    w = Window.partitionBy("custkey").orderBy("valid_from")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "custkey",
+        "valid_from",
+        F.lead("valid_from").over(w).alias("valid_to"),
+        F.sum("net").over(wc).cast("string").cast("double").alias("bal"),
+    )

@@ -117,3 +117,10 @@ def test_double_exists_decorrelates_to_single_scan(spark):
     assert len(re.findall(r"FileScan parquet[^\n]*lineitem", plan)) == 1
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_scd2_history_is_single_exchange(spark):
+    # the explicit custkey repartition must serve both the day-grain agg
+    # and the window — exactly one exchange in the whole history build
+    plan = _plan(spark, "w_scd2_intervals")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
