@@ -432,3 +432,187 @@ def llm_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hit").cast("double") / F.col("n_cand")).alias("precision"),
         )
     )
+
+
+# --- N-gram LM fluency scoring ---------------------------------------------
+
+
+@query(
+    "llm_lm_fluency",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '), t -> {_POLY_DUCK.format(s='t')}) AS th
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest([struct_pack(h1 := th[i], h2 := th[i + 1])
+                     for i in generate_series(1, len(th) - 1)]) AS b
+      FROM tk
+    ),
+    dbg AS (SELECT doc_id, b.h1 AS h1, b.h2 AS h2 FROM bg),
+    uni AS (
+      SELECT unnest(th) AS h FROM tk
+    ),
+    c1 AS (SELECT h, COUNT(*) AS n1 FROM uni GROUP BY h),
+    c2 AS (SELECT h1, h2, COUNT(*) AS n2 FROM dbg GROUP BY h1, h2),
+    model AS (
+      SELECT c2.h1, c2.h2, c2.n2, c1.n1
+      FROM c2 JOIN c1 ON c1.h = c2.h1
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(m.n2) AS DOUBLE) / CAST(SUM(m.n1) AS DOUBLE) AS familiarity,
+           MIN(CAST(m.n2 AS DOUBLE) / CAST(m.n1 AS DOUBLE)) AS min_cond
+    FROM dbg d JOIN model m ON m.h1 = d.h1 AND m.h2 = d.h2
+    GROUP BY d.doc_id
+    """,
+    note="Perplexity-style fluency scoring with an in-engine bigram LM: "
+    "train MLE bigram/unigram counts over the corpus itself, then score each "
+    "document by pooled conditional frequency Σc₂/Σc₁ (familiarity) and by "
+    "its weakest transition min c₂/c₁ (the rare-bigram flag perplexity "
+    "filtering targets). Log-likelihood sums are deliberately replaced by "
+    "these exact forms: integer sums and MIN over per-row doubles are "
+    "order-independent, ln() is not cross-engine reproducible. Scale shape: "
+    "model tables are vocab-sized aggregates; every join is keyed on token "
+    "hashes (h1 or (h1,h2)) — the standard shuffle-join LM-scoring layout.",
+)
+def llm_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tk = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"transform(split(text, ' '), t -> {_POLY_SPARK.format(s='t')})").alias("th"),
+    )
+    dbg = tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(th) - 1),"
+                " i -> struct(element_at(th, i) AS h1, element_at(th, i + 1) AS h2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.h1").alias("h1"), F.col("b.h2").alias("h2"))
+    c1 = (
+        tk.select(F.explode("th").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("n1"))
+    )
+    c2 = dbg.groupBy("h1", "h2").agg(F.count("*").alias("n2"))
+    model = c2.join(c1, c2.h1 == c1.h).select("h1", "h2", "n2", "n1")
+    return (
+        dbg.join(model, ["h1", "h2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            (F.sum("n2").cast("double") / F.sum("n1").cast("double")).alias("familiarity"),
+            F.min(F.col("n2").cast("double") / F.col("n1").cast("double")).alias("min_cond"),
+        )
+    )
+
+
+# --- Co-occurrence association mining (PMI-shaped lift) --------------------
+
+_PMI_MIN_COOC = 5
+_PMI_TOPK = 25
+
+
+@query(
+    "llm_pmi_cooc",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    sg AS (
+      SELECT unnest(
+               [struct_pack(w1 := toks[i], w2 := toks[i + 1])
+                for i in generate_series(1, len(toks) - 1)]
+               || [struct_pack(w1 := toks[i], w2 := toks[i + 2])
+                   for i in generate_series(1, len(toks) - 2)]) AS p
+      FROM tk
+    ),
+    pairs AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM sg),
+    uni AS (SELECT unnest(toks) AS w FROM tk),
+    cw AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY w),
+    nt AS (SELECT COUNT(*) AS n_tok FROM uni),
+    cooc AS (
+      SELECT w1, w2, COUNT(*) AS n_ab FROM pairs GROUP BY w1, w2
+      HAVING COUNT(*) >= {_PMI_MIN_COOC}
+    ),
+    lifted AS (
+      SELECT c.w1, c.w2, c.n_ab,
+             CAST(CAST(CAST(c.n_ab AS DECIMAL(19,0)) * CAST(nt.n_tok AS DECIMAL(19,0))
+                  AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(a.n AS DECIMAL(19,0)) * CAST(b.n AS DECIMAL(19,0))
+                  AS VARCHAR) AS DOUBLE) AS lift
+      FROM cooc c
+      JOIN cw a ON a.w = c.w1
+      JOIN cw b ON b.w = c.w2
+      CROSS JOIN nt
+    )
+    SELECT w1, w2, n_ab, lift, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT w1, w2, n_ab, lift,
+             row_number() OVER (ORDER BY lift DESC, w1, w2) AS rnk
+      FROM lifted
+    ) WHERE rnk <= {_PMI_TOPK}
+    """,
+    note=f"Word-association mining (word2vec/GloVe-era preprocessing): "
+    f"skip-gram co-occurrence counts (window ≤2, linear 2× amplification — "
+    f"never per-document quadratic), PMI-shaped lift = N·c(a,b)/(c(a)·c(b)) "
+    f"for pairs with ≥{_PMI_MIN_COOC} co-occurrences, top {_PMI_TOPK} with "
+    "deterministic tie-break. The lift ratio is computed through exact "
+    "DECIMAL products VARCHAR-routed to double (log-PMI dropped for the same "
+    "reproducibility reason as elsewhere; log is monotone so the ranking is "
+    "identical). Scale shape: marginals are vocab-sized; co-occurrence agg "
+    "partial-aggregates map-side on the pair key; the top-k window runs on "
+    "the ≥min-count survivors only.",
+)
+def llm_pmi_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tk = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    sg = tk.select(
+        F.explode(
+            F.expr(
+                "concat("
+                " transform(sequence(1, size(toks) - 1),"
+                "   i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2)),"
+                " transform(sequence(1, size(toks) - 2),"
+                "   i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 2) AS w2)))"
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = tk.select(F.explode("toks").alias("w"))
+    cw = uni.groupBy("w").agg(F.count("*").alias("n"))
+    nt = uni.agg(F.count("*").alias("n_tok"))
+    cooc = (
+        sg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= _PMI_MIN_COOC)
+    )
+    a = cw.select(F.col("w").alias("w1"), F.col("n").alias("n_a"))
+    b = cw.select(F.col("w").alias("w2"), F.col("n").alias("n_b"))
+    lifted = (
+        cooc.join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            (
+                (F.col("n_ab").cast("decimal(19,0)") * F.col("n_tok").cast("decimal(19,0)"))
+                .cast("string")
+                .cast("double")
+                / (F.col("n_a").cast("decimal(19,0)") * F.col("n_b").cast("decimal(19,0)"))
+                .cast("string")
+                .cast("double")
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.col("lift").desc(), F.col("w1"), F.col("w2"))
+    return (
+        lifted.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _PMI_TOPK)
+        .select("w1", "w2", "n_ab", "lift", "rnk")
+    )

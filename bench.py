@@ -56,6 +56,11 @@ HEADLINE = [
     "stream_session_window_native",  # native session_window, 30min gap
     "j_decorrelated_exists",  # Q21 double-EXISTS folded to one window pass
     "llm_ann_recall_pq",      # PQ ADC recall vs exact cosine truth
+    "llm_dsir_importance",    # hashed-bigram DSIR importance weighting
+    "llm_lm_fluency",         # in-engine bigram-LM fluency scoring
+    "llm_pmi_cooc",           # skip-gram PMI lift, top-k associations
+    "o_cdc_merge_apply",      # MERGE-semantics changelog apply
+    "w_scd2_intervals",       # single-exchange SCD2 history build
 ]
 
 
