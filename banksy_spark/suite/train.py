@@ -124,11 +124,13 @@ def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pair")
     )
     counted = pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
+    # top-k via orderBy+limit → TakeOrderedAndProject (per-partition heaps,
+    # driver merges k rows) instead of a single-partition global window;
+    # the rank window then runs over just the k survivors.
+    top = counted.orderBy(F.col("cnt").desc(), F.col("pair")).limit(_BPE_TOPK)
     w = Window.orderBy(F.col("cnt").desc(), F.col("pair"))
-    return (
-        counted.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= _BPE_TOPK)
-        .select("pair", "cnt", "rnk")
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint")).select(
+        "pair", "cnt", "rnk"
     )
 
 
@@ -610,9 +612,11 @@ def llm_pmi_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+    # survivors of the min-count filter can still be vocab²-ish at scale:
+    # orderBy+limit plans as TakeOrderedAndProject (distributed top-k),
+    # and the rank window touches only the k rows that remain.
+    top = lifted.orderBy(F.col("lift").desc(), F.col("w1"), F.col("w2")).limit(_PMI_TOPK)
     w = Window.orderBy(F.col("lift").desc(), F.col("w1"), F.col("w2"))
-    return (
-        lifted.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= _PMI_TOPK)
-        .select("w1", "w2", "n_ab", "lift", "rnk")
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint")).select(
+        "w1", "w2", "n_ab", "lift", "rnk"
     )
