@@ -620,3 +620,60 @@ def llm_pmi_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(w).cast("bigint")).select(
         "w1", "w2", "n_ab", "lift", "rnk"
     )
+
+
+# --- Embedding generation via the hashing trick ----------------------------
+
+_FH_DIM = 8
+
+
+def _feat_hash_terms(dialect: str) -> list[str]:
+    """Per-dimension signed-count expressions over token-hash list `th`:
+    bucket = h mod DIM, sign = parity of (h div DIM)."""
+    out = []
+    for j in range(_FH_DIM):
+        body = (
+            f"CASE WHEN h % {_FH_DIM} = {j} THEN"
+            f" (CASE WHEN (h // {_FH_DIM}) % 2 = 0 THEN 1 ELSE -1 END)"
+            " ELSE 0 END"
+        )
+        if dialect == "spark":
+            body = body.replace("//", "DIV")
+            out.append(f"aggregate(transform(th, h -> {body}), 0L, (acc, v) -> acc + v)")
+        else:
+            out.append(f"list_sum(list_transform(th, h -> {body}))")
+    return out
+
+
+@query(
+    "llm_embed_feature_hash",
+    oracle=f"""
+    WITH th_t AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '), t -> {_POLY_DUCK.format(s='t')}) AS th
+      FROM documents
+    )
+    SELECT doc_id,
+           {", ".join(f"CAST({e} AS BIGINT) AS dim_{j}"
+                      for j, e in enumerate(_feat_hash_terms("duck")))}
+    FROM th_t
+    """,
+    note=f"Embedding generation via the hashing trick (signed feature "
+    f"hashing): each token's polynomial hash picks a bucket (mod {_FH_DIM}) "
+    "and a ±1 sign (div-parity), per-document dimension = signed count — "
+    "the fastText/Vowpal-Wabbit input layer as a pure expression. Width "
+    f"{_FH_DIM} is a demo constant; the shape is width-independent: a "
+    "map-only narrow scan, zero shuffles, zero UDFs — at 100 TB it runs at "
+    "scan speed next to the other per-document featurizers.",
+)
+def llm_embed_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").withColumn(
+        "th", F.expr(f"transform(split(text, ' '), t -> {_POLY_SPARK.format(s='t')})")
+    )
+    return d.select(
+        "doc_id",
+        *[
+            F.expr(e).cast("bigint").alias(f"dim_{j}")
+            for j, e in enumerate(_feat_hash_terms("spark"))
+        ],
+    )
