@@ -344,10 +344,17 @@ def _lsh_sigs(spark: SparkSession, sf_dir: str, with_hs: bool) -> DataFrame:
     re-hashes every document 3× (4 parquet scans in the physical plan,
     measured). At cluster scale this is "write sigs to a table";
     locally, persist() is the same cut."""
+    return sigs_from_docs(T(spark, sf_dir, "documents"), with_hs=with_hs).persist()
+
+
+def sigs_from_docs(docs: DataFrame, with_hs: bool = False) -> DataFrame:
+    """MinHash(16) signatures (and optional exact 2-gram shingle sets)
+    for any (doc_id, text) frame — the unpersisted core of
+    :func:`_lsh_sigs`, reused by the incremental streaming dedup
+    (streaming.dedup_incremental) on per-micro-batch frames."""
     tok_h, sig_list = _minhash_sql_parts("spark")
     d = (
-        T(spark, sf_dir, "documents")
-        .select("doc_id", F.split("text", " ").alias("toks"))
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
         .filter(F.size("toks") >= 3)
         .withColumn("th", F.expr(tok_h))
         .withColumn(
@@ -363,13 +370,12 @@ def _lsh_sigs(spark: SparkSession, sf_dir: str, with_hs: bool) -> DataFrame:
     cols = ["doc_id", "sig"] + (["hs"] if with_hs else [])
     if with_hs:
         d = d.withColumn("hs", F.expr(_SH2_SPARK))
-    return d.select(*cols).persist()
+    return d.select(*cols)
 
 
-def _band_pairs(sigs: DataFrame) -> DataFrame:
-    """Band-collision candidate pairs (doc_a < doc_b, distinct) from a
-    signature table — the LSH candidate generator both fuzzy-dedup
-    queries share. Shuffle key = (band_id, band_key); never all-pairs."""
+def band_explode(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) rows from a signature table — the LSH
+    bucket keys; band_key concatenates the band's 4 signature slots."""
     band_structs = F.array(
         *[
             F.struct(
@@ -385,9 +391,16 @@ def _band_pairs(sigs: DataFrame) -> DataFrame:
             for j in range(N_BANDS)
         ]
     )
-    bands = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
+    return sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
     )
+
+
+def _band_pairs(sigs: DataFrame) -> DataFrame:
+    """Band-collision candidate pairs (doc_a < doc_b, distinct) from a
+    signature table — the LSH candidate generator both fuzzy-dedup
+    queries share. Shuffle key = (band_id, band_key); never all-pairs."""
+    bands = band_explode(sigs)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -240,3 +240,50 @@ def test_session_window_stream_equals_batch(spark, events_dir, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_incremental_lsh_dedup_stream_equals_batch(spark, tmp_path):
+    # Ingest the corpus as 3 ordered parquet drops; the per-batch
+    # store-probe decisions must equal the all-at-once batch
+    # canonicalization (earliest-wins via min band-collider).
+    import os
+
+    import pandas as pd
+
+    from banksy_spark.streaming.dedup_incremental import (
+        batch_canonical,
+        incremental_lsh_dedup,
+        read_docs_stream,
+    )
+    from tests.conftest import SF_ORACLE
+
+    pdf = pd.read_parquet(f"{SF_ORACLE}/documents.parquet").sort_values("doc_id")
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    n = len(pdf)
+    for i in range(3):
+        part = pdf.iloc[i * n // 3 : (i + 1) * n // 3]
+        p = d / f"batch-{i}.parquet"
+        part.to_parquet(p, index=False)
+        os.utime(p, (1_000_000 + i * 60, 1_000_000 + i * 60))
+
+    stream = read_docs_stream(spark, str(d))
+    assert stream.isStreaming
+    q = incremental_lsh_dedup(
+        stream,
+        str(tmp_path / "band_store"),
+        str(tmp_path / "decisions"),
+        str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(240), "stream did not finish in time"
+
+    got = {
+        r.doc_id: (r.is_dup, r.canonical_id)
+        for r in spark.read.parquet(str(tmp_path / "decisions")).collect()
+    }
+    want = {
+        r.doc_id: (r.is_dup, r.canonical_id)
+        for r in batch_canonical(spark, SF_ORACLE).collect()
+    }
+    assert got == want
+    assert len(want) > 0 and any(v[0] for v in want.values()), "fixture has real dups"
