@@ -1040,3 +1040,170 @@ def w_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w).alias("valid_to"),
         F.sum("net").over(wc).cast("string").cast("double").alias("bal"),
     )
+
+
+# --- Histogram-sketch approximate quantiles --------------------------------
+
+_HQ_BINS = 64
+_HQ_PS = (0.25, 0.5, 0.95)
+
+
+@query(
+    "a_histogram_quantiles",
+    oracle=f"""
+    WITH rng AS (
+      SELECT l_returnflag AS flag, MIN(l_extendedprice) AS mn,
+             MAX(l_extendedprice) AS mx
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    binned AS (
+      SELECT l.l_returnflag AS flag, r.mn, r.mx,
+             CASE WHEN r.mx = r.mn OR l.l_extendedprice >= r.mx
+                  THEN {_HQ_BINS - 1}
+                  ELSE CAST(floor(((l.l_extendedprice - r.mn) / (r.mx - r.mn))
+                                  * {_HQ_BINS}.0) AS BIGINT) END AS bin
+      FROM lineitem l JOIN rng r ON r.flag = l.l_returnflag
+    ),
+    hist AS (
+      SELECT flag, mn, mx, bin, COUNT(*) AS cnt FROM binned
+      GROUP BY flag, mn, mx, bin
+    ),
+    cum AS (
+      SELECT flag, mn, mx, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY flag ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+             SUM(cnt) OVER (PARTITION BY flag) AS n
+      FROM hist
+    ),
+    want AS (SELECT unnest([{", ".join(f"CAST({p} AS DOUBLE)" for p in _HQ_PS)}]) AS p)
+    SELECT flag, p, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           mn + ((CAST(bin AS DOUBLE) + (CAST(k - (c - cnt) AS DOUBLE)
+                  / CAST(cnt AS DOUBLE))) * ((mx - mn) / {_HQ_BINS}.0)) AS est
+    FROM (
+      SELECT cum.*, want.p, CAST(ceil(want.p * cum.n) AS BIGINT) AS k
+      FROM cum CROSS JOIN want
+    )
+    WHERE c >= k AND c - cnt < k
+    """,
+    note=f"Approximate quantiles the 100 TB way: a fixed {_HQ_BINS}-bin "
+    "histogram sketch per group (two narrow aggregate passes — range, then "
+    "bin counts) and linear interpolation inside the target bin, instead of "
+    "a full sort or an exact rank pass. The bin table is (groups × bins) "
+    "rows — trivially small — so the quantile extraction window is free; "
+    "every estimate is deterministic double arithmetic with identical "
+    "association in both engines (no RNG, no engine-specific t-digest). "
+    "Companion to a_exact_percentiles, which IS the exact answer — this "
+    "query is the sketch you run when the exact rank pass is too expensive.",
+)
+def a_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"), "l_extendedprice"
+    )
+    rng = li.groupBy("flag").agg(
+        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
+    )
+    binned = li.join(F.broadcast(rng), "flag").select(
+        "flag",
+        "mn",
+        "mx",
+        F.when(
+            (F.col("mx") == F.col("mn")) | (F.col("l_extendedprice") >= F.col("mx")),
+            F.lit(_HQ_BINS - 1),
+        )
+        .otherwise(
+            F.floor(
+                ((F.col("l_extendedprice") - F.col("mn")) / (F.col("mx") - F.col("mn")))
+                * float(_HQ_BINS)
+            )
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    hist = binned.groupBy("flag", "mn", "mx", "bin").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("flag")
+    cum = hist.select(
+        "flag",
+        "mn",
+        "mx",
+        "bin",
+        "cnt",
+        F.sum("cnt")
+        .over(w.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("c"),
+        F.sum("cnt").over(w).alias("n"),
+    )
+    want = cum.crossJoin(
+        F.broadcast(
+            spark.range(1).select(
+                F.explode(F.array(*[F.lit(p) for p in _HQ_PS])).alias("p")
+            )
+        )
+    ).withColumn("k", F.ceil(F.col("p") * F.col("n")).cast("bigint"))
+    est = F.col("mn") + (
+        (
+            F.col("bin").cast("double")
+            + ((F.col("k") - (F.col("c") - F.col("cnt"))).cast("double") / F.col("cnt").cast("double"))
+        )
+        * ((F.col("mx") - F.col("mn")) / float(_HQ_BINS))
+    )
+    return want.filter((F.col("c") >= F.col("k")) & (F.col("c") - F.col("cnt") < F.col("k"))).select(
+        "flag",
+        "p",
+        F.col("n").cast("bigint").alias("n"),
+        "k",
+        est.alias("est"),
+    )
+
+
+# --- Z-order clustering key (data-layout primitive) ------------------------
+
+_Z_BITS = 16
+
+
+def _zkey_expr(dialect: str, a: str, b: str) -> str:
+    """Bit-interleave the low 16 bits of two integer columns: a's bit i
+    lands at position 2i+1, b's at 2i."""
+    if dialect == "spark":
+        terms = [
+            f"shiftleft(shiftright({a}, {i}) & 1, {2 * i + 1})"
+            f" + shiftleft(shiftright({b}, {i}) & 1, {2 * i})"
+            for i in range(_Z_BITS)
+        ]
+    else:
+        terms = [
+            f"((({a} >> {i}) & 1) << {2 * i + 1})"
+            f" + ((({b} >> {i}) & 1) << {2 * i})"
+            for i in range(_Z_BITS)
+        ]
+    return " + ".join(terms)
+
+
+@query(
+    "o_zorder_key",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_partkey, l_suppkey,
+           CAST({_zkey_expr('duck', '(l_partkey % 65536)', '(l_suppkey % 65536)')}
+                AS BIGINT) AS zkey
+    FROM lineitem
+    """,
+    note="Multi-dimensional clustering key (the Z-order/OPTIMIZE-ZORDER "
+    "layout primitive, Delta/Iceberg-style) as a pure expression: "
+    f"bit-interleave the low {_Z_BITS} bits of (partkey, suppkey) so that "
+    "rows written sorted by zkey are co-located in BOTH dimensions — "
+    "parquet row-group min/max stats then prune 2-D range predicates that "
+    "a single-column sort can only serve for its leading key. Exact "
+    "integer bit arithmetic, map-only; at 100 TB this runs inside the "
+    "write path (sortWithinPartitions(zkey)) at scan speed.",
+)
+def o_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "l_partkey",
+        "l_suppkey",
+        F.expr(_zkey_expr("spark", "(l_partkey % 65536)", "(l_suppkey % 65536)"))
+        .cast("bigint")
+        .alias("zkey"),
+    )
