@@ -123,3 +123,57 @@ def test_salted_join_matches_plain_join_on_hot_key(spark):
         .agg(F.count("*").alias("n"), F.sum(F.col("v") + F.col("w")).alias("s"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_zorder_layout_prunes_2d_boxes(spark, tmp_path):
+    """The Z-order key must earn its keep: for a 2-D range predicate,
+    a zkey-sorted layout must leave FEWER row groups un-prunable (by
+    parquet min/max stats) than a leading-column sort — the claim in
+    o_zorder_key's docstring, checked against real written footers."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from banksy_spark.suite import REGISTRY
+    from tests.conftest import SF_ORACLE
+
+    z = REGISTRY["o_zorder_key"].fn(spark, SF_ORACLE)
+    by_pk = str(tmp_path / "by_partkey")
+    by_z = str(tmp_path / "by_zkey")
+    z.orderBy("l_partkey").write.option("maxRecordsPerFile", 1000).parquet(by_pk)
+    z.orderBy("zkey").write.option("maxRecordsPerFile", 1000).parquet(by_z)
+
+    from pyspark.sql import functions as F
+
+    pmax = z.agg(
+        F.max("l_partkey").alias("pm"), F.max("l_suppkey").alias("sm")
+    ).collect()[0]
+    p_lo, p_hi = int(pmax.pm * 0.4), int(pmax.pm * 0.5)
+    s_lo, s_hi = int(pmax.sm * 0.4), int(pmax.sm * 0.5)
+
+    def must_read(d):
+        tot, hit = 0, 0
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                st = {
+                    row.column(i).path_in_schema: row.column(i).statistics
+                    for i in range(row.num_columns)
+                }
+                tot += 1
+                sp, ss = st["l_partkey"], st["l_suppkey"]
+                if (
+                    sp.min <= p_hi
+                    and sp.max >= p_lo
+                    and ss.min <= s_hi
+                    and ss.max >= s_lo
+                ):
+                    hit += 1
+        return hit, tot
+
+    pk_hit, pk_tot = must_read(by_pk)
+    z_hit, z_tot = must_read(by_z)
+    assert pk_tot == z_tot and pk_tot >= 30, "layouts must split comparably"
+    assert z_hit < pk_hit, (z_hit, pk_hit)
+    assert z_hit < z_tot // 4, "zorder should prune the large majority"
