@@ -1234,3 +1234,155 @@ def o_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         F.expr(_zkey_expr("spark", "pb", "sb")).cast("bigint").alias("zkey"),
     )
+
+
+# --- Robust outlier detection (median / MAD) -------------------------------
+
+
+@query(
+    "a_mad_outliers",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS x,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+      FROM lineitem
+    ),
+    med_t AS (
+      SELECT *, MAX(CASE WHEN rn = (cnt + 1) // 2 THEN x END)
+                  OVER (PARTITION BY flag) AS med
+      FROM ranked
+    ),
+    dev_t AS (
+      SELECT flag, x, cnt, med, abs(x - med) AS dev,
+             row_number() OVER (PARTITION BY flag
+               ORDER BY abs(x - med), x, rn) AS drn
+      FROM med_t
+    ),
+    mad_t AS (
+      SELECT *, MAX(CASE WHEN drn = (cnt + 1) // 2 THEN dev END)
+                  OVER (PARTITION BY flag) AS mad
+      FROM dev_t
+    )
+    SELECT flag, med, mad, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (dev > 3.0 * mad) AS BIGINT) AS n_outliers
+    FROM mad_t GROUP BY flag, med, mad
+    """,
+    note="Robust outlier detection via median absolute deviation: per-group "
+    "lower median (the rank form that returns an actual data value — no "
+    "interpolation, so cross-engine exact), absolute deviations, lower "
+    "median of deviations (MAD), count of dev > 3·MAD. Scale shape: every "
+    "window and the final aggregate share the group partition key, so the "
+    "whole chain is ONE exchange with in-partition re-sorts — no join-back, "
+    "no second scan. Doubles only subtract/compare (deterministic IEEE, no "
+    "accumulation-order hazard).",
+)
+def a_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("x"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    pw = Window.partitionBy("flag")
+    ranked = li.select(
+        "flag",
+        "x",
+        F.row_number().over(pw.orderBy("x", "l_orderkey", "l_linenumber")).alias("rn"),
+        F.count("*").over(pw).alias("cnt"),
+    )
+    lower_mid = F.expr("(cnt + 1) DIV 2")
+    med_t = ranked.withColumn(
+        "med", F.max(F.when(F.col("rn") == lower_mid, F.col("x"))).over(pw)
+    )
+    dev_t = med_t.select(
+        "flag",
+        "x",
+        "cnt",
+        "med",
+        F.abs(F.col("x") - F.col("med")).alias("dev"),
+        F.row_number()
+        .over(pw.orderBy(F.abs(F.col("x") - F.col("med")), "x", "rn"))
+        .alias("drn"),
+    )
+    mad_t = dev_t.withColumn(
+        "mad", F.max(F.when(F.col("drn") == lower_mid, F.col("dev"))).over(pw)
+    )
+    return mad_t.groupBy("flag", "med", "mad").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count(F.when(F.col("dev") > 3.0 * F.col("mad"), 1)).cast("bigint").alias(
+            "n_outliers"
+        ),
+    )
+
+
+# --- Ordered funnel analysis -----------------------------------------------
+
+_FUNNEL = ("view", "click", "purchase")
+
+
+@query(
+    "stream_funnel_steps",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, event_id, ts, event_type,
+             MIN(CASE WHEN event_type = '{_FUNNEL[0]}' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events
+    ),
+    s2 AS (
+      SELECT *, MIN(CASE WHEN event_type = '{_FUNNEL[1]}' AND ts > t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM s1
+    ),
+    s3 AS (
+      SELECT *, MIN(CASE WHEN event_type = '{_FUNNEL[2]}' AND ts > t2 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+      FROM s2
+    )
+    SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3,
+           CAST(CASE WHEN MIN(t3) IS NOT NULL THEN 3
+                     WHEN MIN(t2) IS NOT NULL THEN 2
+                     WHEN MIN(t1) IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS steps_completed
+    FROM s3 GROUP BY user_id
+    """,
+    note=f"Ordered funnel analysis ({' → '.join(_FUNNEL)}): per user, the "
+    "first step-1 time, the first step-2 time strictly AFTER step 1, the "
+    "first step-3 time strictly after step 2 — the sequential-dependency "
+    "pattern product analytics engines special-case, expressed as three "
+    "chained conditional-min windows. Scale shape: all three windows and "
+    "the final per-user collapse share the user_id partition — ONE exchange "
+    "end-to-end, no self-joins (the naive form is a 3-way self-join on the "
+    "events table).",
+)
+def stream_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == _FUNNEL[0], F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when((F.col("event_type") == _FUNNEL[1]) & (F.col("ts") > F.col("t1")), F.col("ts"))
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when((F.col("event_type") == _FUNNEL[2]) & (F.col("ts") > F.col("t2")), F.col("ts"))
+        ).over(w),
+    )
+    return s3.groupBy("user_id").agg(
+        F.min("t1").alias("t1"),
+        F.min("t2").alias("t2"),
+        F.min("t3").alias("t3"),
+        F.when(F.min("t3").isNotNull(), 3)
+        .when(F.min("t2").isNotNull(), 2)
+        .when(F.min("t1").isNotNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("steps_completed"),
+    )

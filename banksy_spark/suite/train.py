@@ -677,3 +677,79 @@ def llm_embed_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j, e in enumerate(_feat_hash_terms("spark"))
         ],
     )
+
+
+# --- Token-id encoding with a frozen vocab ---------------------------------
+
+_VOCAB_SIZE = 100
+
+
+@query(
+    "llm_tokenize_ids",
+    oracle=f"""
+    WITH uni AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    vocab AS (
+      SELECT term, CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS id
+      FROM (SELECT term, COUNT(*) AS cnt FROM uni GROUP BY term)
+      QUALIFY id <= {_VOCAB_SIZE}
+    ),
+    pos_t AS (
+      SELECT doc_id, unnest(generate_series(1, len(w))) AS pos, w
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    tok AS (
+      SELECT p.doc_id, p.pos, COALESCE(v.id, 0) AS id
+      FROM (SELECT doc_id, pos, w[pos] AS term FROM pos_t) p
+      LEFT JOIN vocab v ON v.term = p.term
+    )
+    SELECT doc_id,
+           string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           CAST(COUNT(*) FILTER (id = 0) AS BIGINT) AS n_oov
+    FROM tok GROUP BY doc_id
+    """,
+    note=f"Tokenization into ids with a frozen vocabulary: vocab = top "
+    f"{_VOCAB_SIZE} corpus terms (count-desc, term tie-break → stable ids), "
+    "each document becomes its ordered id sequence with OOV→0 — the "
+    "tokenize step that precedes llm_pack_sequences. Scale shape: the "
+    "vocab is a top-k aggregate (TakeOrdered, broadcastable by "
+    "construction); the encode is a broadcast hash join per exploded "
+    "token; reassembly shuffles once on doc_id with the ordered-collect "
+    "struct-sort trick (no string_agg-ORDER BY dependency in Spark).",
+)
+def llm_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uni = T(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("term")
+    )
+    counted = uni.groupBy("term").agg(F.count("*").alias("cnt"))
+    vocab = (
+        counted.orderBy(F.col("cnt").desc(), F.col("term"))
+        .limit(_VOCAB_SIZE)
+        .withColumn(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc(), F.col("term")))
+            .cast("bigint"),
+        )
+        .select("term", "id")
+    )
+    tok = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "term"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+        .join(F.broadcast(vocab), "term", "left")
+        .select("doc_id", "pos", F.coalesce("id", F.lit(0)).alias("id"))
+    )
+    return tok.groupBy("doc_id").agg(
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, CAST(id AS STRING) AS s))),"
+                " x -> x.s)"
+            ),
+            ",",
+        ).alias("ids"),
+        F.count("*").cast("bigint").alias("n_tok"),
+        F.count(F.when(F.col("id") == 0, 1)).cast("bigint").alias("n_oov"),
+    )
