@@ -61,6 +61,12 @@ HEADLINE = [
     "llm_pmi_cooc",           # skip-gram PMI lift, top-k associations
     "o_cdc_merge_apply",      # MERGE-semantics changelog apply
     "w_scd2_intervals",       # single-exchange SCD2 history build
+    "a_histogram_quantiles",  # 64-bin quantile sketch, two narrow passes
+    "a_mad_outliers",         # median/MAD robust outliers, one exchange
+    "stream_funnel_steps",    # chained conditional-min funnel windows
+    "o_zorder_key",           # normalized bit-interleave layout key
+    "llm_tokenize_ids",       # frozen-vocab token-id encoding
+    "llm_embed_feature_hash", # signed feature-hashing embedding
 ]
 
 

@@ -124,3 +124,12 @@ def test_scd2_history_is_single_exchange(spark):
     # and the window — exactly one exchange in the whole history build
     plan = _plan(spark, "w_scd2_intervals")
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_mad_and_funnel_are_single_exchange_no_join(spark):
+    # both chains claim: all windows + final agg share one partition key,
+    # so exactly one exchange and no self-joins
+    for q in ("a_mad_outliers", "stream_funnel_steps"):
+        plan = _plan(spark, q)
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, q
+        assert "Join" not in plan, q
