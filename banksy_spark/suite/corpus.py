@@ -1386,3 +1386,54 @@ def stream_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("steps_completed"),
     )
+
+
+# --- TPC-H Q18 shape: HAVING-qualified semi-join ---------------------------
+
+_Q18_THR = 150
+
+
+@query(
+    "a_q18_having_semijoin",
+    oracle=f"""
+    SELECT c.c_custkey AS custkey, c.c_name AS name, o.o_orderkey AS orderkey,
+           CAST(o.o_orderdate AS DATE) AS od,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {_Q18_THR}
+    )
+    GROUP BY 1, 2, 3, 4
+    """,
+    note=f"TPC-H Q18 shape (large-volume orders): orders whose total "
+    f"quantity exceeds {_Q18_THR}, with customer attribution. The oracle is "
+    "the classic HAVING-subquery form, which scans lineitem twice (once for "
+    "the qualifier, once for the projection sum); the Spark plan computes "
+    "the per-order quantity aggregate ONCE and reuses it as both the "
+    "qualifier and the output value — one lineitem scan — then joins orders "
+    "and broadcast-joins the customer dimension. Identical DECIMAL-summed "
+    "results, half the fact-table IO.",
+)
+def a_q18_having_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    qual = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .filter(F.col("qty") > _Q18_THR)
+    )
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        qual.join(o, qual.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("date").alias("od"),
+            F.col("qty").cast("double").alias("total_qty"),
+        )
+    )

@@ -396,3 +396,96 @@ def llm_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+# --- Hybrid retrieval: reciprocal rank fusion ------------------------------
+
+from banksy_spark.suite.llm import (  # noqa: E402
+    _CENT_DUCK,
+    _DOT_DUCK,
+    _NORM_DUCK,
+    llm_ann_ivf,
+    llm_ann_lsh_bucketed,
+)
+
+_RRF_K = 60
+_RRF_TOPK = 5
+
+
+@query(
+    "llm_rank_fusion",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, label, v, {_NORM_DUCK.format(v='v')} AS nrm FROM e),
+    nb AS (
+      SELECT vec_id, v, nrm,
+             (CASE WHEN v[1] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN v[3] > 0 THEN 1 ELSE 0 END) AS bucket
+      FROM n
+    ),
+    lsh AS (
+      SELECT qid, neighbor_id, rnk FROM (
+        SELECT q.qid, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 {_DOT_DUCK.format(a='q.qv', b='c.v')} / (q.qn * c.nrm) DESC, c.vec_id) AS rnk
+        FROM (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket FROM nb WHERE vec_id < 8) q
+        JOIN nb c USING (bucket)
+        WHERE c.vec_id <> q.qid
+      ) WHERE rnk <= 3
+    ),
+    {_CENT_DUCK},
+    ivf AS (
+      SELECT qid, neighbor_id, rnk FROM (
+        SELECT q.vec_id AS qid, a.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 {_DOT_DUCK.format(a='q.v', b='a.v')} / (q.nrm * a.nrm) DESC, a.vec_id) AS rnk
+        FROM (SELECT * FROM assigned WHERE vec_id < 8) q
+        JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.vec_id
+      ) WHERE rnk <= 3
+    ),
+    fused AS (
+      SELECT qid, neighbor_id,
+             COALESCE(1.0 / ({_RRF_K} + l.rnk), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + i.rnk), 0.0) AS rrf
+      FROM lsh l FULL JOIN ivf i USING (qid, neighbor_id)
+    )
+    SELECT qid, neighbor_id, rrf, CAST(frnk AS BIGINT) AS frnk
+    FROM (
+      SELECT qid, neighbor_id, rrf,
+             row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, neighbor_id) AS frnk
+      FROM fused
+    ) WHERE frnk <= {_RRF_TOPK}
+    """,
+    note=f"Hybrid retrieval: reciprocal rank fusion (k={_RRF_K}) of the two "
+    "approximate ANN retrievers (LSH-bucketed and IVF) — the standard way "
+    "production search blends retrievers with incomparable scores; a "
+    "candidate missing from one list contributes 0 from it. Composes the "
+    "shared ANN derivations, so the oracle re-verifies them in combination. "
+    "Scale: the fusion joins tiny per-query top-k sets on (qid, "
+    "neighbor_id); the heavy work stays in the already-bucketed ANN scans.",
+)
+def llm_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lsh = llm_ann_lsh_bucketed(spark, sf_dir).select(
+        "qid", "neighbor_id", F.col("rnk").alias("rnk_l")
+    )
+    ivf = llm_ann_ivf(spark, sf_dir).select(
+        "qid", "neighbor_id", F.col("rnk").alias("rnk_i")
+    )
+    fused = lsh.join(ivf, ["qid", "neighbor_id"], "outer").select(
+        "qid",
+        "neighbor_id",
+        (
+            F.coalesce(1.0 / (_RRF_K + F.col("rnk_l")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("rnk_i")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("rrf").desc(), F.col("neighbor_id"))
+    return (
+        fused.withColumn("frnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("frnk") <= _RRF_TOPK)
+        .select("qid", "neighbor_id", "rrf", "frnk")
+    )
