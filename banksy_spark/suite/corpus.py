@@ -1210,30 +1210,12 @@ def _zkey_expr(dialect: str, a: str, b: str) -> str:
     "(sortWithinPartitions(zkey)) at scan speed.",
 )
 def o_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = T(spark, sf_dir, "lineitem")
-    rng = li.agg(
-        F.min("l_partkey").alias("pmn"),
-        F.max("l_partkey").alias("pmx"),
-        F.min("l_suppkey").alias("smn"),
-        F.max("l_suppkey").alias("smx"),
+    from banksy_spark.operators.layout import zorder_key
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_partkey", "l_suppkey"
     )
-    norm = li.crossJoin(F.broadcast(rng)).select(
-        "l_orderkey",
-        "l_linenumber",
-        "l_extendedprice",
-        "l_partkey",
-        "l_suppkey",
-        F.expr(f"((l_partkey - pmn) * {1 << _Z_BITS}) DIV (pmx - pmn + 1)").alias("pb"),
-        F.expr(f"((l_suppkey - smn) * {1 << _Z_BITS}) DIV (smx - smn + 1)").alias("sb"),
-    )
-    return norm.select(
-        "l_orderkey",
-        "l_linenumber",
-        "l_extendedprice",
-        "l_partkey",
-        "l_suppkey",
-        F.expr(_zkey_expr("spark", "pb", "sb")).cast("bigint").alias("zkey"),
-    )
+    return zorder_key(li, ["l_partkey", "l_suppkey"], bits=_Z_BITS)
 
 
 # --- Robust outlier detection (median / MAD) -------------------------------

@@ -177,3 +177,28 @@ def test_zorder_layout_prunes_2d_boxes(spark, tmp_path):
     assert pk_tot == z_tot and pk_tot >= 30, "layouts must split comparably"
     assert z_hit < pk_hit, (z_hit, pk_hit)
     assert z_hit < z_tot // 4, "zorder should prune the large majority"
+
+
+def test_zorder_operator_n_dimensional(spark):
+    """zorder_key must generalize past 2 columns: keys stay within the
+    interleave's bit budget, every dimension influences the key, and
+    normalization makes the layout domain-width-independent."""
+    from pyspark.sql import functions as F
+
+    from banksy_spark.operators.layout import zorder_key
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("a"),
+        (F.col("id") % 1000).alias("b"),  # deliberately much wider than a
+        (F.col("id") % 13).alias("c"),
+    )
+    z = zorder_key(df, ["a", "b", "c"], bits=4)
+    rows = z.collect()
+    assert all(0 <= r.zkey < (1 << 12) for r in rows)
+    # each dimension must move the key: fixing the other two, varying
+    # one changes zkey
+    base = {(r.a, r.b, r.c): r.zkey for r in rows}
+    k0 = base[(0, 0, 0)]
+    assert base[(1, 1, 1)] != k0
+    got_cols = set(z.columns)
+    assert got_cols == {"a", "b", "c", "zkey"}, "helper cols must be dropped"
