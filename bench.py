@@ -67,6 +67,12 @@ HEADLINE = [
     "o_zorder_key",           # normalized bit-interleave layout key
     "llm_tokenize_ids",       # frozen-vocab token-id encoding
     "llm_embed_feature_hash", # signed feature-hashing embedding
+    "w_gap_fill_resample",    # per-user calendar spine + decimal ffill
+    "j_bloom_prune_join",     # broadcast bloom bit-test before exact join
+    "llm_dedup_canonical",    # cluster canonical selection after CC labels
+    "llm_sample_pps",         # systematic PPS weighted sampling
+    "a_incremental_view",     # partial-agg delta merge (IVM refresh)
+    "llm_distinct_sketch_hll",# 64-register integer-exact HLL sketch
 ]
 
 

@@ -1,0 +1,121 @@
+"""Semantic + plan checks for the round-3 scale-technique operators
+(suite.scale_ops). Oracle parity is covered by tools/check.py; these
+tests pin the properties the oracle can't see: the bloom filter really
+prunes before the join, the PPS draw hits its exact quota, the HLL
+registers merge, and the gap-fill spine is hole-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_bloom_join_broadcasts_and_prunes(spark):
+    from banksy_spark.suite import REGISTRY
+    from banksy_spark.suite.registry import T
+    from banksy_spark.suite.scale_ops import _bloom_pos
+
+    plan = (
+        REGISTRY["j_bloom_prune_join"]
+        .fn(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the two bloom word-table probes are broadcast joins
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+    # the bit test genuinely prunes: rebuild the bloom and count survivors
+    o = (
+        T(spark, SF_SMOKE, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    keys = {r[0] for r in o.collect()}
+    li = T(spark, SF_SMOKE, "lineitem").select("l_orderkey")
+    total = li.count()
+    matching = li.filter(F.col("l_orderkey").isin(keys)).count()
+    survivors = (
+        REGISTRY["j_bloom_prune_join"].fn(spark, SF_SMOKE).agg(F.sum("n_items")).collect()[0][0]
+    )
+    # exactness: the final join output equals the true match count
+    assert survivors == matching
+    assert matching < total  # the filter has something to prune
+
+
+def test_pps_quota_exact_per_stratum(spark):
+    from banksy_spark.suite import REGISTRY
+    from banksy_spark.suite.scale_ops import _PPS_K
+
+    rows = REGISTRY["llm_sample_pps"].fn(spark, SF_SMOKE).groupBy("lang").count().collect()
+    assert rows, "no strata sampled"
+    for r in rows:
+        assert r["count"] == _PPS_K, f"lang {r['lang']} drew {r['count']} != {_PPS_K}"
+
+
+def test_hll_registers_merge_and_estimate_brackets_truth(spark):
+    from banksy_spark.suite import REGISTRY
+    from banksy_spark.suite.llm import _POLY_SPARK
+    from banksy_spark.suite.registry import T
+    from banksy_spark.suite.scale_ops import _HLL_M, _rho_case
+
+    out = REGISTRY["llm_distinct_sketch_hll"].fn(spark, SF_SMOKE).collect()
+    assert len(out) == _HLL_M
+    est = out[0]["est_distinct"]
+    truth = out[0]["true_distinct"]
+    # 64 registers give ~13% standard error; 2x brackets are generous
+    assert truth / 2 <= est <= truth * 2
+
+    # mergeability: per-language registers max-merged == global registers
+    d = T(spark, SF_SMOKE, "documents")
+    hv = d.select("lang", F.explode(F.split("text", " ")).alias("tok")).select(
+        "lang", F.expr(_POLY_SPARK.format(s="tok")).alias("hv")
+    )
+    rho = F.expr(_rho_case(f"(hv DIV {_HLL_M})"))
+    per_lang = hv.groupBy("lang", (F.col("hv") % _HLL_M).alias("bucket")).agg(
+        F.max(rho).alias("r")
+    )
+    merged = {
+        r["bucket"]: r["r"]
+        for r in per_lang.groupBy("bucket").agg(F.max("r").alias("r")).collect()
+    }
+    global_regs = {r["bucket"]: r["r"] for r in out if r["r"] > 0}
+    assert merged == global_regs
+
+
+def test_gap_fill_spine_is_hole_free_and_ffilled(spark):
+    from banksy_spark.suite import REGISTRY
+
+    out = REGISTRY["w_gap_fill_resample"].fn(spark, SF_SMOKE)
+    per_user = out.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        (F.datediff(F.max("day"), F.min("day")) + 1).alias("span"),
+        F.sum(F.col("is_gap").cast("int")).alias("n_gaps"),
+    )
+    bad = per_user.filter(F.col("n") != F.col("span")).count()
+    assert bad == 0, "calendar spine has holes or duplicates"
+    assert per_user.filter(F.col("n_gaps") > 0).count() > 0, "fixture has no gaps to fill"
+    # every gap row carries a non-null forward-filled value (first day is never a gap)
+    assert out.filter(F.col("is_gap") & F.col("value_ffill").isNull()).count() == 0
+
+
+def test_incremental_view_merge_handles_disjoint_groups(spark):
+    from banksy_spark.suite import REGISTRY
+    from banksy_spark.suite.registry import T
+
+    # groups touched by only one side of the merge still come out right:
+    # compare against a direct single-pass aggregate
+    e = T(spark, SF_SMOKE, "events")
+    direct = (
+        e.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value_sum"),
+        )
+    )
+    merged = REGISTRY["a_incremental_view"].fn(spark, SF_SMOKE)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
