@@ -173,11 +173,10 @@ _EST_DUCK = " + ".join(
     f"(CASE WHEN a.sig[{i + 1}] = b.sig[{i + 1}] THEN 1 ELSE 0 END)" for i in range(16)
 )
 
-
-@query(
-    "llm_dedup_canonical",
-    oracle=f"""
-    WITH RECURSIVE {_lsh_oracle_ctes(with_hs=False)},
+# Shared DuckDB CTE chain ending in ``canon`` (doc_id, cluster_id,
+# canonical_doc_id, keep) — the oracle twin of :func:`_canonical_map`.
+# Callers prepend WITH RECURSIVE.
+_CANONICAL_CTES = f"""{_lsh_oracle_ctes(with_hs=False)},
     dup AS (
       SELECT p.doc_a, p.doc_b
       FROM pairs p
@@ -195,16 +194,25 @@ _EST_DUCK = " + ".join(
       UNION
       SELECT e.src, r.lab FROM edges e JOIN reach r ON r.doc_id = e.dst
     ),
-    labels AS (SELECT doc_id, MIN(lab) AS lab FROM reach GROUP BY doc_id)
-    SELECT doc_id, cluster_id,
-           first_value(doc_id) OVER (PARTITION BY cluster_id
-                                     ORDER BY n_chars DESC, doc_id) AS canonical_doc_id,
-           doc_id = first_value(doc_id) OVER (PARTITION BY cluster_id
-                                              ORDER BY n_chars DESC, doc_id) AS keep
-    FROM (
-      SELECT d.doc_id, COALESCE(l.lab, d.doc_id) AS cluster_id, d.n_chars
-      FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
-    )
+    labels AS (SELECT doc_id, MIN(lab) AS lab FROM reach GROUP BY doc_id),
+    canon AS (
+      SELECT doc_id, cluster_id,
+             first_value(doc_id) OVER (PARTITION BY cluster_id
+                                       ORDER BY n_chars DESC, doc_id) AS canonical_doc_id,
+             doc_id = first_value(doc_id) OVER (PARTITION BY cluster_id
+                                                ORDER BY n_chars DESC, doc_id) AS keep
+      FROM (
+        SELECT d.doc_id, COALESCE(l.lab, d.doc_id) AS cluster_id, d.n_chars
+        FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+      )
+    )"""
+
+
+@query(
+    "llm_dedup_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_CANONICAL_CTES}
+    SELECT doc_id, cluster_id, canonical_doc_id, keep FROM canon
     """,
     note="Dedup resolution, step 2: after connected components labels each duplicate "
     "cluster (llm_dedup_clusters), pick the document to KEEP — longest text wins "
@@ -217,6 +225,14 @@ _EST_DUCK = " + ".join(
     "partition exceeds the duplicate multiplicity.",
 )
 def llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _canonical_map(spark, sf_dir)
+
+
+def _canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared derivation: every document labeled with its duplicate
+    cluster (CC over the LSH dup graph; singletons = own id) and the
+    cluster's canonical doc (longest n_chars, doc_id tiebreak).
+    Columns: doc_id, cluster_id, canonical_doc_id, keep."""
     from banksy_spark.operators.graph import connected_components
     from banksy_spark.suite.llm import _band_pairs, _lsh_sigs
     from banksy_spark.suite.llm_extra import _CC_ROUNDS
@@ -421,4 +437,156 @@ def llm_distinct_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_scaled",
         F.expr("_num DIV (1000 * s_scaled)").alias("est_distinct"),
         "true_distinct",
+    )
+
+
+# --- Time-weighted average (TWAP-style) ------------------------------------
+
+
+@query(
+    "w_time_weighted_avg",
+    oracle="""
+    SELECT user_id, day, n_intervals,
+           CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(den AS DOUBLE) AS twa
+    FROM (
+      SELECT user_id, day,
+             COUNT(dt) AS n_intervals,
+             SUM(CAST(value AS DECIMAL(18,6)) * CAST(dt AS DECIMAL(20,0))) AS num,
+             CAST(SUM(dt) AS BIGINT) AS den
+      FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day, value,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                        ORDER BY ts, event_id) - epoch_us(ts) AS dt
+        FROM events
+      )
+      GROUP BY 1, 2
+    )
+    WHERE den > 0
+    """,
+    note="Time-weighted average (TWAP shape): each observation is weighted by the "
+    "integer microseconds it was in force (until the key's next event that day); the "
+    "numerator accumulates value x duration as exact DECIMAL, the denominator as "
+    "BIGINT, and only the final ratio touches floating point (the wide-decimal -> "
+    "double conversion is string-routed per the registry parity rule). This is the "
+    "operator behind duration-weighted prices, session-weighted engagement, and "
+    "time-in-state metrics. Scale: one window + one aggregate, both keyed on "
+    "(user_id, day) — a single exchange; irregular sampling needs no resample pass.",
+)
+def w_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    dt = F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+    weighted = e.select(
+        "user_id",
+        "day",
+        "value",
+        dt.alias("dt"),
+    )
+    agg = (
+        weighted.groupBy("user_id", "day")
+        .agg(
+            F.count("dt").alias("n_intervals"),
+            F.sum(
+                F.col("value").cast("decimal(18,6)") * F.col("dt").cast("decimal(20,0)")
+            ).alias("num"),
+            F.sum("dt").alias("den"),
+        )
+        .filter(F.col("den") > 0)
+    )
+    return agg.select(
+        "user_id",
+        "day",
+        "n_intervals",
+        F.expr("CAST(CAST(num AS STRING) AS DOUBLE) / CAST(den AS DOUBLE)").alias("twa"),
+    )
+
+
+# --- End-to-end corpus cleaning (the composed training-data pipeline) ------
+
+
+@query(
+    "llm_corpus_clean",
+    oracle=f"""
+    WITH RECURSIVE {_CANONICAL_CTES},
+    exact AS (
+      SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS exact_keep
+      FROM documents
+    ),
+    qual AS (
+      SELECT doc_id, n_tok, stop_ratio FROM (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+               len(list_filter(string_split(text, ' '), t -> t IN ('a', 'the')))
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+        FROM documents
+      )
+    ),
+    bench AS (
+      SELECT array_to_string(string_split(text, ' ')[1:5], ' ') AS phrase
+      FROM documents WHERE doc_id = 0
+    )
+    SELECT d.doc_id,
+           CASE WHEN NOT e.exact_keep THEN 'exact_dup'
+                WHEN d.doc_id <> c.canonical_doc_id THEN 'near_dup'
+                WHEN q.n_tok < 20 THEN 'too_short'
+                WHEN q.n_tok > 380 THEN 'too_long'
+                WHEN q.stop_ratio > 0.12 THEN 'too_stoppy'
+                WHEN contains(d.text, b.phrase) THEN 'contaminated'
+                ELSE 'keep' END AS reason,
+           CASE WHEN NOT e.exact_keep THEN 'exact_dup'
+                WHEN d.doc_id <> c.canonical_doc_id THEN 'near_dup'
+                WHEN q.n_tok < 20 THEN 'too_short'
+                WHEN q.n_tok > 380 THEN 'too_long'
+                WHEN q.stop_ratio > 0.12 THEN 'too_stoppy'
+                WHEN contains(d.text, b.phrase) THEN 'contaminated'
+                ELSE 'keep' END = 'keep' AS keep
+    FROM documents d
+    JOIN exact e ON e.doc_id = d.doc_id
+    JOIN canon c ON c.doc_id = d.doc_id
+    JOIN qual q ON q.doc_id = d.doc_id
+    CROSS JOIN bench b
+    """,
+    note="The composed training-data cleaning pipeline, one DAG: exact dedup (md5 "
+    "keep-first) -> fuzzy dedup canonical selection (MinHash-LSH candidates -> CC "
+    "clusters -> longest-wins) -> quality gate (length + stopword density) -> "
+    "benchmark decontamination (broadcast phrase set), with a first-match-wins "
+    "reason code per document. This is the 'switch your corpus pipeline to this "
+    "engine' query: every stage is the already-verified operator, composed exactly "
+    "as a 100 TB run would compose them — hash/candidate shuffles only, dimension "
+    "sides broadcast, no all-pairs anywhere.",
+)
+def llm_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    exact_keep = F.col("doc_id") == F.min("doc_id").over(
+        Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    )
+    exact = d.select("doc_id", exact_keep.alias("exact_keep"))
+    canon = _canonical_map(spark, sf_dir).select("doc_id", "canonical_doc_id")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    stop_ratio = F.size(
+        F.expr("filter(split(text, ' '), t -> t IN ('a', 'the'))")
+    ) / n_tok.cast("double")
+    qual = d.select("doc_id", n_tok.alias("n_tok"), stop_ratio.alias("stop_ratio"))
+    bench = (
+        d.filter(F.col("doc_id") == 0)
+        .select(F.array_join(F.slice(F.split("text", " "), 1, 5), " ").alias("phrase"))
+    )
+    joined = (
+        d.select("doc_id", "text")
+        .join(exact, "doc_id")
+        .join(canon, "doc_id")
+        .join(qual, "doc_id")
+        .crossJoin(F.broadcast(bench))
+    )
+    reason = (
+        F.when(~F.col("exact_keep"), "exact_dup")
+        .when(F.col("doc_id") != F.col("canonical_doc_id"), "near_dup")
+        .when(F.col("n_tok") < 20, "too_short")
+        .when(F.col("n_tok") > 380, "too_long")
+        .when(F.col("stop_ratio") > 0.12, "too_stoppy")
+        .when(F.col("text").contains(F.col("phrase")), "contaminated")
+        .otherwise("keep")
+    )
+    return joined.select(
+        "doc_id", reason.alias("reason"), (reason == "keep").alias("keep")
     )

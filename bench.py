@@ -73,6 +73,8 @@ HEADLINE = [
     "llm_sample_pps",         # systematic PPS weighted sampling
     "a_incremental_view",     # partial-agg delta merge (IVM refresh)
     "llm_distinct_sketch_hll",# 64-register integer-exact HLL sketch
+    "w_time_weighted_avg",    # duration-weighted mean, one exchange
+    "llm_corpus_clean",       # composed dedup+quality+decontam pipeline
 ]
 
 

@@ -1,0 +1,54 @@
+"""Partitioning-invariance: suite results must be bit-identical under
+different shuffle-partition counts. This is the local stand-in for the
+100 TB claim that AQE may retune reducer counts freely — DECIMAL sums,
+deterministic tie-breaks, and hash-derived keys make the result a pure
+function of the data, not of the physical split.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+# One representative per risk class: grouped decimal sums, global-ish
+# windows, sampling, banded fuzzy dedup, calendar gap fill, IVM merge.
+PROBES = [
+    "a_grouped_sum",
+    "llm_sample_pps",
+    "llm_dedup_minhash_lsh",
+    "w_gap_fill_resample",
+    "a_incremental_view",
+    "w_time_weighted_avg",
+]
+
+
+def _digest(df) -> str:
+    cols = sorted(df.columns)
+    lines = sorted(
+        "\x1f".join(repr(r[c]) for c in cols) for r in df.collect()
+    )
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+@pytest.mark.parametrize("name", PROBES)
+def test_result_invariant_under_shuffle_partitions(spark, name):
+    from banksy_spark.suite import REGISTRY
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        d3 = _digest(REGISTRY[name].fn(spark, SF_SMOKE))
+        spark.catalog.clearCache()
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        d17 = _digest(REGISTRY[name].fn(spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+        spark.catalog.clearCache()
+    assert d3 == d17, f"{name} result depends on shuffle partitioning"
