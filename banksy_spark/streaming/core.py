@@ -21,18 +21,32 @@ EVENTS_SCHEMA = (
     "value double, props string"
 )
 
+EVENTS_SCHEMA_US = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
 
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over events parquet files.
 
-    Same nano-timestamp accommodation as the batch reader
-    (suite.registry.T): ts arrives as nanosecond longs, becomes a
-    microsecond timestamp.
+    Same timestamp accommodation as the batch reader (suite.registry.T):
+    NANOS files arrive as nanosecond longs (truncated to micros), MICROS
+    files as TIMESTAMP_NTZ (cast to session-TZ timestamp; the session is
+    pinned UTC so wall-clock is unchanged). The file precision is probed
+    with a one-file batch scan before the stream is declared.
     """
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
-    return raw.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    probe = dict(spark.read.parquet(events_dir).dtypes).get("ts", "bigint")
+    if probe == "bigint":
+        raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+        return raw.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+    raw = spark.readStream.schema(EVENTS_SCHEMA_US).parquet(events_dir)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_daily_counts(events: DataFrame, watermark: str = "1 day") -> DataFrame:

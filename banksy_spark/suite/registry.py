@@ -47,9 +47,11 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
      - ANSI off: suite semantics are the reference's coercing pandas
        semantics (SURVEY §4.3.5), and the driver's session may default
        ANSI on (Spark 4).
-     - events.ts is parquet TIMESTAMP(NANOS), which the vectorized
-       reader rejects; read it as nano-longs and convert to a
-       microsecond timestamp (truncation matches DuckDB's ns→us).
+     - events.ts precision varies by testdata generation: TIMESTAMP(NANOS)
+       (vectorized reader rejects it → read as nano-longs, truncate to
+       micros like DuckDB does) or TIMESTAMP(MICROS) (arrives as
+       TIMESTAMP_NTZ → cast to session-TZ timestamp; identical wall-clock
+       under the pinned UTC session).
     """
     spark.conf.set("spark.sql.ansi.enabled", "false")
     # DuckDB reads the naive parquet timestamps as wall-clock; a Spark
@@ -60,7 +62,12 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return raw.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+        ts_type = dict(raw.dtypes)["ts"]
+        if ts_type == "bigint":  # NANOS file read under nanosAsLong
+            return raw.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+            )
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
