@@ -51,6 +51,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-plan downstream of persisted frames (iterative ops:
+        # connected components, IVF centroid loops keep cached inputs);
+        # default false pins cached-plan output partitioning and leaves
+        # 3x32-partition union stages unoalesced over tiny graphs
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

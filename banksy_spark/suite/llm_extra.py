@@ -38,10 +38,15 @@ _EST_DUCK = " + ".join(
 # Fixed propagation rounds. Min-label over the open neighborhood
 # converges in diameter(G) rounds; LSH dup components are near-cliques
 # (every member collides with the canonical doc in some band), so real
-# diameters are 1-3. Eight rounds is a 2.6× margin over anything the
+# diameters are 1-3. Six rounds is a 2× margin over anything the
 # oracle has ever produced, and the oracle (true transitive closure via
 # recursive CTE) fails the hash check if a chain ever outruns it.
-_CC_ROUNDS = 8
+# (Measured: each round costs ~0.9 s of local stage overhead on a
+# 456-edge graph — pure fixed cost, so the budget is kept tight.
+# Pointer-jumping shortcuts were tried and rejected: they double reach
+# on id-monotone chains but an adversarial id permutation defeats them
+# at distance 8, so they add cost without a worst-case guarantee.)
+_CC_ROUNDS = 6
 
 
 @query(
