@@ -23,5 +23,6 @@ from banksy_spark.suite import corpus  # noqa: E402,F401
 from banksy_spark.suite import train  # noqa: E402,F401
 from banksy_spark.suite import core  # noqa: E402,F401
 from banksy_spark.suite import scale_ops  # noqa: E402,F401
+from banksy_spark.suite import round4  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "query"]

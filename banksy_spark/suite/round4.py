@@ -1,0 +1,415 @@
+"""Round-4 extension operators: decorrelated argmin join (TPC-H Q2
+shape), small-file compaction planning, deterministic epoch shuffle,
+multimodal frame windowing, fold-exact EWMA, count-min-sketch heavy
+hitters, and KMV sketch algebra.
+
+Same parity rules as the rest of the suite (registry.py docstring):
+integer/decimal arithmetic wherever an aggregate is involved; row-level
+double expressions written with identical association in both engines
+(float literals spelled ``e0`` in DuckDB so they bind as DOUBLE, not
+DECIMAL); every computed column aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from banksy_spark.suite.llm import _POLY_DUCK, _POLY_SPARK
+from banksy_spark.suite.registry import T, query
+
+# --- TPC-H Q2-shaped correlated argmin, window-decorrelated ----------------
+
+
+@query(
+    "j_argmin_supplier",
+    oracle="""
+    SELECT l_partkey, l_suppkey, CAST(tq AS DOUBLE) AS total_qty
+    FROM (
+      SELECT l_partkey, l_suppkey, tq, MIN(tq) OVER (PARTITION BY l_partkey) AS mn
+      FROM (
+        SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS tq
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+      )
+    ) WHERE tq = mn
+    """,
+    note="TPC-H Q2 shape (reference query family: correlated MIN subquery per "
+    "group): for every part, the supplier(s) shipping the minimum total quantity. "
+    "The correlated subquery is decorrelated into one grouped aggregate plus one "
+    "window MIN over the SAME partition key — the group-by exchange on "
+    "(l_partkey, l_suppkey) already co-locates each part, so the window adds no "
+    "second shuffle. Quantities route through DECIMAL so the per-part minimum is "
+    "an exact comparison, immune to partial-agg order. Scale: one exchange over "
+    "lineitem, then partition-local sort; no join back to the fact table.",
+)
+def j_argmin_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    # One explicit exchange on l_partkey: hash(l_partkey) satisfies the
+    # grouped agg's clustered distribution on (l_partkey, l_suppkey)
+    # (subset partitioning co-locates the full key) AND the window's
+    # partitioning — without it Catalyst plans two exchanges (verified).
+    agg = (
+        li.repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("tq"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        agg.withColumn("mn", F.min("tq").over(w))
+        .filter(F.col("tq") == F.col("mn"))
+        .select("l_partkey", "l_suppkey", F.col("tq").cast("double").alias("total_qty"))
+    )
+
+
+# --- Small-file compaction planner -----------------------------------------
+
+_COMPACT_TARGET = 4096  # bytes per output bin
+
+
+@query(
+    "o_compaction_plan",
+    oracle=f"""
+    SELECT source, doc_id, n_chars,
+           CAST((cum - n_chars) // {_COMPACT_TARGET} AS BIGINT) AS bin_id
+    FROM (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents
+    )
+    """,
+    note="Small-files compaction planner: pack each partition's files (documents "
+    "stand in for file-manifest rows, n_chars for file bytes) into ~4 KiB output "
+    "bins by running-sum assignment — bin_id = prefix-bytes DIV target, the greedy "
+    "first-fit-in-order plan. All-integer window over the natural partition key. "
+    "Scale: this is the manifest-side planning step of OPTIMIZE/compaction on a "
+    "lake table — the planner reads only the file listing (candidates for a 100 TB "
+    "table are ~10^6 manifest rows, not the data); executing the plan is then "
+    "`repartition(bin_id)` writes with each bin one output file.",
+)
+def o_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_chars").over(w)
+    return d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        ((cum - F.col("n_chars")) / _COMPACT_TARGET).cast("bigint").alias("bin_id"),
+    )
+
+
+# --- Deterministic per-epoch shuffle + sharding ----------------------------
+
+_N_EPOCHS, _N_SHARDS = 2, 8
+
+
+@query(
+    "llm_epoch_shuffle",
+    oracle=f"""
+    SELECT epoch, shard_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY epoch, shard_id ORDER BY sort_key, doc_id)
+             AS pos
+    FROM (
+      SELECT e.epoch, d.doc_id,
+             md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(e.epoch AS VARCHAR))
+               AS sort_key,
+             ({_POLY_DUCK.format(
+                 s="CAST(d.doc_id AS VARCHAR) || ':' || CAST(e.epoch AS VARCHAR)"
+             )}) % {_N_SHARDS} AS shard_id
+      FROM documents d, (SELECT unnest(range(0, {_N_EPOCHS})) AS epoch) e
+    )
+    """,
+    note="Deterministic cross-epoch training shuffle: every epoch gets an "
+    "independent pseudo-random global order (md5 of doc_id:epoch) and an "
+    "independent shard assignment (shared polynomial hash mod shards), with "
+    "within-shard positions from a rank window. Content of the permutation "
+    "depends only on (doc_id, epoch) — re-running on re-ingested or re-partitioned "
+    "data yields byte-identical epochs, which is what makes training runs "
+    "reproducible. Scale: shard_id is the shuffle key (uniform by construction — "
+    "no skew possible), each shard sorts locally; writing shard files is "
+    "partitionBy(epoch, shard_id) with one sorted file per shard.",
+)
+def llm_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    epochs = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(_N_EPOCHS - 1))).alias("epoch")
+    )
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("epoch").cast("string"))
+    keyed = epochs.select(
+        "epoch",
+        "doc_id",
+        F.md5(key.cast("binary")).alias("sort_key"),
+        (F.expr(_POLY_SPARK.format(s="concat(CAST(doc_id AS STRING), ':', CAST(epoch AS STRING))")) % _N_SHARDS).alias(
+            "shard_id"
+        ),
+    )
+    w = Window.partitionBy("epoch", "shard_id").orderBy("sort_key", "doc_id")
+    return keyed.select(
+        "epoch", "shard_id", "doc_id", F.row_number().over(w).alias("pos")
+    )
+
+
+# --- Multimodal frame windowing (audio-style fixed hop) --------------------
+
+_FRAME_BYTES, _FRAME_HOP = 32, 16
+
+_PAYLOAD_HEX_DUCK = "repeat(sha256(text), (length(text) % 5) + 1)"
+
+
+@query(
+    "llm_audio_frames",
+    oracle=f"""
+    SELECT doc_id, CAST(s // {_FRAME_HOP} AS BIGINT) AS frame_id,
+           CAST(s AS BIGINT) AS start_byte,
+           CAST(s + {_FRAME_BYTES} AS BIGINT) AS end_byte,
+           substr(hexp, s * 2 + 1, {_FRAME_BYTES * 2}) AS frame_hex
+    FROM (
+      SELECT doc_id, {_PAYLOAD_HEX_DUCK} AS hexp,
+             octet_length(unhex({_PAYLOAD_HEX_DUCK})) AS n
+      FROM documents
+    ) t, LATERAL (SELECT unnest(range(0, t.n - {_FRAME_BYTES - 1}, {_FRAME_HOP})) AS s) u
+    """,
+    note="Multimodal frame windowing: slice an opaque binary media payload into "
+    "fixed-size overlapping frames (32-byte frames, 16-byte hop — the audio "
+    "frame/hop pattern) entirely JVM-side: sequence() generates per-row frame "
+    "starts, explode() lateralizes them, substring() slices the real binary "
+    "(the payload is raw sha256 digest bytes — roughly half the positions are "
+    "invalid UTF-8, so this is true binary slicing, not text). The decode of each "
+    "frame is the stubbed codec hook (operators/udfs.py); the plumbing a frame "
+    "featurizer needs — schema, per-frame rows, byte offsets — is exercised and "
+    "oracle-checked via the hex projection. Scale: narrow map-side op, no "
+    "shuffle; frames-per-row is bounded by payload size so no explode blowup.",
+)
+def llm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.suite.llm import binary_payload
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", binary_payload().alias("payload")
+    )
+    d = d.withColumn("n", F.octet_length("payload"))
+    frames = d.select(
+        "doc_id",
+        "payload",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - _FRAME_BYTES, F.lit(_FRAME_HOP))
+        ).alias("s"),
+    )
+    return frames.select(
+        "doc_id",
+        (F.col("s") / _FRAME_HOP).cast("bigint").alias("frame_id"),
+        F.col("s").cast("bigint").alias("start_byte"),
+        (F.col("s") + _FRAME_BYTES).cast("bigint").alias("end_byte"),
+        F.lower(
+            F.hex(F.expr(f"substring(payload, s + 1, {_FRAME_BYTES})"))
+        ).alias("frame_hex"),
+    )
+
+
+# --- Fold-exact exponentially weighted moving average ----------------------
+
+
+@query(
+    "w_ewma",
+    oracle="""
+    SELECT event_id, user_id,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE), l),
+                       (acc, x) -> acc * 0.75e0 + 0.25e0 * x) AS ewma
+    FROM (
+      SELECT event_id, user_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l
+      FROM events
+    )
+    """,
+    note="Exponentially weighted moving average (alpha=0.25, zero-seeded) per "
+    "user in event-time order. EWMA is a recursive definition, which SQL windows "
+    "cannot express directly; both engines compute it as an ordered fold — "
+    "collect the frame into a list, fold acc*0.75 + 0.25*x left-to-right — so "
+    "the IEEE operation sequence is identical and results are bit-exact "
+    "(DuckDB's list_reduce seeds with the first element, so the oracle prepends "
+    "the 0.0 seed to align with Spark's aggregate()). Scale: one exchange on "
+    "user_id; the fold is partition-local. The frame list grows with per-user "
+    "history — at 100 TB bound it with a trailing ROWS window (EWMA weights "
+    "below ~1e-16 of current are dead weight, so 128 rows is exact to double "
+    "precision).",
+)
+def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lst = F.collect_list("value").over(w)
+    ewma = F.aggregate(
+        lst, F.lit(0.0), lambda acc, x: acc * F.lit(0.75) + F.lit(0.25) * x
+    )
+    return e.select("event_id", "user_id", ewma.alias("ewma"))
+
+
+# --- Count-min-sketch heavy hitters ----------------------------------------
+
+_CMS_W = 64  # counters per row
+_CMS_AB = [(31, 7), (37, 11), (41, 13), (43, 17)]  # (A, B) per hash row
+_CMS_P = 1_000_000_007
+
+
+def _cms_cell_spark(col: str, r: int) -> F.Column:
+    a, b = _CMS_AB[r]
+    return ((F.col(col) * a + b) % _CMS_P) % _CMS_W
+
+
+def _cms_cell_duck(col: str, r: int) -> str:
+    a, b = _CMS_AB[r]
+    return f"((({col} * {a} + {b}) % {_CMS_P}) % {_CMS_W})"
+
+
+@query(
+    "a_heavy_hitters_cms",
+    oracle=f"""
+    WITH cells AS (
+      {" UNION ALL ".join(
+          f"SELECT {r} AS r, {_cms_cell_duck('user_id', r)} AS cell, COUNT(*) AS cnt"
+          f" FROM events GROUP BY 2"
+          for r in range(4)
+      )}
+    ),
+    probes AS (
+      {" UNION ALL ".join(
+          f"SELECT user_id, {r} AS r, {_cms_cell_duck('user_id', r)} AS cell"
+          f" FROM (SELECT DISTINCT user_id FROM events)"
+          for r in range(4)
+      )}
+    ),
+    est AS (
+      SELECT p.user_id, MIN(c.cnt) AS est_cnt
+      FROM probes p JOIN cells c ON c.r = p.r AND c.cell = p.cell
+      GROUP BY p.user_id
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM events)
+    SELECT user_id, CAST(est_cnt AS BIGINT) AS est_cnt
+    FROM est, tot WHERE est_cnt * 64 >= n
+    """,
+    note="Count-min-sketch heavy hitters: a 4x64 integer counter grid (pairwise "
+    "hash rows (A*k+B) mod P mod 64), point estimate = MIN over the key's four "
+    "cells, report keys estimated above 1/64 of total traffic. The sketch update "
+    "is a map-side-combinable grouped count over 256 cells TOTAL — at 100 TB the "
+    "shuffle carries at most 256 rows per mapper regardless of key cardinality, "
+    "which is the entire point of CMS; the probe side joins the (tiny, "
+    "broadcastable) grid back to candidate keys. Estimates are exact integers — "
+    "over-count only, never under — so the oracle matches bit-for-bit. Production "
+    "swaps the fixed candidate probe for the same sketch shipped to a serving "
+    "layer.",
+)
+def a_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events").select("user_id")
+    cell_structs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"), _cms_cell_spark("user_id", r).alias("cell")
+            )
+            for r in range(4)
+        ]
+    )
+    cells = (
+        e.select(F.explode(cell_structs).alias("c"))
+        .groupBy(F.col("c.r").alias("r"), F.col("c.cell").alias("cell"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    probes = (
+        e.distinct()
+        .select("user_id", F.explode(cell_structs).alias("c"))
+        .select("user_id", F.col("c.r").alias("r"), F.col("c.cell").alias("cell"))
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["r", "cell"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    tot = e.groupBy().agg(F.count("*").alias("n"))
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .filter(F.col("est_cnt") * _CMS_W >= F.col("n"))
+        .select("user_id", F.col("est_cnt").cast("bigint").alias("est_cnt"))
+    )
+
+
+# --- KMV sketch algebra: cross-stratum set overlap -------------------------
+
+_KMV_K = 32
+
+
+@query(
+    "llm_kmv_algebra",
+    oracle=f"""
+    WITH th AS (
+      SELECT DISTINCT source, h FROM (
+        SELECT source, {_POLY_DUCK.format(s="t.term")} AS h
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+              FROM documents) t
+        WHERE t.term <> ''
+      )
+    ),
+    ranked AS (
+      SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+      FROM th
+    ),
+    sk AS (
+      SELECT source, list_sort(list(h)) AS mins FROM ranked
+      WHERE rk <= {_KMV_K} GROUP BY source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(u[{_KMV_K}] AS BIGINT) AS theta_union,
+           CAST(len(list_filter(list_intersect(a.mins, b.mins), x -> x <= u[{_KMV_K}]))
+                AS DOUBLE) / {_KMV_K} AS j_est
+    FROM (SELECT a.source, a.mins, b.source AS bsource, b.mins AS bmins,
+                 list_sort(list_distinct(a.mins || b.mins)) AS u
+          FROM sk a JOIN sk b ON a.source < b.source) t(source, mins, bsource, bmins, u),
+         LATERAL (SELECT t.source, t.mins) a(source, mins),
+         LATERAL (SELECT t.bsource, t.bmins) b(source, mins)
+    """,
+    note="Sketch algebra: per-source KMV (k-minimum-values, k=32) sketches of the "
+    "token-hash vocabulary, then pairwise Jaccard estimates BETWEEN sketches — "
+    "union sketch = k smallest of the merged min-sets, estimate = |shared hashes "
+    "under the union threshold| / k. This is how a 100 TB pipeline compares "
+    "vocabulary overlap across crawls/sources without ever joining the raw "
+    "token sets: each source reduces to 32 integers (mergeable, associative), "
+    "the cross-source comparison is a broadcast join of sketch rows. Integer "
+    "hashes end-to-end make the estimate deterministic and oracle-exact.",
+)
+def llm_kmv_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    terms = (
+        d.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .select("source", F.expr(_POLY_SPARK.format(s="term")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        terms.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KMV_K)
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("h")).alias("mins"))
+    )
+    a = sk.select(F.col("source").alias("source_a"), F.col("mins").alias("mins_a"))
+    b = sk.select(F.col("source").alias("source_b"), F.col("mins").alias("mins_b"))
+    pairs = a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+    u = F.sort_array(F.array_distinct(F.concat("mins_a", "mins_b")))
+    theta = F.element_at(u, _KMV_K)
+    shared = F.size(
+        F.filter(
+            F.array_intersect("mins_a", "mins_b"), lambda x: x <= F.element_at(u, _KMV_K)
+        )
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        theta.cast("bigint").alias("theta_union"),
+        (shared.cast("double") / _KMV_K).alias("j_est"),
+    )

@@ -75,6 +75,12 @@ HEADLINE = [
     "llm_distinct_sketch_hll",# 64-register integer-exact HLL sketch
     "w_time_weighted_avg",    # duration-weighted mean, one exchange
     "llm_corpus_clean",       # composed dedup+quality+decontam pipeline
+    "j_argmin_supplier",      # Q2-shaped argmin, single exchange
+    "w_ewma",                 # fold-exact EWMA per user
+    "a_heavy_hitters_cms",    # count-min sketch heavy hitters
+    "llm_kmv_algebra",        # KMV sketch union/intersection algebra
+    "llm_epoch_shuffle",      # deterministic epoch shuffle + sharding
+    "llm_audio_frames",       # binary frame windowing, map-side only
 ]
 
 

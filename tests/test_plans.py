@@ -133,3 +133,26 @@ def test_mad_and_funnel_are_single_exchange_no_join(spark):
         plan = _plan(spark, q)
         assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, q
         assert "Join" not in plan, q
+
+
+def test_argmin_supplier_is_single_exchange(spark):
+    # Q2 shape: the explicit l_partkey repartition must serve both the
+    # (l_partkey, l_suppkey) grouped agg and the per-part MIN window
+    plan = _plan(spark, "j_argmin_supplier")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_cms_probe_side_broadcasts_grid(spark):
+    # the 256-cell sketch grid must broadcast to the probe join; the
+    # fact-side update path is a single map-side-combinable aggregation
+    plan = _plan(spark, "a_heavy_hitters_cms")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_audio_frames_no_shuffle(spark):
+    # frame windowing is a pure map-side explode — no exchange at all
+    plan = _plan(spark, "llm_audio_frames")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
