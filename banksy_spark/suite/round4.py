@@ -413,3 +413,209 @@ def llm_kmv_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         theta.cast("bigint").alias("theta_union"),
         (shared.cast("double") / _KMV_K).alias("j_est"),
     )
+
+
+# --- Integer-exact PageRank over the part-supplier graph -------------------
+
+_PR_S = 1_000_000_000_000  # rank scale (fixed-point, 12 digits)
+_PR_ITERS = 4
+
+_PR_EDGES_DUCK = """
+    edges AS (
+      SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+      UNION
+      SELECT l_suppkey * 2 + 1, l_partkey * 2 FROM lineitem
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(DISTINCT src) AS n FROM edges)"""
+
+
+def _pr_iter_duck(k: int) -> str:
+    prev = f"pr{k - 1}" if k > 1 else "pr0"
+    return f"""
+    pr{k} AS (
+      SELECT e.dst AS node,
+             (3 * {_PR_S}) // (20 * nn.n) + (17 * SUM(p.r // d.outdeg)) // 20 AS r
+      FROM {prev} p JOIN edges e ON e.src = p.node JOIN deg d ON d.src = p.node, nn
+      GROUP BY e.dst, nn.n
+    )"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    WITH {_PR_EDGES_DUCK},
+    pr0 AS (SELECT src AS node, {_PR_S} // nn.n AS r
+            FROM (SELECT DISTINCT src FROM edges), nn),
+    {",".join(_pr_iter_duck(k) for k in range(1, _PR_ITERS + 1))}
+    SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM pr{_PR_ITERS}
+    """,
+    note="PageRank (damping 0.85, 4 fixed iterations) over the bipartite "
+    "part-supplier graph from lineitem, in FIXED-POINT integer arithmetic: ranks "
+    "are scaled by 1e12, contributions are floor-divided by out-degree, the "
+    "damping is the rational 17/20 — so the result is bit-exact under ANY "
+    "partitioning or summation order (the float formulation would drift with "
+    "partial-agg order; decimal division rounds differently across engines). "
+    "The oracle is 4 chained CTE iterations of the identical integer recurrence. "
+    "Same iterative-as-fixed-depth-lazy-plan design as connected components "
+    "(operators/graph.py): no driver loop, no action during construction; the "
+    "node count enters as a broadcast 1-row aggregate, never a .count(). Scale: "
+    "each iteration shuffles contribution rows on dst — the edge list, degree "
+    "table, and rank vector all partition on node id; at 100 TB this is vanilla "
+    "Pregel-style PageRank with |E| shuffle rows per iteration.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        (F.col("l_partkey") * 2).alias("src"), (F.col("l_suppkey") * 2 + 1).alias("dst")
+    )
+    rev = li.select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"), (F.col("l_partkey") * 2).alias("dst")
+    )
+    edges = fwd.union(rev).distinct().persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ed = edges.join(deg, "src").persist()
+    nn = edges.select("src").distinct().groupBy().agg(F.count("*").alias("n"))
+    # Integer floor-division (DIV) end-to-end: float "/" then cast would
+    # truncate a rounded double, which diverges from the oracle's "//".
+    ranks = (
+        edges.select("src").distinct()
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("src").alias("node"),
+            F.expr(f"CAST({_PR_S} AS BIGINT) DIV n").alias("r"),
+        )
+    )
+    for _ in range(_PR_ITERS):
+        contribs = (
+            ed.join(ranks.withColumnRenamed("node", "_s"), F.col("src") == F.col("_s"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("r DIV outdeg")).alias("c"))
+        )
+        ranks = contribs.crossJoin(F.broadcast(nn)).select(
+            "node",
+            F.expr(
+                f"CAST({3 * _PR_S} AS BIGINT) DIV (20 * n) + (17 * c) DIV 20"
+            ).alias("r"),
+        )
+    return ranks.select("node", F.col("r").cast("bigint").alias("rank_scaled"))
+
+
+# --- Scalable global row numbering (no single-partition window) ------------
+
+_GRN_BUCKETS = 64
+
+
+@query(
+    "o_global_rownum",
+    oracle="""
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sort_key, doc_id) AS global_rn
+    FROM (SELECT doc_id, md5(text) AS sort_key FROM documents)
+    """,
+    note="Global ordinal assignment WITHOUT the scale-killer: a naive "
+    "row_number() OVER (ORDER BY key) is a single-partition window — one task "
+    "sorts 100 TB. Here the sort key's top byte buckets rows (md5 is uniform, so "
+    "64 buckets are balanced), per-bucket counts build an offset table (64 rows, "
+    "broadcast), and the global ordinal = bucket offset + intra-bucket "
+    "row_number — two bounded shuffles, every window partitioned. The oracle IS "
+    "the naive form, proving the decomposition exact. Same pattern scales to "
+    "sharded file naming, stable sampling frames, and pagination keys.",
+)
+def o_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("sort_key")
+    )
+    # bucket = top md5 byte DIV 4 → 64 buckets that are MONOTONE in the
+    # sort key (a modulo here would interleave buckets and break the
+    # cross-bucket order the offsets assume)
+    bucket = F.expr("CAST(conv(substring(sort_key, 1, 2), 16, 10) AS BIGINT) DIV 4")
+    keyed = d.withColumn("bucket", bucket)
+    counts = keyed.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # the offset window runs over 64 rows total — single partition is FINE here
+    offsets = counts.select(
+        "bucket", (F.sum("cnt").over(w_off) - F.col("cnt")).alias("off")
+    )
+    w_local = Window.partitionBy("bucket").orderBy("sort_key", "doc_id")
+    return (
+        keyed.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            (F.col("off") + F.row_number().over(w_local)).alias("global_rn"),
+        )
+    )
+
+
+# --- Multimodal image patch grid (ViT-style tiling) ------------------------
+
+_PATCH = 8  # patch side in "pixels" (1 byte per pixel in the fake geometry)
+
+
+@query(
+    "llm_image_patches",
+    oracle=f"""
+    SELECT doc_id, width, height,
+           CAST(py AS BIGINT) AS patch_row, CAST(px AS BIGINT) AS patch_col,
+           CAST((py * (width // {_PATCH}) + px) AS BIGINT) AS patch_id,
+           CAST((py * {_PATCH} * width + px * {_PATCH}) AS BIGINT) AS byte_offset
+    FROM (
+      SELECT doc_id,
+             16 + (octet_length(unhex({_PAYLOAD_HEX_DUCK})) % 17) * 8 AS width,
+             16 + ((octet_length(unhex({_PAYLOAD_HEX_DUCK})) * 7) % 13) * 8 AS height
+      FROM documents
+    ) g, LATERAL (SELECT unnest(range(0, g.height // {_PATCH})) AS py) r,
+         LATERAL (SELECT unnest(range(0, g.width // {_PATCH})) AS px) c
+    """,
+    note="ViT-style image patch tiling: from each image's (width, height) "
+    "metadata (deterministic fake geometry derived from the binary payload — the "
+    "codec itself is the stubbed hook), emit the full 8x8-patch grid with "
+    "row-major patch ids and byte offsets into the raw buffer. The 2-D grid is "
+    "two chained sequence()+explode lateralizations — pure map-side, no shuffle, "
+    "patches-per-image bounded by geometry. This is the exact row shape a "
+    "patch-embedding Pandas UDF consumes (doc_id, patch_id, byte_offset), and "
+    "the offsets are oracle-checked so the plumbing is proven before any codec "
+    "is plugged in.",
+)
+def llm_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.suite.llm import binary_payload
+
+    g = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", F.octet_length(binary_payload()).alias("nb"))
+        .select(
+            "doc_id",
+            (16 + (F.col("nb") % 17) * 8).alias("width"),
+            (16 + ((F.col("nb") * 7) % 13) * 8).alias("height"),
+        )
+    )
+    rows = g.select(
+        "doc_id",
+        "width",
+        "height",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("height") / _PATCH).cast("bigint") - 1)
+        ).alias("py"),
+    )
+    cells = rows.select(
+        "doc_id",
+        "width",
+        "height",
+        "py",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("width") / _PATCH).cast("bigint") - 1)
+        ).alias("px"),
+    )
+    n_cols = (F.col("width") / _PATCH).cast("bigint")
+    return cells.select(
+        "doc_id",
+        "width",
+        "height",
+        F.col("py").cast("bigint").alias("patch_row"),
+        F.col("px").cast("bigint").alias("patch_col"),
+        (F.col("py") * n_cols + F.col("px")).cast("bigint").alias("patch_id"),
+        (F.col("py") * _PATCH * F.col("width") + F.col("px") * _PATCH)
+        .cast("bigint")
+        .alias("byte_offset"),
+    )

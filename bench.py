@@ -81,6 +81,9 @@ HEADLINE = [
     "llm_kmv_algebra",        # KMV sketch union/intersection algebra
     "llm_epoch_shuffle",      # deterministic epoch shuffle + sharding
     "llm_audio_frames",       # binary frame windowing, map-side only
+    "graph_pagerank",         # fixed-point integer PageRank, 4 iterations
+    "o_global_rownum",        # bucketed global ordinal, no global sort
+    "llm_image_patches",      # ViT patch grid, 2-level explode
 ]
 
 

@@ -156,3 +156,19 @@ def test_audio_frames_no_shuffle(spark):
     plan = _plan(spark, "llm_audio_frames")
     assert "Exchange hashpartitioning" not in plan
     assert "Join" not in plan
+
+
+def test_global_rownum_avoids_global_sort_window(spark):
+    # the decomposition's contract: 2 bounded exchanges + broadcast of
+    # the 64-row offset table — never a full-data single-partition sort
+    plan = _plan(spark, "o_global_rownum")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+    assert "BroadcastHashJoin" in plan
+    # the only SinglePartition exchange allowed is the 64-row offset agg
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_image_patches_map_only(spark):
+    plan = _plan(spark, "llm_image_patches")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
