@@ -619,3 +619,160 @@ def llm_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("byte_offset"),
     )
+
+
+# --- Iterative BPE tokenizer training (2 merge rounds, lazy fixed-depth) ---
+
+_BPE_ROUNDS = 2
+
+_BPE_SYMS_DUCK = "string_split(trim(sym, '()'), ')(')"
+_BPE_SYMS_SPARK = "split(trim(BOTH '()' FROM sym), '\\\\)\\\\(')"
+
+
+def _bpe_vocab_duck() -> str:
+    return """
+    vocab AS (
+      SELECT w AS word, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE regexp_matches(w, '^[a-z]+$')
+      GROUP BY w
+    ),
+    s0 AS (
+      SELECT word, cnt,
+             '(' || array_to_string(string_split(word, ''), ')(') || ')' AS sym
+      FROM vocab
+    )"""
+
+
+def _bpe_round_duck(k: int) -> str:
+    prev = f"s{k - 1}"
+    return f"""
+    p{k} AS (
+      SELECT syms[i] AS a, syms[i + 1] AS b, SUM(cnt) AS w
+      FROM (SELECT cnt, {_BPE_SYMS_DUCK} AS syms FROM {prev}) t,
+           LATERAL (SELECT unnest(range(1, len(t.syms))) AS i) u
+      GROUP BY 1, 2
+    ),
+    top{k} AS (SELECT a, b FROM p{k} ORDER BY w DESC, a, b LIMIT 1),
+    s{k} AS (
+      SELECT word, cnt,
+             replace(sym, '(' || t.a || ')(' || t.b || ')', '(' || t.a || t.b || ')')
+               AS sym
+      FROM {prev}, top{k} t
+    )"""
+
+
+@query(
+    "llm_bpe_merges",
+    oracle=f"""
+    WITH {_bpe_vocab_duck()},
+    {",".join(_bpe_round_duck(k) for k in range(1, _BPE_ROUNDS + 1))}
+    SELECT s.word, s.cnt, s.sym AS syms,
+           t1.a || '+' || t1.b AS merge_1, t2.a || '+' || t2.b AS merge_2
+    FROM s{_BPE_ROUNDS} s, top1 t1, top2 t2
+    """,
+    note="BPE tokenizer training, the actual iterative algorithm (not just pair "
+    "stats): two merge rounds, each = count weighted adjacent symbol pairs over "
+    "the word vocabulary -> pick the global argmax pair (count desc, lexical "
+    "tiebreak) -> apply the merge to every word. The merge application is exact "
+    "greedy left-to-right non-overlapping, done JVM-side: symbols render as "
+    "'(h)(e)(l)(l)(o)' and replace('(l)(l)' -> '(ll)') is non-overlapping in "
+    "both engines because matches share no characters (a space-separated "
+    "rendering WOULD overlap on the shared separator and silently skip merges). "
+    "Like connected components and PageRank, the loop is a fixed-depth lazy "
+    "plan: the argmax pair enters each round as a broadcast 1-row aggregate, "
+    "never a .collect(). Scale: pair counting is a map-side explode + one "
+    "alphabet^2-bounded shuffle per round over the VOCAB (distinct words), not "
+    "the corpus; the merge is a pure map stage. Real trainers run ~50k rounds "
+    "incrementally on the pair-count delta; the per-round plan shape is this "
+    "one.",
+)
+def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy(F.col("w").alias("word"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    s = vocab.withColumn(
+        "sym", F.concat(F.lit("("), F.expr("array_join(split(word, ''), ')(')"), F.lit(")"))
+    )
+    tops = []
+    for _ in range(_BPE_ROUNDS):
+        syms = F.expr(_BPE_SYMS_SPARK)
+        pairs = (
+            s.select("cnt", syms.alias("syms"))
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        # element_at is 1-based like the oracle's list index
+                        # (bracket subscripts would be 0-based in Spark);
+                        # single-symbol words get an empty pair list — a bare
+                        # sequence(1, 0) would count DOWN and index 0
+                        "transform(CASE WHEN size(syms) >= 2"
+                        "            THEN sequence(1, size(syms) - 1)"
+                        "            ELSE array() END,"
+                        " i -> struct(element_at(syms, i) AS a,"
+                        "             element_at(syms, i + 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("w"))
+        )
+        top = pairs.orderBy(F.desc("w"), "a", "b").limit(1).select("a", "b")
+        tops.append(top)
+        s = s.crossJoin(F.broadcast(top)).select(
+            "word",
+            "cnt",
+            F.expr(
+                "replace(sym, '(' || a || ')(' || b || ')', '(' || a || b || ')')"
+            ).alias("sym"),
+        )
+    t1 = tops[0].select(F.concat("a", F.lit("+"), "b").alias("merge_1"))
+    t2 = tops[1].select(F.concat("a", F.lit("+"), "b").alias("merge_2"))
+    return (
+        s.crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select("word", "cnt", F.col("sym").alias("syms"), "merge_1", "merge_2")
+    )
+
+
+# --- Rank-function family coverage -----------------------------------------
+
+
+@query(
+    "w_rank_family",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+           CAST(PERCENT_RANK() OVER w AS DOUBLE) AS prnk,
+           CAST(CUME_DIST() OVER w AS DOUBLE) AS cdist,
+           NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    note="The remaining rank-function family in one partitioned pass: rank, "
+    "dense_rank, percent_rank, cume_dist, nth_value — per customer by price. "
+    "percent_rank/cume_dist are exact rational ratios of integer ranks, so "
+    "doubles agree bit-for-bit. All five share ONE window spec -> one exchange "
+    "+ one sort; the tie-broken total order makes every value deterministic. "
+    "Scale: partition key is the shuffle key; nothing global.",
+)
+def w_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).cast("double").alias("prnk"),
+        F.cume_dist().over(w).cast("double").alias("cdist"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_key"),
+    )

@@ -84,6 +84,8 @@ HEADLINE = [
     "graph_pagerank",         # fixed-point integer PageRank, 4 iterations
     "o_global_rownum",        # bucketed global ordinal, no global sort
     "llm_image_patches",      # ViT patch grid, 2-level explode
+    "llm_bpe_merges",         # 2-round BPE training, broadcast argmax pair
+    "w_rank_family",          # 5 rank functions, one window spec
 ]
 
 

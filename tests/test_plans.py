@@ -172,3 +172,11 @@ def test_image_patches_map_only(spark):
     plan = _plan(spark, "llm_image_patches")
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_bpe_merge_rounds_broadcast_argmax(spark):
+    # each round's argmax pair must enter as a broadcast 1-row relation;
+    # the merge application itself must never shuffle the vocab again
+    plan = _plan(spark, "llm_bpe_merges")
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
