@@ -776,3 +776,222 @@ def w_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).cast("double").alias("cdist"),
         F.nth_value("o_orderkey", 2).over(w_full).alias("second_key"),
     )
+
+
+# --- Data-quality constraint report (Deequ-style audit) --------------------
+
+
+@query(
+    "dq_constraint_report",
+    oracle="""
+    WITH m AS (
+      SELECT COUNT(*) AS row_count,
+             COUNT(*) - COUNT(DISTINCT l_orderkey || '-' || l_linenumber
+                               || '-' || l_extendedprice) AS key_dupes,
+             SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+               AS discount_out_of_range,
+             SUM(CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN 1 ELSE 0 END)
+               AS nonpositive_qty,
+             SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END)
+               AS bad_returnflag
+      FROM lineitem
+    ),
+    orphan AS (
+      SELECT COUNT(*) AS orphan_lines
+      FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey IS NULL
+    )
+    SELECT c.constraint_name, c.metric, c.metric = 0 AS passed
+    FROM m, orphan, LATERAL (
+      SELECT * FROM (VALUES
+        ('key_dupes', m.key_dupes),
+        ('discount_out_of_range', m.discount_out_of_range),
+        ('nonpositive_qty', m.nonpositive_qty),
+        ('bad_returnflag', m.bad_returnflag),
+        ('orphan_lines', orphan.orphan_lines)
+      ) t(constraint_name, metric)
+    ) c
+    """,
+    note="Deequ-style data-quality audit in two passes: ONE aggregate scan "
+    "computes all row-local constraint metrics simultaneously (dupes of the "
+    "natural key, domain-range violations, null/nonpositive measures, dictionary "
+    "membership), and one broadcast anti-join counts referential orphans against "
+    "the orders dimension; the per-constraint report rows unpivot from the "
+    "single metric row. Output contract: (constraint_name, metric, passed) — "
+    "metric 0 means clean. Scale: adding a constraint adds a column to the SAME "
+    "aggregate, not a pass; at 100 TB the audit costs one scan regardless of "
+    "constraint count, which is why it belongs in the engine rather than as N "
+    "ad-hoc queries.",
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").select("o_orderkey")
+    key = F.concat_ws("-", "l_orderkey", "l_linenumber", "l_extendedprice")
+    m = li.agg(
+        F.count("*").alias("row_count"),
+        (F.count("*") - F.countDistinct(key)).alias("key_dupes"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1).otherwise(0)
+        ).alias("discount_out_of_range"),
+        F.sum(
+            F.when(F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0), 1).otherwise(0)
+        ).alias("nonpositive_qty"),
+        F.sum(
+            F.when(~F.col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0)
+        ).alias("bad_returnflag"),
+    )
+    orphan = (
+        li.select("l_orderkey")
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("orphan_lines"))
+    )
+    row = m.crossJoin(orphan)
+    report = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("constraint_name"), F.col(c).alias("metric")
+                    )
+                    for c in (
+                        "key_dupes",
+                        "discount_out_of_range",
+                        "nonpositive_qty",
+                        "bad_returnflag",
+                        "orphan_lines",
+                    )
+                ]
+            )
+        ).alias("c")
+    )
+    return report.select(
+        F.col("c.constraint_name").alias("constraint_name"),
+        F.col("c.metric").cast("bigint").alias("metric"),
+        (F.col("c.metric") == 0).alias("passed"),
+    )
+
+
+# --- Weekly retention cohorts ----------------------------------------------
+
+
+@query(
+    "a_retention_cohorts",
+    oracle="""
+    WITH firstw AS (
+      SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week FROM events
+      GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.week) // 7 AS BIGINT)
+             AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM act a JOIN firstw f ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+    note="Retention cohort grid: users cohorted by first-activity ISO week, "
+    "counted distinct per (cohort_week, week_offset). Classic product-analytics "
+    "operator; the reference's pandas equivalent would be a pivot over "
+    "groupbys. Shape: two aggregations over events both keyed on user_id — the "
+    "first exchange co-locates users, the cohort join is user-local, and only "
+    "the (cohort, offset) grid (weeks², tiny) leaves the second stage. "
+    "date_trunc('week') is ISO-Monday in both engines; the offset is exact "
+    "integer day arithmetic.",
+)
+def a_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cast to DATE: DuckDB's date_trunc('week') is a DATE, Spark's a timestamp
+    e = T(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    )
+    firstw = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    act = e.distinct()
+    return (
+        act.join(firstw, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# --- Markov transition matrix over event sequences -------------------------
+
+
+@query(
+    "stream_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS to_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT from_type, to_type, COUNT(*) AS n FROM seq
+      WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
+    FROM cnt
+    """,
+    note="First-order Markov transition matrix over per-user event sequences: "
+    "lead() pairs each event with its successor (tie-broken total order), pair "
+    "counts aggregate, and probabilities row-normalize by a window over the "
+    "tiny transition table. The division is BIGINT/BIGINT→DOUBLE — one IEEE op, "
+    "bit-identical across engines, no sum-of-doubles anywhere. Scale: the "
+    "sequence window shuffles on user_id (same key as sessionization); the "
+    "transition matrix itself is |event_types|² rows, so normalization is "
+    "effectively free. This is the sequence-model statistic a behavior-cloning "
+    "or synthetic-data pipeline computes per corpus slice.",
+)
+def stream_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    wn = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wn)).alias("p"),
+    )
+
+
+# --- COUNT(DISTINCT) over a window (dense_rank workaround) -----------------
+
+
+@query(
+    "w_distinct_over_window",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(DISTINCT event_type) OVER (PARTITION BY user_id) AS n_types
+    FROM events
+    """,
+    note="COUNT(DISTINCT) OVER a window — a real engine gap: Spark rejects "
+    "DISTINCT inside window aggregates, DuckDB supports it natively (and is the "
+    "oracle). The engine form is the dense_rank identity: dense_rank ordered by "
+    "the value within the partition reaches max = the distinct count, and a "
+    "second unordered window broadcasts that max to every row. Two window "
+    "passes over ONE exchange (same partition key, the sort reorders "
+    "partition-locally). This identity is load-bearing all over the suite "
+    "(sign audits, nunique filters); here it is isolated and named so a user "
+    "migrating DISTINCT-window SQL knows the rewrite.",
+)
+def w_distinct_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    wr = Window.partitionBy("user_id").orderBy("event_type")
+    wa = Window.partitionBy("user_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.max(F.dense_rank().over(wr)).over(wa).alias("n_types"),
+    )

@@ -86,6 +86,10 @@ HEADLINE = [
     "llm_image_patches",      # ViT patch grid, 2-level explode
     "llm_bpe_merges",         # 2-round BPE training, broadcast argmax pair
     "w_rank_family",          # 5 rank functions, one window spec
+    "dq_constraint_report",   # one-pass multi-constraint quality audit
+    "a_retention_cohorts",    # weekly cohort retention grid
+    "stream_markov_transitions",  # lead-pair transition matrix
+    "w_distinct_over_window", # dense_rank distinct-count workaround
 ]
 
 
