@@ -995,3 +995,144 @@ def w_distinct_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.max(F.dense_rank().over(wr)).over(wa).alias("n_types"),
     )
+
+
+# --- Point-in-time (temporal) lookup against SCD2 history ------------------
+
+
+@query(
+    "j_temporal_scd2_lookup",
+    oracle="""
+    WITH daily AS (
+      SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS valid_from,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS net
+      FROM orders GROUP BY 1, 2
+    ),
+    hist AS (
+      SELECT custkey, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY custkey ORDER BY valid_from)
+               AS valid_to,
+             CAST(CAST(SUM(net) OVER (PARTITION BY custkey ORDER BY valid_from
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR)
+                  AS DOUBLE) AS bal
+      FROM daily
+    ),
+    probes AS (
+      SELECT o.o_custkey AS custkey, CAST(l.l_shipdate AS DATE) AS ship_date,
+             l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT p.l_orderkey, p.l_linenumber, p.custkey, p.ship_date, h.bal AS bal_asof
+    FROM probes p LEFT JOIN hist h
+      ON h.custkey = p.custkey AND h.valid_from <= p.ship_date
+     AND (h.valid_to IS NULL OR p.ship_date < h.valid_to)
+    """,
+    note="Point-in-time (temporal) lookup: every shipped line item fetches the "
+    "customer's running balance AS OF its ship date from the SCD2 validity "
+    "intervals built by w_scd2_intervals. The oracle states it as the textbook "
+    "BETWEEN-interval join; the engine form NEVER runs an inequality join — it "
+    "unions interval-start rows and probe rows, sorts per custkey by (date, "
+    "kind) with interval rows winning date ties, and forward-fills the last "
+    "seen balance onto probes: one exchange + one partition-local sort, the "
+    "same asof-as-union shape as stream_asof_join. Probes before a customer's "
+    "first interval keep NULL. Scale: an interval join at 100 TB either "
+    "explodes (range-bucketed) or serializes (broadcast); the union form costs "
+    "exactly one fact-sized shuffle keyed on custkey.",
+)
+def j_temporal_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    daily = (
+        o.groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").cast("date").alias("valid_from"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("net"))
+    )
+    wv = Window.partitionBy("custkey").orderBy("valid_from")
+    wc = wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist = daily.select(
+        "custkey",
+        F.col("valid_from").alias("d"),
+        F.sum("net").over(wc).cast("string").cast("double").alias("bal"),
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("bigint").alias("l_orderkey"),
+        F.lit(None).cast("int").alias("l_linenumber"),
+    )
+    probes = (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_shipdate").cast("date").alias("d"),
+            F.lit(None).cast("double").alias("bal"),
+            F.lit(1).alias("is_probe"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    u = hist.unionByName(probes)
+    wf = (
+        Window.partitionBy("custkey")
+        .orderBy("d", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumn("bal_asof", F.last("bal", ignorenulls=True).over(wf))
+    return filled.filter(F.col("is_probe") == 1).select(
+        "l_orderkey",
+        "l_linenumber",
+        "custkey",
+        F.col("d").alias("ship_date"),
+        "bal_asof",
+    )
+
+
+# --- Video keyframe sampling (stride by per-clip fps) ----------------------
+
+
+@query(
+    "llm_video_keyframes",
+    oracle=f"""
+    SELECT doc_id, fps, CAST(k AS BIGINT) AS key_id,
+           CAST(k * fps AS BIGINT) AS frame_idx,
+           CAST((k * fps * 1000) // fps AS BIGINT) AS ts_ms
+    FROM (
+      SELECT doc_id, octet_length(unhex({_PAYLOAD_HEX_DUCK})) AS n_frames,
+             4 + (octet_length(unhex({_PAYLOAD_HEX_DUCK})) % 4) AS fps
+      FROM documents
+    ) v, LATERAL (SELECT unnest(range(0, (v.n_frames - 1) // v.fps + 1)) AS k) u
+    """,
+    note="Video keyframe sampling: each clip's binary payload stands for a "
+    "frame buffer (1 byte/frame) with per-clip fps metadata; sample one "
+    "keyframe per second — every fps-th frame — emitting (key_id, frame_idx, "
+    "ts_ms) with integer-exact millisecond timestamps. Completes the multimodal "
+    "sampling trio (audio hop frames, image patch grids, video stride "
+    "keyframes); all three are sequence+explode map-side plans whose per-row "
+    "fan-out is bounded by the media geometry, and all three feed the same "
+    "stubbed-codec mapInPandas hook. Zero shuffles.",
+)
+def llm_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.suite.llm import binary_payload
+
+    v = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", F.octet_length(binary_payload()).alias("n_frames"))
+        .select(
+            "doc_id",
+            "n_frames",
+            (4 + (F.col("n_frames") % 4)).alias("fps"),
+        )
+    )
+    keys = v.select(
+        "doc_id",
+        "fps",
+        F.explode(
+            F.sequence(F.lit(0), F.expr("(n_frames - 1) DIV fps"))
+        ).alias("k"),
+    )
+    return keys.select(
+        "doc_id",
+        "fps",
+        F.col("k").cast("bigint").alias("key_id"),
+        (F.col("k") * F.col("fps")).cast("bigint").alias("frame_idx"),
+        F.expr("(k * fps * 1000) DIV fps").cast("bigint").alias("ts_ms"),
+    )

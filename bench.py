@@ -90,6 +90,8 @@ HEADLINE = [
     "a_retention_cohorts",    # weekly cohort retention grid
     "stream_markov_transitions",  # lead-pair transition matrix
     "w_distinct_over_window", # dense_rank distinct-count workaround
+    "j_temporal_scd2_lookup", # point-in-time asof vs SCD2, union form
+    "llm_video_keyframes",    # stride keyframe sampling, map-side
 ]
 
 

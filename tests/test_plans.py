@@ -180,3 +180,14 @@ def test_bpe_merge_rounds_broadcast_argmax(spark):
     plan = _plan(spark, "llm_bpe_merges")
     assert plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_temporal_lookup_has_no_inequality_join(spark):
+    # the asof-as-union contract: one equi-join (orderkey -> custkey
+    # enrichment), zero range/nested-loop joins, balance fill by window
+    plan = _plan(spark, "j_temporal_scd2_lookup")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) == 1
+    assert "Window" in plan
