@@ -22,6 +22,12 @@ PROBES = [
     "w_gap_fill_resample",
     "a_incremental_view",
     "w_time_weighted_avg",
+    # round-4 order-sensitive classes: bucketed global ordinals, epoch
+    # permutations, fixed-point graph iteration, fold-based EWMA
+    "o_global_rownum",
+    "llm_epoch_shuffle",
+    "graph_pagerank",
+    "w_ewma",
 ]
 
 
