@@ -1136,3 +1136,192 @@ def llm_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k") * F.col("fps")).cast("bigint").alias("frame_idx"),
         F.expr("(k * fps * 1000) DIV fps").cast("bigint").alias("ts_ms"),
     )
+
+
+# --- Feature engineering: exact quantile binning ---------------------------
+
+# Nearest-rank (ceil(p*n)) quartile bounds per l_returnflag group, then
+# bin assignment by broadcast join — the QuantileDiscretizer shape with
+# exact, reproducible bounds instead of approxQuantile's epsilon.
+
+_QB_DUCK_BOUNDS = """
+    ranked AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS x,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    bounds AS (
+      SELECT flag,
+             MIN(CASE WHEN rk = (n + 3) // 4 THEN x END) AS q1,
+             MIN(CASE WHEN rk = (n + 1) // 2 THEN x END) AS q2,
+             MIN(CASE WHEN rk = (3 * n + 3) // 4 THEN x END) AS q3
+      FROM ranked GROUP BY flag
+    )"""
+
+
+@query(
+    "ml_quantile_binning",
+    oracle=f"""
+    WITH {_QB_DUCK_BOUNDS}
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice,
+           CASE WHEN l.l_extendedprice <= b.q1 THEN 0
+                WHEN l.l_extendedprice <= b.q2 THEN 1
+                WHEN l.l_extendedprice <= b.q3 THEN 2
+                ELSE 3 END AS bin
+    FROM lineitem l JOIN bounds b ON b.flag = l.l_returnflag
+    """,
+    note="Feature binning with EXACT quantile bounds (QuantileDiscretizer "
+    "shape): per-group nearest-rank quartiles (ceil(p*n) over a tie-broken "
+    "total order — pure integer rank arithmetic, so bounds are reproducible "
+    "run-to-run, unlike approxQuantile's epsilon-dependent output), then bin "
+    "assignment by broadcasting the 3-values-per-group bounds table back over "
+    "the fact. Scale: one exchange for the rank window; the bounds table is "
+    "|groups|×3 and always broadcasts; at 100 TB swap the exact ranks for the "
+    "histogram sketch (a_histogram_quantiles) without touching the assignment "
+    "side.",
+)
+def ml_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    wr = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("x"),
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    bounds = ranked.groupBy("flag").agg(
+        F.min(F.when(F.col("rk") == F.expr("(n + 3) DIV 4"), F.col("x"))).alias("q1"),
+        F.min(F.when(F.col("rk") == F.expr("(n + 1) DIV 2"), F.col("x"))).alias("q2"),
+        F.min(F.when(F.col("rk") == F.expr("(3 * n + 3) DIV 4"), F.col("x"))).alias("q3"),
+    )
+    binned = li.join(F.broadcast(bounds), li.l_returnflag == bounds.flag)
+    bin_col = (
+        F.when(F.col("l_extendedprice") <= F.col("q1"), 0)
+        .when(F.col("l_extendedprice") <= F.col("q2"), 1)
+        .when(F.col("l_extendedprice") <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return binned.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice",
+        bin_col.alias("bin"),
+    )
+
+
+# --- Feature engineering: z-score standardization --------------------------
+
+
+@query(
+    "ml_zscore_scaling",
+    oracle="""
+    WITH mom AS (
+      SELECT l_returnflag AS flag, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+                  AS DOUBLE) AS s,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+                  AS DOUBLE) AS ssq
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           (l.l_extendedprice - m.s / m.n)
+             / sqrt(m.ssq / m.n - (m.s / m.n) * (m.s / m.n)) AS z
+    FROM lineitem l JOIN mom m ON m.flag = l.l_returnflag
+    """,
+    note="Per-group z-score standardization (StandardScaler shape) from EXACT "
+    "decimal moments: sum and sum-of-squares accumulate as DECIMAL (associative "
+    "— partial-agg order cannot perturb them), convert to double through their "
+    "string form (the correctly-rounded parse both engines share), and the "
+    "mean/variance/sqrt arithmetic is then an identical IEEE sequence, so z "
+    "values match bit-for-bit. sqrt is IEEE-correctly-rounded in both engines. "
+    "Scale: one grouped agg + broadcast of the |groups|-row moment table; the "
+    "same moments feed correlation (a_corr_manual) and outlier ops.",
+)
+def ml_zscore_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    mom = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("*").alias("n"),
+        F.sum(dec).cast("string").cast("double").alias("s"),
+        F.sum(dec * dec).cast("string").cast("double").alias("ssq"),
+    )
+    j = li.join(F.broadcast(mom), li.l_returnflag == mom.flag)
+    mean = F.col("s") / F.col("n")
+    z = (F.col("l_extendedprice") - mean) / F.sqrt(
+        F.col("ssq") / F.col("n") - mean * mean
+    )
+    return j.select("l_orderkey", "l_linenumber", "l_returnflag", z.alias("z"))
+
+
+# --- Feature engineering: winsorization (p05/p95 clip) ---------------------
+
+
+@query(
+    "ml_winsorize",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS x,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    bounds AS (
+      SELECT flag,
+             MIN(CASE WHEN rk = (n + 19) // 20 THEN x END) AS lo,
+             MIN(CASE WHEN rk = (19 * n + 19) // 20 THEN x END) AS hi
+      FROM ranked GROUP BY flag
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           l.l_extendedprice AS x,
+           CASE WHEN l.l_extendedprice < b.lo THEN b.lo
+                WHEN l.l_extendedprice > b.hi THEN b.hi
+                ELSE l.l_extendedprice END AS x_wins,
+           l.l_extendedprice < b.lo OR l.l_extendedprice > b.hi AS clipped
+    FROM lineitem l JOIN bounds b ON b.flag = l.l_returnflag
+    """,
+    note="Winsorization: clip each group's values at exact nearest-rank "
+    "p05/p95 (ceil(p*n), tie-broken order — same integer-rank machinery as "
+    "ml_quantile_binning, different consumer). The robust companion to "
+    "ml_zscore_scaling: winsorize first, then scale, and heavy tails cannot "
+    "dominate the moments. Shape: one rank-window exchange, bounds broadcast "
+    "back, clip is a pure map expression. No value leaves its group's "
+    "partition except the 2-number bounds row.",
+)
+def ml_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    wr = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("x"),
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    bounds = ranked.groupBy("flag").agg(
+        F.min(F.when(F.col("rk") == F.expr("(n + 19) DIV 20"), F.col("x"))).alias("lo"),
+        F.min(F.when(F.col("rk") == F.expr("(19 * n + 19) DIV 20"), F.col("x"))).alias("hi"),
+    )
+    j = li.join(F.broadcast(bounds), li.l_returnflag == bounds.flag)
+    clipped = (F.col("l_extendedprice") < F.col("lo")) | (
+        F.col("l_extendedprice") > F.col("hi")
+    )
+    x_wins = (
+        F.when(F.col("l_extendedprice") < F.col("lo"), F.col("lo"))
+        .when(F.col("l_extendedprice") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("l_extendedprice"))
+    )
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.col("l_extendedprice").alias("x"),
+        x_wins.alias("x_wins"),
+        clipped.alias("clipped"),
+    )

@@ -92,6 +92,9 @@ HEADLINE = [
     "w_distinct_over_window", # dense_rank distinct-count workaround
     "j_temporal_scd2_lookup", # point-in-time asof vs SCD2, union form
     "llm_video_keyframes",    # stride keyframe sampling, map-side
+    "ml_quantile_binning",    # exact-rank quartile bins, broadcast bounds
+    "ml_zscore_scaling",      # decimal-moment z-scores, bit-exact
+    "ml_winsorize",           # p05/p95 clip, same rank machinery
 ]
 
 
