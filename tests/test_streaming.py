@@ -336,3 +336,53 @@ def test_transform_with_state_first_seen_across_batches(spark, tmp_path):
     }
     assert got == want
     assert len(got) == batch.select("user_id").distinct().count()
+
+
+def test_stateful_ewma_stream_equals_batch(spark, tmp_path):
+    """The applyInPandasWithState EWMA must reproduce the batch fold
+    (w_ewma) exactly when the stream delivers each user's timeline in
+    order: events time-split into two files, processed one per batch
+    in modification order — the acc carries across the batch boundary."""
+    import time as _time
+
+    from banksy_spark.streaming.ewma import ewma_stream
+    from banksy_spark.suite.registry import T
+
+    batch = T(spark, SF_SMOKE, "events")
+    mid = batch.agg(F.expr("percentile_approx(CAST(ts AS DOUBLE), 0.5)")).first()[0]
+    early = batch.filter(F.col("ts").cast("double") <= mid)
+    late = batch.filter(F.col("ts").cast("double") > mid)
+    src = tmp_path / "ewma_in"
+    src.mkdir()
+    early.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "e1"))
+    _time.sleep(1.1)  # file-source orders by modification time
+    late.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "e2"))
+    for i, d in enumerate(("e1", "e2")):
+        for f in (tmp_path / d).glob("*.parquet"):
+            shutil.copy(f, src / f"{i}.parquet")
+            _time.sleep(1.1)
+
+    stream = read_events_stream(spark, str(src))
+    q = (
+        ewma_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ewma"))
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not finish in time"
+    got = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in spark.sql("SELECT * FROM ewma_stream").collect()
+    }
+    from banksy_spark.suite import REGISTRY
+
+    want = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in REGISTRY["w_ewma"].fn(spark, SF_SMOKE).collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want, "incremental EWMA diverged from the batch fold"
