@@ -1325,3 +1325,93 @@ def ml_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         x_wins.alias("x_wins"),
         clipped.alias("clipped"),
     )
+
+
+# --- Array higher-order-function surface -----------------------------------
+
+
+@query(
+    "f_array_hof",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (a, b) -> a + b) AS sq_norm,
+           CAST(len(list_filter(embedding, x -> x < 0)) AS BIGINT) AS n_neg,
+           CAST(embedding[1] AS DOUBLE) AS first_dim,
+           list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)) AS head3
+    FROM embeddings
+    """,
+    note="Array higher-order-function surface over the embedding column, the "
+    "vector-math idioms every similarity operator composes from: transform "
+    "(elementwise square), seeded left fold via aggregate (sum of squares — "
+    "DuckDB's list_reduce seeds with the head element, so the oracle prepends "
+    "the 0.0 seed; identical IEEE fold order makes sq_norm bit-exact), filter+ "
+    "size (negative-component count), 1-based element access and slice. All "
+    "JVM-side codegen over the Arrow-read float array — zero shuffles, zero "
+    "Python. The float→double cast is per-element BEFORE arithmetic in both "
+    "engines, which is what keeps float32 storage from perturbing parity.",
+)
+def f_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.expr(
+            "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " CAST(0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("sq_norm"),
+        F.expr("size(filter(embedding, x -> x < 0))").cast("bigint").alias("n_neg"),
+        F.expr("CAST(element_at(embedding, 1) AS DOUBLE)").alias("first_dim"),
+        F.expr("transform(slice(embedding, 1, 3), x -> CAST(x AS DOUBLE))").alias(
+            "head3"
+        ),
+    )
+
+
+# --- Null-semantics surface (null-safe equality, ordering, propagation) ----
+
+
+@query(
+    "f_null_semantics",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_id, user_id, value,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id, user_id,
+           v IS NOT DISTINCT FROM value AS nullsafe_eq,
+           v IS DISTINCT FROM NULL AS not_null_flag,
+           v + 1 IS NULL AS arith_propagates,
+           COALESCE(v, -1e0) AS v_filled,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY v DESC NULLS LAST, event_id) AS rn_nulls_last
+    FROM flagged
+    """,
+    note="Null-semantics surface in one query: null-safe equality (Spark <=> "
+    "is SQL IS NOT DISTINCT FROM), null propagation through arithmetic, "
+    "COALESCE fill, and explicit NULLS LAST window ordering — the spots where "
+    "engines silently differ (Spark sorts NULLS FIRST ascending by default, "
+    "DuckDB NULLS LAST, so every ORDER BY over a nullable key in this suite "
+    "pins the placement explicitly; this query is the named witness). Pure "
+    "map + one window exchange.",
+)
+def f_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("value"))
+    flagged = e.select("event_id", "user_id", "value", v.alias("v"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("v").desc_nulls_last(), "event_id"
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.col("v").eqNullSafe(F.col("value")).alias("nullsafe_eq"),
+        F.col("v").isNotNull().alias("not_null_flag"),
+        (F.col("v") + 1).isNull().alias("arith_propagates"),
+        F.coalesce("v", F.lit(-1.0)).alias("v_filled"),
+        F.row_number().over(w).alias("rn_nulls_last"),
+    )

@@ -95,6 +95,8 @@ HEADLINE = [
     "ml_quantile_binning",    # exact-rank quartile bins, broadcast bounds
     "ml_zscore_scaling",      # decimal-moment z-scores, bit-exact
     "ml_winsorize",           # p05/p95 clip, same rank machinery
+    "f_array_hof",            # vector HOF surface, fold-exact sq_norm
+    "f_null_semantics",       # null-safe eq + NULLS LAST witness
 ]
 
 
