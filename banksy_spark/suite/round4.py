@@ -1415,3 +1415,214 @@ def f_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("v", F.lit(-1.0)).alias("v_filled"),
         F.row_number().over(w).alias("rn_nulls_last"),
     )
+
+
+# --- Hierarchy traversal: fixed-depth unroll vs recursive CTE --------------
+
+
+@query(
+    "j_hierarchy_unroll",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT p_partkey AS node,
+             CASE WHEN p_partkey = 0 THEN NULL ELSE p_partkey // 16 END AS parent
+      FROM part
+    ),
+    walk(node, anc, path, depth) AS (
+      SELECT node, parent, CAST(node AS VARCHAR), 0 FROM edges
+      UNION ALL
+      SELECT w.node, e.parent, CAST(e.node AS VARCHAR) || '/' || w.path, w.depth + 1
+      FROM walk w JOIN edges e ON e.node = w.anc
+    )
+    SELECT node, path, CAST(depth AS BIGINT) AS depth,
+           CAST(string_split(path, '/')[1] AS BIGINT) AS root
+    FROM walk WHERE anc IS NULL
+    """,
+    note="Hierarchy (ancestor-chain) traversal — the recursive-CTE capability, "
+    "Spark-first: Spark has no WITH RECURSIVE, so the walk is unrolled to the "
+    "hierarchy's depth bound (4 ancestor hops here) as chained LEFT self-joins "
+    "against the (node, parent) edge table, assembling root-to-node paths; the "
+    "DuckDB oracle IS the genuine recursive CTE, proving unroll == recursion "
+    "when depth is bounded. The parent relation is an arithmetic fixture "
+    "(node DIV 16) but the traversal consumes it strictly as DATA — every hop "
+    "is a join, exactly how a BOM/org-chart table would run. Scale: each hop "
+    "is an equi-join on the parent key (broadcastable when the upper levels "
+    "are small, as real hierarchies are); depth bounds plan size, and an "
+    "unbounded hierarchy uses the CC-style fixed-budget loop instead.",
+)
+def j_hierarchy_unroll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = T(spark, sf_dir, "part")
+    e = p.select(
+        F.col("p_partkey").alias("node"),
+        F.when(F.col("p_partkey") == 0, F.lit(None))
+        .otherwise(F.expr("p_partkey DIV 16"))
+        .alias("parent"),
+    )
+    cur = e.select("node", F.col("parent").alias("a1"))
+    for k in range(2, 5):
+        nxt = e.select(F.col("node").alias("_n"), F.col("parent").alias(f"a{k}"))
+        cur = cur.join(nxt, cur[f"a{k - 1}"] == nxt["_n"], "left").drop("_n")
+    chain = F.array_compact(F.array("a4", "a3", "a2", "a1"))
+    path_arr = F.concat(chain, F.array(F.col("node")))
+    return cur.select(
+        "node",
+        F.array_join(path_arr, "/").alias("path"),
+        (F.size(path_arr) - 1).cast("bigint").alias("depth"),
+        F.element_at(path_arr, 1).cast("bigint").alias("root"),
+    )
+
+
+# --- Snapshot diff (table-state reconciliation) ----------------------------
+
+
+@query(
+    "o_snapshot_diff",
+    oracle="""
+    WITH snap_a AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+    ),
+    snap_b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END
+               AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                WHEN a.o_totalprice <> b.o_totalprice THEN 'changed'
+                ELSE 'same' END AS status,
+           a.o_totalprice AS price_a, b.o_totalprice AS price_b
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+    WHERE NOT (a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+               AND a.o_totalprice = b.o_totalprice)
+    """,
+    note="Snapshot reconciliation: FULL OUTER join two table states on the "
+    "business key and classify every key as added / removed / changed "
+    "(unchanged rows are filtered out — the report is the delta). The second "
+    "snapshot is a deterministic perturbation fixture (drops every 7th key, "
+    "bumps every 5th price); a real deployment points the two sides at two "
+    "table versions / partitions. This is the audit twin of o_cdc_merge_apply: "
+    "MERGE applies a changelog, diff RECOVERS the changelog from states. "
+    "Scale: one co-partitioned shuffle on the key; with both snapshots "
+    "bucketed on the key the exchange disappears entirely (the CDC layout).",
+)
+def o_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    a = o.select("o_orderkey", "o_totalprice")
+    b = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    aa = a.select(F.col("o_orderkey").alias("ka"), F.col("o_totalprice").alias("price_a"))
+    bb = b.select(F.col("o_orderkey").alias("kb"), F.col("o_totalprice").alias("price_b"))
+    j = aa.join(bb, aa.ka == bb.kb, "full_outer")
+    status = (
+        F.when(F.col("ka").isNull(), "added")
+        .when(F.col("kb").isNull(), "removed")
+        .when(F.col("price_a") != F.col("price_b"), "changed")
+        .otherwise("same")
+    )
+    return (
+        j.select(
+            F.coalesce("ka", "kb").alias("o_orderkey"),
+            status.alias("status"),
+            "price_a",
+            "price_b",
+        )
+        .filter(F.col("status") != "same")
+    )
+
+
+# --- Exact distinct counting via bitmap aggregation ------------------------
+
+
+@query(
+    "a_bitmap_distinct",
+    oracle="""
+    SELECT event_type, CAST(SUM(bit_count(bits)) AS BIGINT) AS n_users
+    FROM (
+      SELECT event_type, user_id // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS bits
+      FROM events GROUP BY 1, 2
+    )
+    GROUP BY event_type
+    """,
+    note="EXACT distinct counting via bitmap aggregation — the Roaring-bitmap "
+    "pattern in pure SQL: each key maps to (word = id DIV 32, bit = id MOD "
+    "32 — 32-bit words keep the shift inside signed-BIGINT range in both "
+    "engines; bit 63 of a signed shift overflows DuckDB), bit_or folds a partition's presence bits (associative + idempotent, "
+    "so map-side combine eats duplicates BEFORE the shuffle), and the distinct "
+    "count is the popcount sum. Versus COUNT(DISTINCT): the shuffle carries "
+    "one 8-byte word per (group, id/32) instead of one row per distinct id — "
+    "a 32× reduction on dense id spaces — and the bitmap itself is storable "
+    "and mergeable across days/partitions like the HLL registers, but exact. "
+    "Sits between COUNT(DISTINCT) (exact, heavy) and HLL (cheap, approximate) "
+    "in the engine's distinct-counting ladder.",
+)
+def a_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    words = (
+        e.select(
+            "event_type",
+            F.expr("user_id DIV 32").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").alias("b"),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_users")
+    )
+
+
+# --- Top event paths (ordered sequence mining) -----------------------------
+
+
+@query(
+    "stream_top_paths",
+    oracle="""
+    SELECT path, COUNT(*) AS n FROM (
+      SELECT user_id, day,
+             array_to_string(list(event_type ORDER BY ts, event_id)[1:3], '>') AS path
+      FROM (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, event_type
+            FROM events)
+      GROUP BY user_id, day
+    )
+    GROUP BY path ORDER BY n DESC, path LIMIT 10
+    """,
+    note="Path analysis: each (user, day)'s first three event types in "
+    "event-time order become a journey string, and the 10 most common journeys "
+    "surface. Ordered collect inside groups — Spark's collect_list is "
+    "order-nondeterministic after a shuffle, so the engine sorts WITHIN the "
+    "(user, day) window first (sortWithinPartitions semantics via the window "
+    "collect), matching DuckDB's ORDER BY inside list(). Scale: one exchange "
+    "on (user_id, day); journeys aggregate to a tiny path table; the top-k is "
+    "TakeOrderedAndProject, never a global sort.",
+)
+def stream_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "ts",
+        "event_id",
+        "event_type",
+    )
+    w = (
+        Window.partitionBy("user_id", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    paths = (
+        e.withColumn("seq", F.slice(F.collect_list("event_type").over(w), 1, 3))
+        .groupBy("user_id", "day")
+        .agg(F.first(F.array_join("seq", ">")).alias("path"))
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )

@@ -97,6 +97,10 @@ HEADLINE = [
     "ml_winsorize",           # p05/p95 clip, same rank machinery
     "f_array_hof",            # vector HOF surface, fold-exact sq_norm
     "f_null_semantics",       # null-safe eq + NULLS LAST witness
+    "j_hierarchy_unroll",     # ancestor chain: unroll == recursive CTE
+    "o_snapshot_diff",        # full-outer state reconciliation
+    "a_bitmap_distinct",      # bit_or popcount exact distinct
+    "stream_top_paths",       # ordered journey mining, top-k
 ]
 
 
