@@ -1626,3 +1626,193 @@ def stream_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(10)
     )
+
+
+# --- Grouped mode (most frequent value, deterministic tiebreak) ------------
+
+
+@query(
+    "a_grouped_mode",
+    oracle="""
+    SELECT flag, val AS mode_price, cnt
+    FROM (
+      SELECT flag, val, cnt,
+             ROW_NUMBER() OVER (PARTITION BY flag ORDER BY cnt DESC, val) AS rn
+      FROM (
+        SELECT l_returnflag AS flag, l_quantity AS val, COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2
+      )
+    ) WHERE rn = 1
+    """,
+    note="Grouped mode: most frequent l_quantity per return flag, ties broken "
+    "by smallest value so the answer is unique and reproducible (Spark's "
+    "built-in mode() and DuckDB's mode() both break ties arbitrarily — neither "
+    "is usable under a bit-exact contract, so the engine states the count+rank "
+    "form explicitly). Two-stage: value-count aggregate (map-side combinable) "
+    "then a rank over the per-group value histogram. Scale: the second window "
+    "runs over |distinct values per group|, not rows.",
+)
+def a_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    cnt = li.groupBy(
+        F.col("l_returnflag").alias("flag"), F.col("l_quantity").alias("val")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("flag").orderBy(F.desc("cnt"), "val")
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("flag", F.col("val").alias("mode_price"), "cnt")
+    )
+
+
+# --- Weighted median --------------------------------------------------------
+
+
+@query(
+    "a_weighted_median",
+    oracle="""
+    SELECT lang, doc_id AS median_doc, x AS weighted_median
+    FROM (
+      SELECT lang, doc_id, x, w,
+             SUM(w) OVER (PARTITION BY lang ORDER BY x, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(w) OVER (PARTITION BY lang) AS tw,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY x, doc_id) AS rn
+      FROM (SELECT lang, doc_id, n_chars AS x,
+                   CAST(length(text) - n_chars + 1 AS BIGINT) AS w
+            FROM documents)
+    ) t
+    WHERE 2 * cw >= tw
+      AND 2 * (cw - w) < tw
+    """,
+    note="Weighted median: the value at which cumulative weight first reaches "
+    "half the total — selection is pure BIGINT comparisons (2*cum >= total AND "
+    "2*(cum - w) < total), the same interval-crossing arithmetic as PPS "
+    "sampling, so the answer is exact and partitioning-immune; no floating "
+    "point anywhere. One rank window per stratum over a tie-broken total "
+    "order. Scale: strata bound the window partitions; the two-pass prefix-"
+    "offset rewrite documented for llm_sample_pps applies verbatim when a "
+    "stratum outgrows an executor.",
+)
+def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        F.col("n_chars").alias("x"),
+        (F.length("text") - F.col("n_chars") + 1).cast("bigint").alias("w"),
+    )
+    wc = (
+        Window.partitionBy("lang")
+        .orderBy("x", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("lang")
+    scored = d.select(
+        "lang",
+        "doc_id",
+        "x",
+        "w",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return scored.filter(
+        (2 * F.col("cw") >= F.col("tw")) & (2 * (F.col("cw") - F.col("w")) < F.col("tw"))
+    ).select("lang", F.col("doc_id").alias("median_doc"), F.col("x").alias("weighted_median"))
+
+
+# --- Capped running sum (clamped recurrence — windows can't, folds can) ----
+
+
+@query(
+    "w_capped_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE), l),
+               (acc, x) -> GREATEST(CAST(0 AS DOUBLE),
+                                    LEAST(CAST(100 AS DOUBLE), acc + x)))
+             AS capped_balance
+    FROM (
+      SELECT event_id, user_id,
+             list(value - 50e0) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l
+      FROM events
+    )
+    """,
+    note="Capped running sum (inventory / token-bucket balance): acc' = "
+    "clamp(acc + delta, 0, 100). The clamp makes the recurrence NON-LINEAR — "
+    "no window frame or prefix-sum trick expresses it (unlike plain cumsum), "
+    "which is exactly when the engine's ordered-fold pattern applies: collect "
+    "the frame, fold left-to-right with the clamp inside the lambda, identical "
+    "IEEE sequence in both engines (same seed-alignment as w_ewma). Scale: one "
+    "exchange on user_id; bound the frame with a trailing window when per-key "
+    "history is unbounded — after the balance saturates, older deltas are "
+    "unreachable, so a trailing window of cap/min-delta rows is exact.",
+)
+def w_capped_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lst = F.collect_list(F.col("value") - 50.0).over(w)
+    fold = F.aggregate(
+        lst,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(F.lit(0.0), F.least(F.lit(100.0), acc + x)),
+    )
+    return e.select("event_id", "user_id", fold.alias("capped_balance"))
+
+
+# --- Seasonal-baseline anomaly scoring -------------------------------------
+
+
+@query(
+    "a_seasonal_anomaly",
+    oracle="""
+    WITH prof AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))
+                           * CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+               AS ssq
+      FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.event_type, CAST(hour(e.ts) AS BIGINT) AS hod,
+           (e.value - p.s / p.n)
+             / sqrt(p.ssq / p.n - (p.s / p.n) * (p.s / p.n) + 1e-9) AS anomaly_z
+    FROM events e JOIN prof p
+      ON p.event_type = e.event_type AND p.hod = CAST(hour(e.ts) AS BIGINT)
+    """,
+    note="Seasonal anomaly scoring: build an (event_type × hour-of-day) "
+    "baseline profile from exact decimal moments, broadcast the ≤|types|×24 "
+    "profile back over the stream, and score every event by its deviation "
+    "from its OWN seasonal slot (the epsilon-regularized z keeps "
+    "constant-valued slots finite). Same moment discipline as "
+    "ml_zscore_scaling — decimal sums, string-routed doubles, identical IEEE "
+    "tail — but keyed on derived time features, which is the shape of every "
+    "ops-monitoring baseline at scale: profile table tiny and broadcast, fact "
+    "side map-only.",
+)
+def a_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    prof = e.groupBy(
+        F.col("event_type").alias("ptype"), F.hour("ts").cast("bigint").alias("phod")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(dec).cast("string").cast("double").alias("s"),
+        F.sum(dec * dec).cast("string").cast("double").alias("ssq"),
+    )
+    hod = F.hour("ts").cast("bigint")
+    j = e.join(
+        F.broadcast(prof),
+        (F.col("event_type") == F.col("ptype")) & (hod == F.col("phod")),
+    )
+    mean = F.col("s") / F.col("n")
+    z = (F.col("value") - mean) / F.sqrt(
+        F.col("ssq") / F.col("n") - mean * mean + F.lit(1e-9)
+    )
+    return j.select(
+        "event_id", "event_type", hod.alias("hod"), z.alias("anomaly_z")
+    )

@@ -101,6 +101,10 @@ HEADLINE = [
     "o_snapshot_diff",        # full-outer state reconciliation
     "a_bitmap_distinct",      # bit_or popcount exact distinct
     "stream_top_paths",       # ordered journey mining, top-k
+    "a_grouped_mode",         # deterministic mode via count+rank
+    "a_weighted_median",      # integer crossing-point weighted median
+    "w_capped_running_sum",   # clamped recurrence as ordered fold
+    "a_seasonal_anomaly",     # hour-profile z-score, broadcast baseline
 ]
 
 
