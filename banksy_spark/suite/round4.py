@@ -1816,3 +1816,128 @@ def a_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "event_id", "event_type", hod.alias("hod"), z.alias("anomaly_z")
     )
+
+
+# --- Gini concentration index ----------------------------------------------
+
+
+@query(
+    "a_gini_concentration",
+    oracle="""
+    SELECT flag,
+           (2e0 * CAST(CAST(sw AS VARCHAR) AS DOUBLE)
+              / (n * CAST(CAST(s AS VARCHAR) AS DOUBLE))) - (n + 1e0) / n AS gini
+    FROM (
+      SELECT flag, COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(18,2))) AS s,
+             SUM(rk * CAST(x AS DECIMAL(18,2))) AS sw
+      FROM (
+        SELECT l_returnflag AS flag, l_extendedprice AS x,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk
+        FROM lineitem
+      )
+      GROUP BY flag
+    )
+    """,
+    note="Gini concentration index per group — the standard rank formula "
+    "G = 2*Σ(i·x_i)/(n·Σx) - (n+1)/n over ascending-ordered values. How "
+    "concentrated is revenue across line items? (also the engine's 'how "
+    "skewed is this key' meter: run it over per-key row counts before "
+    "choosing a salting strategy). Both Σx and Σ(i·x_i) accumulate as "
+    "DECIMAL (rank is exact BIGINT, so the products are exact), convert "
+    "through strings, and the final expression is one shared IEEE sequence. "
+    "One rank window + one grouped agg over the same partition key = one "
+    "exchange.",
+)
+def a_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    wr = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("x"),
+        F.row_number().over(wr).alias("rk"),
+    )
+    dec = F.col("x").cast("decimal(18,2)")
+    agg = ranked.groupBy("flag").agg(
+        F.count("*").alias("n"),
+        F.sum(dec).cast("string").cast("double").alias("s"),
+        F.sum(F.col("rk") * dec).cast("string").cast("double").alias("sw"),
+    )
+    gini = (2.0 * F.col("sw") / (F.col("n") * F.col("s"))) - (
+        (F.col("n") + 1.0) / F.col("n")
+    )
+    return agg.select("flag", gini.alias("gini"))
+
+
+# --- Interpolated percentiles (percentile_cont semantics) ------------------
+
+
+@query(
+    "a_interpolated_percentiles",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS x,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT flag,
+           lo50 + (0.5e0 * (n_ - 1) - floor(0.5e0 * (n_ - 1))) * (hi50 - lo50)
+             AS p50_cont,
+           lo95 + (0.95e0 * (n_ - 1) - floor(0.95e0 * (n_ - 1))) * (hi95 - lo95)
+             AS p95_cont
+    FROM (
+      SELECT flag, MIN(n) AS n_,
+             MIN(CASE WHEN rk = CAST(floor(0.5e0 * (n - 1)) AS BIGINT) + 1 THEN x END) AS lo50,
+             MIN(CASE WHEN rk = CAST(ceil(0.5e0 * (n - 1)) AS BIGINT) + 1 THEN x END) AS hi50,
+             MIN(CASE WHEN rk = CAST(floor(0.95e0 * (n - 1)) AS BIGINT) + 1 THEN x END) AS lo95,
+             MIN(CASE WHEN rk = CAST(ceil(0.95e0 * (n - 1)) AS BIGINT) + 1 THEN x END) AS hi95
+      FROM ranked GROUP BY flag
+    )
+    """,
+    note="Interpolated percentiles — percentile_cont/numpy-linear semantics, "
+    "stated explicitly: position h = p(n-1), answer = x[floor h] + frac(h) * "
+    "(x[ceil h] - x[floor h]) over the tie-broken ascending order. Neither "
+    "engine's builtin is used (their interpolation internals needn't agree "
+    "bit-for-bit; this formula written once on each side must). Completes the "
+    "quantile ladder: exact nearest-rank (a_exact_percentiles), histogram "
+    "sketch (a_histogram_quantiles), and now continuous interpolation — same "
+    "single rank-window exchange, conditional-MIN extraction of the two "
+    "bracketing order statistics.",
+)
+def a_interpolated_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    wr = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("x"),
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+
+    # h = p(n-1) depends only on n, constant within the group
+    agg = ranked.groupBy("flag").agg(
+        F.max("n").alias("n_"),
+        F.min(F.when(F.col("rk") == F.expr("CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1"), F.col("x"))).alias("lo50"),
+        F.min(F.when(F.col("rk") == F.expr("CAST(ceil(0.5 * (n - 1)) AS BIGINT) + 1"), F.col("x"))).alias("hi50"),
+        F.min(F.when(F.col("rk") == F.expr("CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1"), F.col("x"))).alias("lo95"),
+        F.min(F.when(F.col("rk") == F.expr("CAST(ceil(0.95 * (n - 1)) AS BIGINT) + 1"), F.col("x"))).alias("hi95"),
+    )
+    h50 = F.lit(0.5) * (F.col("n_") - 1)
+    h95 = F.lit(0.95) * (F.col("n_") - 1)
+    return agg.select(
+        "flag",
+        (F.col("lo50") + (h50 - F.floor(h50)) * (F.col("hi50") - F.col("lo50"))).alias(
+            "p50_cont"
+        ),
+        (F.col("lo95") + (h95 - F.floor(h95)) * (F.col("hi95") - F.col("lo95"))).alias(
+            "p95_cont"
+        ),
+    )

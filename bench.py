@@ -105,6 +105,8 @@ HEADLINE = [
     "a_weighted_median",      # integer crossing-point weighted median
     "w_capped_running_sum",   # clamped recurrence as ordered fold
     "a_seasonal_anomaly",     # hour-profile z-score, broadcast baseline
+    "a_gini_concentration",   # rank-formula Gini, one exchange
+    "a_interpolated_percentiles",  # percentile_cont, bracketing stats
 ]
 
 
