@@ -1941,3 +1941,153 @@ def a_interpolated_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p95_cont"
         ),
     )
+
+
+# --- TPC-H Q12 shape: late-shipment CASE-sum over a join -------------------
+
+
+@query(
+    "a_q12_late_shipments",
+    oracle="""
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) > 60
+    GROUP BY l.l_linestatus
+    """,
+    note="TPC-H Q12 shape (the testdata has no l_shipmode/receiptdate, so "
+    "'late' = shipped >60 days after order): conditional CASE-sums bucketing "
+    "order priorities over the order-line join. The priority predicate lives "
+    "INSIDE the aggregate (two counts, one pass), the lateness filter prunes "
+    "before the join. Scale: one shuffle join on orderkey (co-partitioned / "
+    "bucketed in a real layout), map-side combinable CASE-sums, |linestatus| "
+    "output rows.",
+)
+def a_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+        > 60
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+# --- TPC-H Q14 shape: promo revenue share ----------------------------------
+
+
+@query(
+    "a_q14_promo_share",
+    oracle="""
+    SELECT month,
+           100e0 * CAST(CAST(promo AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(total AS VARCHAR) AS DOUBLE) AS promo_pct
+    FROM (
+      SELECT date_trunc('month', CAST(l.l_shipdate AS DATE)) AS month,
+             SUM(CASE WHEN p.p_type = 'PROMO'
+                      THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                           * CAST(1.0 - l.l_discount AS DECIMAL(5,2))
+                      ELSE CAST(0 AS DECIMAL(24,4)) END) AS promo,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1.0 - l.l_discount AS DECIMAL(5,2))) AS total
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1
+    )
+    """,
+    note="TPC-H Q14 shape: promotional revenue share per ship month. The "
+    "part dimension broadcasts; both the promo-only and total revenue sums "
+    "run as DECIMAL in ONE aggregate pass (the conditional sum is a CASE "
+    "inside the same agg, not a second scan); the final ratio converts "
+    "through strings and divides once in IEEE doubles. Scale: broadcast join "
+    "+ single exchange on month — the canonical 'share of filtered subset' "
+    "pattern without self-joining the fact table.",
+)
+def a_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(5,2)")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    agg = j.groupBy(
+        F.date_trunc("month", F.col("l_shipdate").cast("date")).cast("date").alias("month")
+    ).agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                F.lit(0).cast("decimal(24,4)")
+            )
+        ).alias("promo"),
+        F.sum(rev).alias("total"),
+    )
+    return agg.select(
+        "month",
+        (
+            F.lit(100.0)
+            * F.col("promo").cast("string").cast("double")
+            / F.col("total").cast("string").cast("double")
+        ).alias("promo_pct"),
+    )
+
+
+# --- TPC-H Q19 shape: disjunctive multi-clause predicate join --------------
+
+
+@query(
+    "j_q19_disjunctive_pred",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1.0 - l.l_discount AS DECIMAL(5,2))) AS VARCHAR)
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+    note="TPC-H Q19 shape: three disjunctive (brand, size-band, quantity-band) "
+    "clauses over the part join — the query optimizers historically fumbled by "
+    "not pushing the part-only predicate derivation through the OR. The "
+    "engine keeps the join an equi-join on partkey (broadcast — the dimension "
+    "is small) and leaves the disjunction as a post-join filter; Catalyst "
+    "derives the part-side implied filter (brand IN (...)) and pushes it into "
+    "the broadcast build, which .explain confirms via PushedFilters. One "
+    "decimal revenue sum, one row out.",
+)
+def j_q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#5")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(5,2)")
+    return j.filter(clause).agg(
+        F.sum(rev).cast("string").cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )

@@ -107,6 +107,9 @@ HEADLINE = [
     "a_seasonal_anomaly",     # hour-profile z-score, broadcast baseline
     "a_gini_concentration",   # rank-formula Gini, one exchange
     "a_interpolated_percentiles",  # percentile_cont, bracketing stats
+    "a_q12_late_shipments",   # Q12 shape: CASE-sums over order join
+    "a_q14_promo_share",      # Q14 shape: one-pass promo revenue ratio
+    "j_q19_disjunctive_pred", # Q19 shape: OR-clause predicate join
 ]
 
 
