@@ -269,6 +269,27 @@ def _cms_cell_duck(col: str, r: int) -> str:
     return f"((({col} * {a} + {b}) % {_CMS_P}) % {_CMS_W})"
 
 
+def _cms_cell_structs(col: str) -> F.Column:
+    return F.array(
+        *[
+            F.struct(F.lit(r).alias("r"), _cms_cell_spark(col, r).alias("cell"))
+            for r in range(4)
+        ]
+    )
+
+
+def cms_cells(keyed: DataFrame, col: str = "user_id") -> DataFrame:
+    """(r, cell, cnt) counter grid of the count-min sketch over ``col``
+    — the mergeable unit: grids from any partition/batch/day combine by
+    summing cnt per (r, cell). Reused by the incremental streaming
+    maintainer (streaming.cms)."""
+    return (
+        keyed.select(F.explode(_cms_cell_structs(col)).alias("c"))
+        .groupBy(F.col("c.r").alias("r"), F.col("c.cell").alias("cell"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 @query(
     "a_heavy_hitters_cms",
     oracle=f"""
@@ -308,19 +329,8 @@ def _cms_cell_duck(col: str, r: int) -> str:
 )
 def a_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "events").select("user_id")
-    cell_structs = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("r"), _cms_cell_spark("user_id", r).alias("cell")
-            )
-            for r in range(4)
-        ]
-    )
-    cells = (
-        e.select(F.explode(cell_structs).alias("c"))
-        .groupBy(F.col("c.r").alias("r"), F.col("c.cell").alias("cell"))
-        .agg(F.count("*").alias("cnt"))
-    )
+    cell_structs = _cms_cell_structs("user_id")
+    cells = cms_cells(e)
     probes = (
         e.distinct()
         .select("user_id", F.explode(cell_structs).alias("c"))

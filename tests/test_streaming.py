@@ -386,3 +386,34 @@ def test_stateful_ewma_stream_equals_batch(spark, tmp_path):
     }
     assert len(got) == len(want) > 0
     assert got == want, "incremental EWMA diverged from the batch fold"
+
+
+def test_cms_maintenance_stream_equals_batch(spark, tmp_path):
+    """The foreachBatch-maintained CMS grid must equal the one-shot
+    batch grid cell-for-cell after streaming the events in two
+    micro-batches (sketch merge == recompute, the IVM property)."""
+    from banksy_spark.streaming.cms import cms_maintenance_stream
+    from banksy_spark.suite.registry import T
+    from banksy_spark.suite.round4 import cms_cells
+
+    src = tmp_path / "cms_in"
+    src.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "a.parquet")
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "b.parquet")
+    store = str(tmp_path / "cms_store")
+
+    stream = read_events_stream(spark, str(src))
+    q = (
+        cms_maintenance_stream(stream, store)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not finish in time"
+
+    got = {(r.r, r.cell): r.cnt for r in spark.read.parquet(store).collect()}
+    # the stream saw the events twice (two copies) -> 2x the batch counts
+    batch = cms_cells(T(spark, SF_SMOKE, "events").select("user_id"))
+    want = {(r.r, r.cell): 2 * r.cnt for r in batch.collect()}
+    assert got == want and len(got) > 0
