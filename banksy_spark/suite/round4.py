@@ -2101,3 +2101,114 @@ def j_q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(rev).cast("string").cast("double").alias("revenue"),
         F.count("*").alias("n_lines"),
     )
+
+
+# --- Benford first-digit audit ---------------------------------------------
+
+# log10(1 + 1/d) spelled as literals: computing them via log() would tie
+# parity to each engine's libm; constants are engine-independent.
+_BENFORD = {
+    1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829993,
+    4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514,
+}
+
+
+@query(
+    "a_benford_deviation",
+    oracle=f"""
+    SELECT digit, n,
+           CAST(n AS DOUBLE) / tot AS observed,
+           CASE digit {' '.join(f"WHEN {d} THEN CAST('{p!r}' AS DOUBLE)" for d, p in _BENFORD.items())}
+           END AS expected,
+           abs(CAST(n AS DOUBLE) / tot
+               - CASE digit {' '.join(f"WHEN {d} THEN CAST('{p!r}' AS DOUBLE)" for d, p in _BENFORD.items())} END)
+             AS abs_dev
+    FROM (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit,
+             COUNT(*) AS n,
+             SUM(COUNT(*)) OVER () AS tot
+      FROM orders WHERE o_totalprice >= 1
+      GROUP BY 1
+    )
+    """,
+    note="Benford's-law first-digit audit over order totals — the classic "
+    "fraud / synthetic-data smell test: observed first-digit shares vs the "
+    "log10(1+1/d) expectation, per digit with absolute deviation. The "
+    "expected frequencies are literal constants (computing log10 in-query "
+    "would tie bit-parity to each engine's libm rounding); the first digit "
+    "comes from integer-string slicing, not float math. One 9-row aggregate + "
+    "an unpartitioned window over those 9 rows. Scale: map-side combinable "
+    "count; nothing global but the 9-row total.",
+)
+def a_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    # explicit floor: DuckDB's double->BIGINT cast rounds, Spark's truncates
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    counts = o.groupBy(digit.alias("digit")).agg(F.count("*").alias("n"))
+    w = Window.partitionBy()
+    expected = F.element_at(
+        F.create_map(
+            *[x for d, p in _BENFORD.items() for x in (F.lit(d), F.lit(p))]
+        ),
+        F.col("digit").cast("int"),
+    )
+    out = counts.withColumn("tot", F.sum("n").over(w))
+    obs = F.col("n").cast("double") / F.col("tot")
+    return out.select(
+        "digit",
+        "n",
+        obs.alias("observed"),
+        expected.alias("expected"),
+        F.abs(obs - expected).alias("abs_dev"),
+    )
+
+
+# --- Activity streaks (gaps-and-islands on calendar days) ------------------
+
+
+@query(
+    "w_activity_streaks",
+    oracle="""
+    SELECT user_id, MAX(streak_len) AS max_streak, COUNT(*) AS n_streaks
+    FROM (
+      SELECT user_id, grp, COUNT(*) AS streak_len
+      FROM (
+        SELECT user_id, day,
+               CAST(day AS DATE) - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY day) AS INTEGER) AS grp
+        FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+      )
+      GROUP BY user_id, grp
+    )
+    GROUP BY user_id
+    """,
+    note="Longest consecutive-day activity streak per user — the canonical "
+    "gaps-and-islands idiom: distinct active days, then (day - row_number) is "
+    "constant exactly within a consecutive run, so grouping by that anchor "
+    "date yields streaks without any self-join or iteration. Three stages, "
+    "ALL partitioned by user_id → a single exchange serves the dedup, the "
+    "rank window, and both aggregations. Integer date arithmetic only. This "
+    "is the retention-adjacent op (see a_retention_cohorts) product teams ask "
+    "for daily; at 100 TB the user_id hash partitioning is the whole story.",
+)
+def w_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        T(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = F.date_sub(F.col("day"), F.row_number().over(w))
+    streaks = (
+        e.withColumn("grp", grp)
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").alias("streak_len"))
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_len").alias("max_streak"),
+        F.count("*").alias("n_streaks"),
+    )

@@ -110,6 +110,8 @@ HEADLINE = [
     "a_q12_late_shipments",   # Q12 shape: CASE-sums over order join
     "a_q14_promo_share",      # Q14 shape: one-pass promo revenue ratio
     "j_q19_disjunctive_pred", # Q19 shape: OR-clause predicate join
+    "a_benford_deviation",    # first-digit law audit, 9-row grid
+    "w_activity_streaks",     # gaps-and-islands day streaks, 1 exchange
 ]
 
 
