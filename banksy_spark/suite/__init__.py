@@ -24,5 +24,8 @@ from banksy_spark.suite import train  # noqa: E402,F401
 from banksy_spark.suite import core  # noqa: E402,F401
 from banksy_spark.suite import scale_ops  # noqa: E402,F401
 from banksy_spark.suite import round4  # noqa: E402,F401
+from banksy_spark.suite import round4c  # noqa: E402,F401
+from banksy_spark.suite import round4d  # noqa: E402,F401
+from banksy_spark.suite import round4e  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "query"]

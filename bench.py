@@ -112,6 +112,25 @@ HEADLINE = [
     "j_q19_disjunctive_pred", # Q19 shape: OR-clause predicate join
     "a_benford_deviation",    # first-digit law audit, 9-row grid
     "w_activity_streaks",     # gaps-and-islands day streaks, 1 exchange
+    "a_q4_priority_exists",   # Q4 shape: semi-join existence count
+    "j_q21_waiting_suppliers",# Q21 shape: sole-late supplier windows
+    "graph_triangle_count",   # oriented wedge-join triangle counting
+    "w_max_concurrency",      # +1/-1 sweep-line interval concurrency
+    "stream_attribution",     # last-touch window attribution
+    "stream_rollup_cascade",  # hourly layer re-aggregated to daily
+    "llm_langid_trained",     # in-engine trained+broadcast lang profiles
+    "j_basket_pairs",         # one-shuffle basket pair mining
+    "llm_dedup_incremental",  # new-batch vs corpus dedup, keyed probes
+    "graph_bfs_distance",     # 4-round Pregel-style BFS
+    "a_yoy_growth",           # calendar-join YoY, post-agg broadcast
+    "a_new_vs_returning",     # first-touch split, one exchange
+    "a_bounce_rate",          # sessionize → bounce share per day
+    "stream_late_rows_audit", # watermark-delay drop-rate replay
+    "stream_interval_left_join",  # outer attribution window
+    "a_skew_kurtosis",        # decimal power-sum higher moments
+    "w_max_drawdown",         # integer-cents drawdown, one exchange
+    "llm_span_corruption",    # T5 denoising spans, map-side HOFs
+    "a_autocorr_lag1",        # exact-moment autocorrelation
 ]
 
 
