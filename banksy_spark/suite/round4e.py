@@ -304,3 +304,174 @@ def a_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n * F.col("syy") - sy * sy).cast("string").cast("double")
     )
     return mom.select("event_type", "n", (num / den).alias("autocorr_lag1"))
+
+
+# --- Pareto 80/20 concentration --------------------------------------------
+
+
+@query(
+    "a_pareto_8020",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_mktsegment AS seg, c.c_custkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT seg, rev,
+             ROW_NUMBER() OVER (PARTITION BY seg
+                                ORDER BY rev DESC, c_custkey) AS rk,
+             SUM(rev) OVER (PARTITION BY seg
+                            ORDER BY rev DESC, c_custkey) AS cum,
+             SUM(rev) OVER (PARTITION BY seg) AS tot,
+             COUNT(*) OVER (PARTITION BY seg) AS n_cust
+      FROM rev
+    )
+    SELECT seg, n_cust, MIN(rk) AS top_customers_for_80pct,
+           CAST(MIN(rk) AS DOUBLE) / n_cust AS pareto_share
+    FROM ranked
+    WHERE cum * 5 >= tot * 4
+    GROUP BY seg, n_cust
+    """,
+    note="Pareto 80/20 concentration per segment: the minimal number of "
+    "top customers whose cumulative DECIMAL revenue crosses 80% of the "
+    "segment total. The threshold test is cross-multiplied (cum*5 >= "
+    "tot*4) so it stays in exact decimal — no ratio, no float boundary "
+    "flake; the (rev DESC, custkey) ordering makes the running sum's "
+    "peer-free RANGE frame deterministic. All four windows and the final "
+    "MIN share one seg partitioning over the post-aggregate customer "
+    "table. Scale: the heavy agg keys on (seg, custkey); windows run on "
+    "|customers| rows; output is |segments|.",
+)
+def a_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("seg", "c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    wo = Window.partitionBy("seg").orderBy(F.col("rev").desc(), "c_custkey")
+    wp = Window.partitionBy("seg")
+    ranked = rev.select(
+        "seg",
+        F.row_number().over(wo).alias("rk"),
+        F.sum("rev").over(wo).alias("cum"),
+        F.sum("rev").over(wp).alias("tot"),
+        F.count(F.lit(1)).over(wp).alias("n_cust"),
+    )
+    return (
+        ranked.filter(F.col("cum") * 5 >= F.col("tot") * 4)
+        .groupBy("seg", "n_cust")
+        .agg(F.min("rk").alias("top_customers_for_80pct"))
+        .select(
+            "seg",
+            "n_cust",
+            "top_customers_for_80pct",
+            (
+                F.col("top_customers_for_80pct").cast("double") / F.col("n_cust")
+            ).alias("pareto_share"),
+        )
+    )
+
+
+# --- Crawl boundary-overlap stitching --------------------------------------
+
+_OVL_K = 3
+
+
+@query(
+    "llm_boundary_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), sfx AS (
+      SELECT doc_id,
+             array_to_string(toks[len(toks)-{_OVL_K - 1}:len(toks)], ' ') AS key
+      FROM t WHERE len(toks) >= {_OVL_K}
+    ), pfx AS (
+      SELECT doc_id,
+             array_to_string(toks[1:{_OVL_K}], ' ') AS key
+      FROM t WHERE len(toks) >= {_OVL_K}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.key AS overlap_phrase
+    FROM sfx a JOIN pfx b ON a.key = b.key AND a.doc_id <> b.doc_id
+    """,
+    note="Crawl-boundary overlap stitching: document pairs where A's last "
+    f"{_OVL_K} tokens equal B's first {_OVL_K} — the signal that a crawler "
+    "split one logical page into two records (the continuation-candidate "
+    "generator for re-stitching). Each doc contributes ONE suffix key and "
+    "ONE prefix key; candidates come only from key equality, so the join "
+    "is hash-keyed and never all-pairs — the same candidates-by-key "
+    "discipline as the LSH dedup family. In production the key is a "
+    "longer n-gram's hash (collision-free at 8+ tokens); the short key "
+    "here keeps the synthetic corpus's match rate nonzero. Scale: two "
+    "map-side projections + one equi-join on the phrase key.",
+)
+def llm_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= _OVL_K
+    )
+    sfx = t.select(
+        F.col("doc_id").alias("doc_a"),
+        F.array_join(
+            F.slice(F.col("toks"), F.size("toks") - (_OVL_K - 1), _OVL_K), " "
+        ).alias("key"),
+    )
+    pfx = t.select(
+        F.col("doc_id").alias("doc_b"),
+        F.array_join(F.slice(F.col("toks"), 1, _OVL_K), " ").alias("key"),
+    )
+    return (
+        sfx.join(pfx, "key")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", F.col("key").alias("overlap_phrase"))
+    )
+
+
+# --- Heartbeat gap alerts ---------------------------------------------------
+
+
+@query(
+    "w_gap_alerts",
+    oracle="""
+    SELECT user_id, prev_ts AS gap_start, ts AS gap_end,
+           (epoch_us(ts) - epoch_us(prev_ts)) // 60000000 AS gap_minutes
+    FROM (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    )
+    WHERE prev_ts IS NOT NULL AND ts - prev_ts > INTERVAL 6 HOUR
+    """,
+    note="Heartbeat gap detection: per user, silences longer than 6 hours "
+    "between consecutive events, emitted as (gap_start, gap_end, whole "
+    "minutes) — the monitoring primitive behind dead-sensor and "
+    "lost-session alerts. One LAG window per user (tie-broken on "
+    "event_id), integer-microsecond floor-division for the duration. "
+    "Scale: one user_id exchange; the streaming twin is "
+    "applyInPandasWithState with a processing-time timeout firing the "
+    "alert when no event renews the key — the batch form here is its "
+    "replay/audit twin.",
+)
+def w_gap_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id", "ts", F.lag("ts").over(wo).alias("prev_ts")
+    )
+    gap_us = F.unix_micros("ts") - F.unix_micros("prev_ts")
+    return lagged.filter(
+        F.col("prev_ts").isNotNull() & (gap_us > 6 * 3600 * 1000000)
+    ).select(
+        "user_id",
+        F.col("prev_ts").alias("gap_start"),
+        F.col("ts").alias("gap_end"),
+        F.expr("(unix_micros(ts) - unix_micros(prev_ts)) DIV 60000000").alias(
+            "gap_minutes"
+        ),
+    )
