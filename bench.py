@@ -131,6 +131,12 @@ HEADLINE = [
     "w_max_drawdown",         # integer-cents drawdown, one exchange
     "llm_span_corruption",    # T5 denoising spans, map-side HOFs
     "a_autocorr_lag1",        # exact-moment autocorrelation
+    "a_pareto_8020",          # cross-multiplied 80% crossing rank
+    "llm_boundary_overlap",   # suffix/prefix stitch-candidate join
+    "w_gap_alerts",           # heartbeat silence detection
+    "a_rolling_dau_7d",       # trailing-window distinct actives
+    "llm_boilerplate_ngrams", # cross-source repetition mining
+    "a_ship_latency_pct",     # nearest-rank SLA percentiles
 ]
 
 
