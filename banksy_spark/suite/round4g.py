@@ -1,0 +1,362 @@
+"""Round-4 continuation, batch 9: ABC inventory classification, interval
+merging (union of overlapping intervals), and association-rule metrics
+(support / confidence / lift) over co-purchase pairs.
+
+Same parity rules as the rest of the suite (registry.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from banksy_spark.suite.registry import T, query
+
+# --- ABC inventory classification ------------------------------------------
+
+
+@query(
+    "a_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey) AS cum,
+             SUM(rev) OVER () AS tot
+      FROM rev
+    ), classed AS (
+      SELECT rev,
+             CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+                  WHEN cum * 20 <= tot * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked
+    )
+    SELECT abc_class, COUNT(*) AS n_parts,
+           CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM classed GROUP BY abc_class
+    """,
+    note="ABC inventory classification: parts ranked by exact DECIMAL "
+    "revenue, class A while the running share stays within 80%, B to 95%, "
+    "C after — both thresholds cross-multiplied so classification never "
+    "touches a float. The global ordered window runs over the POST-agg "
+    "part table (|parts| rows, dimension-sized); at fact-table scale the "
+    "swap is the suite's bucketed global row-number machinery. Tie-break "
+    "on partkey pins boundary assignment. Scale: one map-side-combinable "
+    "agg over lineitem; the window input is ~10^5 rows even at 100 TB of "
+    "facts; 3 output rows.",
+)
+def a_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+    )
+    wo = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = rev.select(
+        "rev",
+        F.sum("rev").over(wo).alias("cum"),
+        F.sum("rev").over(wall).alias("tot"),
+    )
+    abc = (
+        F.when(F.col("cum") * 5 <= F.col("tot") * 4, "A")
+        .when(F.col("cum") * 20 <= F.col("tot") * 19, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.select("rev", abc.alias("abc_class"))
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev").cast("string").cast("double").alias("revenue"),
+        )
+    )
+
+
+# --- Merge overlapping intervals -------------------------------------------
+
+
+@query(
+    "w_interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(ROUND(value * 100) AS BIGINT) * 10000 AS e
+      FROM events
+    ), flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING) IS NULL
+                    OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS brk,
+             event_id
+      FROM iv
+    ), islands AS (
+      SELECT user_id, s, e,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY s, event_id)
+               AS island
+      FROM flagged
+    )
+    SELECT user_id, island, MIN(s) AS merged_start_us, MAX(e) AS merged_end_us,
+           COUNT(*) AS n_intervals
+    FROM islands
+    GROUP BY user_id, island
+    """,
+    note="Union of overlapping intervals (interval merge): each event "
+    "opens [ts, ts + value seconds); per user, a new merged island begins "
+    "whenever an interval starts strictly after the running MAX of all "
+    "previous ends (the running max — not lag(end) — is what makes the "
+    "merge correct when an earlier interval fully contains later ones). "
+    "Integer-microsecond arithmetic throughout; (s, event_id) ordering is "
+    "unique so both windows are deterministic. The sweep twin of "
+    "w_max_concurrency: that one counts overlap depth, this one produces "
+    "the merged coverage spans — together they're the interval-algebra "
+    "pair behind outage windows and session coverage. Scale: one user_id "
+    "exchange shared by both windows and the final island agg.",
+)
+def w_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    dur = F.round(F.col("value") * 100, 0).cast("bigint") * 10000
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + dur).alias("e"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max = F.max("e").over(wo.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+    islands = iv.select(
+        "user_id", "s", "e", "event_id", F.sum(brk).over(wo).alias("island")
+    )
+    return islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("merged_start_us"),
+        F.max("e").alias("merged_end_us"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
+# --- Association rules: support / confidence / lift ------------------------
+
+
+@query(
+    "j_basket_lift",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+    item AS (SELECT l_partkey, COUNT(*) AS cnt FROM op GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS pair_cnt
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    )
+    SELECT p.p1, p.p2, p.pair_cnt, i1.cnt AS cnt1, i2.cnt AS cnt2,
+           CAST(p.pair_cnt AS DOUBLE) / nb.n_orders AS support,
+           CAST(p.pair_cnt AS DOUBLE) / i1.cnt AS confidence,
+           CAST(p.pair_cnt AS DOUBLE) * nb.n_orders / i1.cnt / i2.cnt AS lift
+    FROM pairs p
+    JOIN item i1 ON i1.l_partkey = p.p1
+    JOIN item i2 ON i2.l_partkey = p.p2
+    CROSS JOIN nb
+    """,
+    note="Association-rule metrics over co-purchase pairs: support, "
+    "confidence and lift for part pairs appearing in >=3 orders. The pair "
+    "counts reuse j_basket_pairs' shape (the oracle states the naive "
+    "self-join; Spark generates pairs map-side from per-order sorted item "
+    "sets, one orderkey shuffle); item marginals and the 1-row basket "
+    "total then BROADCAST onto the filtered pair list, so the ratio "
+    "columns cost no extra shuffle. All ratios divide integer-exact "
+    "counts in the identical left-to-right association (a/b/c form, no "
+    "reassociation), so parity is bit-exact. Scale: the HAVING prunes "
+    "pairs before the marginal joins; everything after the pair agg is "
+    "pruned-pair-list sized.",
+)
+def j_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    nb = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    sets = op.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = (
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.p1", "pr.p2")
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 3)
+    )
+    i1 = item.select(F.col("l_partkey").alias("p1"), F.col("cnt").alias("cnt1"))
+    i2 = item.select(F.col("l_partkey").alias("p2"), F.col("cnt").alias("cnt2"))
+    pc = F.col("pair_cnt").cast("double")
+    return (
+        pairs.join(F.broadcast(i1), "p1")
+        .join(F.broadcast(i2), "p2")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "p1",
+            "p2",
+            "pair_cnt",
+            "cnt1",
+            "cnt2",
+            (pc / F.col("n_orders")).alias("support"),
+            (pc / F.col("cnt1")).alias("confidence"),
+            (pc * F.col("n_orders") / F.col("cnt1") / F.col("cnt2")).alias("lift"),
+        )
+    )
+
+
+# --- Partition checksum (cross-system reconciliation) ----------------------
+
+
+@query(
+    "dq_partition_checksum",
+    oracle="""
+    WITH h AS (
+      SELECT source,
+             md5(CAST(doc_id AS VARCHAR) || '|' || lang || '|'
+                 || CAST(n_chars AS VARCHAR)) AS row_h
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_rows,
+           md5(string_agg(row_h, '' ORDER BY row_h)) AS checksum
+    FROM h GROUP BY source
+    """,
+    note="Per-partition content checksum: a deterministic md5 over each "
+    "source's row hashes, ORDER-CANONICALIZED by sorting the row hashes "
+    "before chaining — so the checksum is identical no matter how either "
+    "engine partitions or orders the scan. This is the migration/replica "
+    "reconciliation primitive (the cheap first pass before a row-level "
+    "diff like o_snapshot_diff): ship (partition, n_rows, checksum) from "
+    "both systems, compare 3 columns per partition instead of the data. "
+    "Scale: row hashing is map-side; the sort is per-partition-key over "
+    "that key's rows only. For partitions too large to sort, the swap is "
+    "an order-free combiner (XOR/sum of row hashes) — weaker but "
+    "mergeable; noted, not substituted.",
+)
+def dq_partition_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    row_h = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.col("lang"),
+            F.col("n_chars").cast("string"),
+        )
+    )
+    return (
+        d.select("source", row_h.alias("row_h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.md5(
+                F.concat_ws("", F.sort_array(F.collect_list("row_h")))
+            ).alias("checksum"),
+        )
+    )
+
+
+# --- Dataset card stats ------------------------------------------------------
+
+
+@query(
+    "llm_dataset_card",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en_docs,
+           COUNT(*) - COUNT(DISTINCT text) AS dup_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents
+    GROUP BY source
+    """,
+    note="Dataset-card statistics per source: document count, total "
+    "characters, language spread, English share, exact duplicate count "
+    "(rows minus distinct texts), and mean length — the one-pass summary "
+    "block a corpus release ships with (HF dataset cards / Dolma-style "
+    "reports). Everything is integer except the final mean, which divides "
+    "two integer-exact values. COUNT(DISTINCT text) hashes full payloads; "
+    "at 100 TB the swap is distinct-over-md5 (shuffle 16-byte digests, "
+    "not documents — the exact trick llm_dedup_exact uses) or the HLL "
+    "register sketch for approximate spread. Scale: one aggregate, "
+    "|sources| output rows.",
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("en_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).alias("dup_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+# --- Degree histogram of the derived graph ---------------------------------
+
+_DEG_N = 2000
+
+
+@query(
+    "graph_degree_histogram",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT DISTINCT
+             LEAST(o_custkey % {_DEG_N}, o_orderkey % {_DEG_N}) AS u,
+             GREATEST(o_custkey % {_DEG_N}, o_orderkey % {_DEG_N}) AS v
+      FROM orders
+      WHERE o_custkey % {_DEG_N} <> o_orderkey % {_DEG_N}
+    ), sym AS (
+      SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0
+    ), deg AS (
+      SELECT node, COUNT(*) AS degree FROM sym GROUP BY node
+    )
+    SELECT degree, COUNT(*) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+    note="Degree histogram of the derived order graph (same edge "
+    "construction as graph_triangle_count): per-node degree via the "
+    "symmetrized endpoint explode, then the degree-frequency rollup — "
+    "the first diagnostic you run before choosing graph-algorithm "
+    "strategy (hub skew here is what motivates degree-ORIENTED triangle "
+    "counting and frontier-based BFS). Two keyed aggregates, both "
+    "map-side combinable; the endpoint explode is a zero-shuffle UNION "
+    "ALL of two column projections. Scale: output is bounded by max "
+    "degree; the node-degree intermediate is |V|-sized.",
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % _DEG_N).alias("a"),
+        (F.col("o_orderkey") % _DEG_N).alias("b"),
+    )
+    e0 = (
+        o.filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    sym = e0.select(F.col("u").alias("node")).unionByName(
+        e0.select(F.col("v").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -137,6 +137,15 @@ HEADLINE = [
     "a_rolling_dau_7d",       # trailing-window distinct actives
     "llm_boilerplate_ngrams", # cross-source repetition mining
     "a_ship_latency_pct",     # nearest-rank SLA percentiles
+    "j_spatial_grid_join",    # 3x3 stencil spatial candidates
+    "a_ols_slope",            # closed-form per-group least squares
+    "llm_length_batching",    # padding-waste batch assembly
+    "a_abc_classification",   # cross-multiplied ABC classes
+    "w_interval_merge",       # overlapping-interval union
+    "j_basket_lift",          # support/confidence/lift rules
+    "dq_partition_checksum",  # order-canonical partition md5
+    "llm_dataset_card",       # one-pass corpus summary block
+    "graph_degree_histogram", # degree rollup diagnostic
 ]
 
 
