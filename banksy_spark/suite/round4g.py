@@ -360,3 +360,127 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+# --- Two-proportion z-test (A/B conversion) --------------------------------
+
+
+@query(
+    "a_ab_test_ztest",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id, user_id % 2 AS cohort,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ), agg AS (
+      SELECT
+        SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS n_a,
+        SUM(CASE WHEN cohort = 0 THEN converted ELSE 0 END) AS x_a,
+        SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS n_b,
+        SUM(CASE WHEN cohort = 1 THEN converted ELSE 0 END) AS x_b
+      FROM conv
+    )
+    SELECT n_a, x_a, n_b, x_b,
+           CAST(x_a AS DOUBLE) / n_a AS rate_a,
+           CAST(x_b AS DOUBLE) / n_b AS rate_b,
+           (CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+             / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                    * (1e0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                    * (1e0 / n_a + 1e0 / n_b)) AS z_score
+    FROM agg
+    """,
+    note="Two-proportion z-test on user-parity A/B cohorts (converted = "
+    "any purchase): the experiment-analysis primitive, computed as one "
+    "per-user conversion rollup plus one 4-counter aggregate — every "
+    "input to the z formula is an exact integer, and the pooled-variance "
+    "expression evaluates the identical double tree in both engines. "
+    "Scale: the user rollup is one keyed exchange (or the per-user flag "
+    "already exists in a profile table); the z computation is a 1-row "
+    "formula. Assignment by hash parity is the production pattern "
+    "(deterministic, join-free, consistent across sessions).",
+)
+def a_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    conv = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    conv = conv.select(
+        (F.col("user_id") % 2).alias("cohort"), "converted"
+    )
+    agg = conv.agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("cohort") == 0, F.col("converted")).otherwise(0)).alias(
+            "x_a"
+        ),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("cohort") == 1, F.col("converted")).otherwise(0)).alias(
+            "x_b"
+        ),
+    )
+    ra = F.col("x_a").cast("double") / F.col("n_a")
+    rb = F.col("x_b").cast("double") / F.col("n_b")
+    p = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (ra - rb) / F.sqrt(
+        p
+        * (F.lit(1.0) - p)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return agg.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        ra.alias("rate_a"),
+        rb.alias("rate_b"),
+        z.alias("z_score"),
+    )
+
+
+# --- Day-of-week x hour activity grid --------------------------------------
+
+
+@query(
+    "a_dow_hour_grid",
+    oracle="""
+    WITH g AS (
+      SELECT (epoch_us(ts) // 86400000000) % 7 AS dow_idx,
+             (epoch_us(ts) % 86400000000) // 3600000000 AS hour_of_day,
+             COUNT(*) AS events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT dow_idx, hour_of_day, events,
+           CAST(events AS DOUBLE)
+             / SUM(events) OVER (PARTITION BY dow_idx) AS share_of_dow
+    FROM g
+    """,
+    note="Day-of-week x hour-of-day activity heatmap grid with per-day "
+    "shares. The weekday index is computed ARITHMETICALLY from epoch "
+    "microseconds ((days since epoch) mod 7) rather than via dayofweek()/ "
+    "extract(dow) — the two engines disagree on weekday numbering origin "
+    "(Spark: 1=Sunday; DuckDB: 0=Sunday) and both depend on session "
+    "timezone; integer epoch math sidesteps the whole class. One "
+    "map-side-combinable count agg to the 7x24 grid, then a window share "
+    "over 168 rows. Scale: grid-sized everything after the first agg.",
+)
+def a_dow_hour_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    g = ev.groupBy(
+        F.expr("(unix_micros(ts) DIV 86400000000) % 7").alias("dow_idx"),
+        F.expr("(unix_micros(ts) % 86400000000) DIV 3600000000").alias(
+            "hour_of_day"
+        ),
+    ).agg(F.count(F.lit(1)).alias("events"))
+    w = Window.partitionBy("dow_idx")
+    return g.select(
+        "dow_idx",
+        "hour_of_day",
+        "events",
+        (F.col("events").cast("double") / F.sum("events").over(w)).alias(
+            "share_of_dow"
+        ),
+    )

@@ -146,6 +146,8 @@ HEADLINE = [
     "dq_partition_checksum",  # order-canonical partition md5
     "llm_dataset_card",       # one-pass corpus summary block
     "graph_degree_histogram", # degree rollup diagnostic
+    "a_ab_test_ztest",        # pooled-variance conversion z-test
+    "a_dow_hour_grid",        # arithmetic-weekday heatmap grid
 ]
 
 
