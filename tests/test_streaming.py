@@ -417,3 +417,57 @@ def test_cms_maintenance_stream_equals_batch(spark, tmp_path):
     batch = cms_cells(T(spark, SF_SMOKE, "events").select("user_id"))
     want = {(r.r, r.cell): 2 * r.cnt for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_stateful_attribution_stream_equals_batch(spark, tmp_path):
+    """The applyInPandasWithState last-touch attribution must
+    re-aggregate to the batch query's per-channel (purchases,
+    revenue-cents) exactly: events time-split into two files processed
+    one per batch, the carried touchpoint crossing the boundary."""
+    import time as _time
+
+    from banksy_spark.streaming.attribution import attribution_stream
+    from banksy_spark.suite import REGISTRY
+    from banksy_spark.suite.registry import T
+
+    batch = T(spark, SF_SMOKE, "events")
+    mid = batch.agg(F.expr("percentile_approx(CAST(ts AS DOUBLE), 0.5)")).first()[0]
+    early = batch.filter(F.col("ts").cast("double") <= mid)
+    late = batch.filter(F.col("ts").cast("double") > mid)
+    src = tmp_path / "attr_in"
+    src.mkdir()
+    early.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "a1"))
+    _time.sleep(1.1)
+    late.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "a2"))
+    for i, d in enumerate(("a1", "a2")):
+        for f in (tmp_path / d).glob("*.parquet"):
+            shutil.copy(f, src / f"{i}.parquet")
+            _time.sleep(1.1)
+
+    stream = read_events_stream(spark, str(src))
+    q = (
+        attribution_stream(stream)
+        .writeStream.format("memory")
+        .queryName("attr_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attr"))
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not finish in time"
+
+    got = {}
+    for r in spark.sql(
+        "SELECT channel, COUNT(*) AS purchases,"
+        " SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents"
+        " FROM attr_stream GROUP BY channel"
+    ).collect():
+        got[r["channel"]] = (r["purchases"], r["cents"])
+
+    want = {}
+    for r in REGISTRY["stream_attribution"].fn(spark, SF_SMOKE).collect():
+        want[r["channel"]] = (r["purchases"], round(r["revenue"] * 100))
+
+    assert len(got) == len(want) > 0
+    assert got == want, "incremental attribution diverged from batch window"
