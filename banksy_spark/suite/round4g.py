@@ -484,3 +484,126 @@ def a_dow_hour_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_dow"
         ),
     )
+
+
+# --- RFM customer segmentation ---------------------------------------------
+
+
+@query(
+    "a_rfm_segmentation",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                       DATE '2001-08-01') AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey, recency_days, frequency,
+             NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+      FROM cust
+    )
+    SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+           CASE WHEN r_score <= 2 AND f_score <= 2 THEN 'champion'
+                WHEN r_score >= 4 AND f_score <= 2 THEN 'at_risk'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'new'
+                ELSE 'regular' END AS segment
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """,
+    note="RFM segmentation: per-customer recency (days before the corpus "
+    "horizon 2001-08-01), frequency and exact DECIMAL monetary, scored "
+    "into quintiles with NTILE — every NTILE ordering carries the custkey "
+    "tie-break, which is what makes NTILE deterministic (ties at a "
+    "quintile boundary otherwise land arbitrarily, a known cross-engine "
+    "hash flake). Output is the scored-cell census plus the classic "
+    "champion/at-risk/new labeling. Scale: one orders aggregate; the "
+    "three global NTILEs run over the |customers| table — at true scale "
+    "the swap is score-by-percentile-bounds (broadcast the 4 cut points "
+    "from the exact-rank machinery) instead of a global sort; same "
+    "semantics, noted not substituted.",
+)
+def a_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2001-08-01").cast("date"),
+            F.max("o_orderdate").cast("date"),
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    r = F.ntile(5).over(Window.orderBy("recency_days", "o_custkey"))
+    f = F.ntile(5).over(
+        Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    )
+    m = F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
+    scored = cust.select(
+        r.alias("r_score"), f.alias("f_score"), m.alias("m_score")
+    )
+    seg = (
+        F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "at_risk")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "new")
+        .otherwise("regular")
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select("r_score", "f_score", "m_score", "n_customers", seg.alias("segment"))
+    )
+
+
+# --- Return rate per brand ---------------------------------------------------
+
+
+@query(
+    "a_return_rate_brand",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           COUNT(*) AS n_lines,
+           SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS return_rate,
+           CAST(CAST(SUM(CASE WHEN l.l_returnflag = 'R'
+                              THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              ELSE CAST(0 AS DECIMAL(18,2)) END)
+                     AS VARCHAR) AS DOUBLE) AS returned_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    """,
+    note="Return rate and returned revenue per brand (l_returnflag = 'R'): "
+    "conditional counts and a conditional DECIMAL revenue sum in ONE "
+    "aggregate pass over the broadcast part join — the merchandising "
+    "quality readout, same one-pass CASE-sum discipline as the Q12/Q14 "
+    "shapes. The rate divides integer-exact counts; the revenue converts "
+    "once through VARCHAR. Scale: broadcast dim, map-side combinable, "
+    "|brands| output rows.",
+)
+def a_return_rate_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag", "l_extendedprice"
+    )
+    pt = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    is_r = F.col("l_returnflag") == "R"
+    ret = F.sum(F.when(is_r, 1).otherwise(0))
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            ret.alias("returned"),
+            (ret.cast("double") / F.count(F.lit(1))).alias("return_rate"),
+            F.sum(
+                F.when(
+                    is_r, F.col("l_extendedprice").cast("decimal(18,2)")
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            )
+            .cast("string")
+            .cast("double")
+            .alias("returned_revenue"),
+        )
+    )

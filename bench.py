@@ -148,6 +148,8 @@ HEADLINE = [
     "graph_degree_histogram", # degree rollup diagnostic
     "a_ab_test_ztest",        # pooled-variance conversion z-test
     "a_dow_hour_grid",        # arithmetic-weekday heatmap grid
+    "a_rfm_segmentation",     # tie-broken NTILE quintile scoring
+    "a_return_rate_brand",    # one-pass conditional return metrics
 ]
 
 
