@@ -39,9 +39,12 @@ def _attr_group(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     ch_type, ch_ts = state.get if state.exists else (None, None)
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
+    # Materialize and globally order the group before folding: Spark only
+    # clusters by the grouping key, so a key spanning multiple Arrow
+    # record batches would otherwise fold chunks out of event-time order.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
         rows = []
         for ev_id, etype, ts_us, value in zip(

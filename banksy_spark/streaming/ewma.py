@@ -34,9 +34,13 @@ def _ewma_group(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (acc,) = state.get if state.exists else (0.0,)
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
+    # Spark only clusters rows by the grouping key — when one key's batch
+    # spans multiple Arrow record batches the chunks arrive in arbitrary
+    # order, so the group must be materialized and ordered globally before
+    # the fold (sorting each chunk independently is NOT enough).
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
         out = []
         # plain python float fold == IEEE double sequence == the

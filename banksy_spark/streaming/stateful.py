@@ -42,9 +42,12 @@ def _make_limiter(max_per_day: int):
         # including out-of-order regressions, matching the reference's
         # transition semantics — resets the counter).
         day, n = state.get if state.exists else (None, 0)
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        # Materialize + globally order the group first: chunks of one key
+        # can arrive in arbitrary order (Spark clusters by key only), so a
+        # per-chunk sort would fold out of event-time order.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
             r_day = pdf["ts"].dt.strftime("%Y-%m-%d")
             run = (r_day != r_day.shift()).cumsum()

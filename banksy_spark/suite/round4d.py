@@ -396,9 +396,9 @@ def a_chi2_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts,
              CASE WHEN LAG(ts) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) IS NULL
-                    OR ts - LAG(ts) OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800000000
                   THEN 1 ELSE 0 END AS brk,
              event_id
       FROM events
@@ -430,8 +430,8 @@ def a_chi2_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events")
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(wo).cast("long")
-    brk = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(wo))
+    brk = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
     sess = ev.select(
         "user_id", "ts", "event_id", F.sum(brk).over(wo).alias("sid")
     )
