@@ -1,22 +1,43 @@
 """Connected components over an edge list (duplicate-cluster
 resolution for fuzzy dedup — suite.llm_extra.llm_dedup_clusters).
 
-Min-label propagation with self-loops: each round every node takes the
-minimum label over its in-neighborhood (self included, via the loop
-edges), so after d rounds every node within distance d of its
-component's minimum carries that minimum. Rounds are a *fixed* plan
-depth — no driver-side convergence loop, the query stays lazy.
+Two forms:
 
-Plan-shape note (measured): referencing the label table twice per
-round (labels ∪ neighbor-min) doubles the logical plan each round —
-2^rounds leaf copies, 24 s of analysis + 109 s of recompute at 8
-rounds on a 53-node graph. Folding self into the edge relation makes
-each round reference labels exactly once: linear depth, ~10× faster.
+- :func:`connected_components` — **convergence-guaranteed** alternating
+  large-star / small-star (Kiveris et al., "Connected Components in
+  MapReduce and Beyond", SoCC'14). Runs a driver-side loop with an
+  explicit edge-set fixed-point check, so the answer is exact for ANY
+  graph shape — a chain of duplicates with diameter 1000 converges just
+  as surely as a near-clique, in O(log^2 n) rounds (O(log n) observed).
+  Lineage is truncated with eager ``localCheckpoint`` every iteration
+  (the convergence test needs a materialization anyway), so the plan
+  never deepens and shuffle files are released as the loop proceeds.
 
-Scale: each round is one shuffle keyed on node id over the EDGE list
-(for dedup: the LSH collision pairs, tiny relative to the corpus).
-Production replaces fixed rounds with alternating large-star/small-star
-(O(log n) rounds, Kiveris et al.) — same per-round plan shape.
+- :func:`label_propagation_cc` — the bounded-depth lazy form (min-label
+  propagation over the open neighborhood for a *fixed* number of
+  rounds). Correct only for components whose min-label eccentricity is
+  <= ``rounds``; kept for plan-depth experiments and as the
+  under-merge counterexample in tests. Production dedup uses the
+  converged form above.
+
+Algorithm (converged form), with edges canonically oriented big->small:
+
+- large-star: every node u computes m = min(N(u) ∪ {u}) over its FULL
+  neighborhood; every strictly-larger neighbor v > u re-attaches to m.
+  Halves long chains while only ever attaching bigger ids to smaller
+  ids (monotone, no cycles).
+- small-star: every node u re-attaches its smaller-or-equal neighbors
+  (and itself) to m. Flattens local trees into stars.
+- Fixed points of the pair are exactly star graphs rooted at each
+  component's minimum id (Kiveris et al. Thm 1-3), so "edge set
+  unchanged" is a sound and complete stopping rule.
+
+Scale: each iteration is two groupBy-min + two joins keyed on node id
+over the EDGE list (for dedup: the LSH collision pairs, tiny relative
+to the corpus). The convergence check is one EXCEPT + two counts over
+the same edge list. State never exceeds one edge per non-root node
+after the first small-star, so iterations get *cheaper* as the loop
+proceeds.
 """
 
 from __future__ import annotations
@@ -25,26 +46,115 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _canonical_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Orient big->small, drop self-loops, dedupe."""
+    e = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    return (
+        e.select(
+            F.greatest("s", "d").alias("a"), F.least("s", "d").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
 def connected_components(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Label every node of the undirected graph given by ``pairs`` with
+    its component's minimum node id — exact for any graph, via
+    alternating large-star/small-star iterated to a verified fixed
+    point. Returns columns ``(node, lab)``; every node appearing in
+    ``pairs`` (either side, self-loops included) gets exactly one row.
+
+    ``max_iter`` is a runaway backstop, not a correctness budget: the
+    loop raises rather than silently returning an under-merged answer
+    if the fixed point is somehow not reached (the algorithm's bound is
+    O(log^2 n) rounds, so 50 covers any graph that fits on a cluster).
+    """
+    nodes = (
+        pairs.select(F.col(src).alias("node"))
+        .union(pairs.select(F.col(dst).alias("node")))
+        .distinct()
+        .persist()
+    )
+    e = _canonical_edges(pairs, src, dst).localCheckpoint(eager=True)
+    n_edges = e.count()
+    if n_edges:
+        for _ in range(max_iter):
+            # --- large-star: v > u re-attaches to min(N(u) ∪ {u}) ----
+            und = e.union(
+                e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            mins = (
+                und.groupBy("a")
+                .agg(F.min("b").alias("mn"))
+                .select("a", F.least("a", "mn").alias("m"))
+            )
+            ls = (
+                und.join(mins, "a")
+                .filter(F.col("b") > F.col("a"))
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .distinct()
+            )
+            # --- small-star: v <= u (and u) re-attach to the min -----
+            # ls is oriented a > b, so min(N(a) ∪ {a}) = min(b).
+            mins2 = ls.groupBy("a").agg(F.min("b").alias("m"))
+            ss = (
+                ls.join(mins2, "a")
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .union(mins2.select("a", F.col("m").alias("b")))
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            # --- fixed point? ss ⊆ e and |ss| == |e| ⇒ ss == e -------
+            n_new = ss.count()
+            changed = n_new != n_edges or not ss.subtract(e).isEmpty()
+            e, n_edges = ss, n_new
+            if not changed:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "iterations — graph larger than the O(log^2 n) backstop "
+                "allows, raise max_iter"
+            )
+    labels = (
+        nodes.join(
+            e.select(F.col("a").alias("node"), F.col("b").alias("lab")),
+            "node",
+            "left",
+        )
+        .groupBy("node")
+        .agg(F.min(F.coalesce("lab", "node")).alias("lab"))
+    )
+    nodes.unpersist()
+    return labels
+
+
+def label_propagation_cc(
     pairs: DataFrame,
     src: str = "src",
     dst: str = "dst",
     rounds: int = 8,
     checkpoint_every: int | None = None,
 ) -> DataFrame:
-    """Label every node of the undirected graph given by ``pairs`` with
-    its component's minimum node id. Correct for components whose
-    minimum-label eccentricity is <= ``rounds``; callers verifying
-    against an exact oracle (recursive CTE) will see a mismatch if a
-    component ever outruns the budget.
+    """Bounded-depth min-label propagation (the pre-round-5 form).
+
+    Correct only for components whose minimum-label eccentricity is
+    <= ``rounds``; a longer chain silently under-merges — which is why
+    the suite queries now use :func:`connected_components` instead.
+    Kept as the lazy fixed-plan-depth variant (no driver loop, no
+    action at build time) and as the counterexample operator in
+    tests/test_scale_ops.py.
 
     ``checkpoint_every``: truncate lineage with ``localCheckpoint``
-    every N rounds. The default (None) keeps the query fully lazy —
-    required by the suite contract — and linear plan depth is fine for
-    the fixed 8 rounds. At cluster scale with many rounds (large-star/
-    small-star to convergence), checkpointing every 2-3 rounds stops
-    the optimizer re-walking an ever-deeper plan and releases shuffle
-    files; results are identical (tested)."""
+    every N rounds; results are identical (tested).
+    """
     und = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
         pairs.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     )

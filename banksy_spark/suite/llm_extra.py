@@ -35,18 +35,13 @@ _EST_DUCK = " + ".join(
     f"(CASE WHEN a.sig[{i + 1}] = b.sig[{i + 1}] THEN 1 ELSE 0 END)" for i in range(16)
 )
 
-# Fixed propagation rounds. Min-label over the open neighborhood
-# converges in diameter(G) rounds; LSH dup components are near-cliques
-# (every member collides with the canonical doc in some band), so real
-# diameters are 1-3. Six rounds is a 2× margin over anything the
-# oracle has ever produced, and the oracle (true transitive closure via
-# recursive CTE) fails the hash check if a chain ever outruns it.
-# (Measured: each round costs ~0.9 s of local stage overhead on a
-# 456-edge graph — pure fixed cost, so the budget is kept tight.
-# Pointer-jumping shortcuts were tried and rejected: they double reach
-# on id-monotone chains but an adversarial id permutation defeats them
-# at distance 8, so they add cost without a worst-case guarantee.)
-_CC_ROUNDS = 6
+# Cluster resolution uses the convergence-guaranteed alternating
+# large-star/small-star operator (operators/graph.py): it iterates to a
+# verified edge-set fixed point, so ANY dup-graph shape — including a
+# diameter-1000 chain an adversarial corpus could produce — resolves
+# exactly. The pre-round-5 fixed-round label propagation survives as
+# label_propagation_cc, with its under-merge failure mode pinned as a
+# counterexample in tests/test_scale_ops.py.
 
 
 @query(
@@ -75,12 +70,12 @@ _CC_ROUNDS = 6
     """,
     note="Dedup resolution: connected components over the MinHash-LSH duplicate graph "
     "(band-collision pairs with estimated jaccard >= 0.5), each doc labeled with its "
-    "component's min doc_id; keep is_canonical. Spark side: 8 fixed rounds of min-label "
-    "propagation (each round one shuffle over the edge list — plan built lazily, no "
-    "driver-side convergence loop); oracle side: exact transitive closure via recursive "
-    "CTE, so insufficient rounds would hash-mismatch. At 100 TB the edge list is the "
-    "(tiny) collision set, not the corpus, and production swaps the fixed rounds for "
-    "alternating large/small-star (O(log n) rounds) — same per-round plan shape.",
+    "component's min doc_id; keep is_canonical. Spark side: alternating large-star/"
+    "small-star (Kiveris et al.) iterated to a verified edge-set fixed point — exact "
+    "for any graph diameter, O(log n) observed rounds, lineage truncated per round "
+    "with localCheckpoint; oracle side: exact transitive closure via recursive CTE. "
+    "At 100 TB the edge list is the (tiny) collision set, not the corpus, and each "
+    "round is two groupBy-min + two joins keyed on node id over that edge list.",
 )
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _lsh_sigs(spark, sf_dir, with_hs=False)
@@ -99,7 +94,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from banksy_spark.operators.graph import connected_components
 
-    labels = connected_components(dup, src="doc_a", dst="doc_b", rounds=_CC_ROUNDS)
+    labels = connected_components(dup, src="doc_a", dst="doc_b")
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("lab").alias("cluster_id"),

@@ -235,7 +235,6 @@ def _canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     Columns: doc_id, cluster_id, canonical_doc_id, keep."""
     from banksy_spark.operators.graph import connected_components
     from banksy_spark.suite.llm import _band_pairs, _lsh_sigs
-    from banksy_spark.suite.llm_extra import _CC_ROUNDS
 
     d = _lsh_sigs(spark, sf_dir, with_hs=False)
     pairs = _band_pairs(d)
@@ -246,7 +245,7 @@ def _canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 16.0
     )
     dup = pairs.join(sa, "doc_a").join(sb, "doc_b").filter(est >= 0.5).select("doc_a", "doc_b")
-    labels = connected_components(dup, src="doc_a", dst="doc_b", rounds=_CC_ROUNDS)
+    labels = connected_components(dup, src="doc_a", dst="doc_b")
     docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
     labeled = docs.join(
         labels.select(F.col("node").alias("doc_id"), "lab"), "doc_id", "left"

@@ -87,11 +87,12 @@ def test_connected_components_chain_and_clique(spark):
     assert got == {**{i: 10 for i in range(10, 17)}, **{i: 30 for i in (30, 31, 32)}}
 
 
-def test_connected_components_insufficient_rounds_detectable(spark):
+def test_label_propagation_insufficient_rounds_detectable(spark):
     """With rounds < eccentricity the far end of a chain keeps a stale
-    label — the failure mode the recursive-CTE oracle would catch."""
-    from banksy_spark.operators.graph import connected_components
+    label — the bounded-depth failure mode the converged operator
+    (large-star/small-star) eliminates."""
+    from banksy_spark.operators.graph import label_propagation_cc
 
     df = spark.createDataFrame([(i, i + 1) for i in range(5)], "src bigint, dst bigint")
-    got = {r.node: r.lab for r in connected_components(df, rounds=2).collect()}
+    got = {r.node: r.lab for r in label_propagation_cc(df, rounds=2).collect()}
     assert got[5] != 0 and got[2] == 0
