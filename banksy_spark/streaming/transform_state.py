@@ -81,6 +81,49 @@ def first_seen_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def _first_seen_group(key, pdfs, state) -> Iterator[pd.DataFrame]:
+    """GroupState form of :class:`FirstSeenProcessor`: one boolean per
+    key; the first batch that sees the key emits its earliest row by
+    (ts, event_id), every later batch is suppressed."""
+    if state.exists:
+        return
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return
+    pdf = pd.concat(chunks, ignore_index=True)
+    best = pdf.sort_values(["ts", "event_id"]).head(1)
+    state.update((True,))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "event_id": best["event_id"].to_numpy(),
+            "ts": best["ts"].to_numpy(),
+        }
+    )
+
+
+def first_seen_stream_gs(events: DataFrame) -> DataFrame:
+    """Streaming first-seen dedup via ``applyInPandasWithState`` — the
+    dependency-free twin of :func:`first_seen_stream` (the typed-state
+    ``transformWithStateInPandas`` protocol needs ``google.protobuf``,
+    which some runtimes lack; GroupState ships in-protocol). Identical
+    semantics: per-key boolean state, earliest (ts, event_id) row
+    emitted exactly once across the life of the stream."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _first_seen_group,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType="seen boolean",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def first_seen_batch(events: DataFrame) -> DataFrame:
     """Batch twin: the key's earliest row by (ts, event_id) — what the
     stateful stream must converge to when it has consumed every event

@@ -316,14 +316,14 @@ def llm_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
                           c.cell) AS rk
         FROM n e CROSS JOIN centn c
         WHERE e.vec_id < 8
-      ) WHERE rk <= 2
+      ) WHERE rk <= 6
     ),
     topk AS (
       SELECT nprobe, qid, neighbor_id FROM (
         SELECT np.nprobe, q.qid, a.vec_id AS neighbor_id,
                row_number() OVER (PARTITION BY np.nprobe, q.qid ORDER BY
                  {_DOT_DUCK.format(a='q.qv', b='a.v')} / (q.qn * a.nrm) DESC, a.vec_id) AS rnk
-        FROM (VALUES (1), (2)) AS np(nprobe)
+        FROM (VALUES (1), (2), (4), (6)) AS np(nprobe)
         JOIN probes q ON q.rk <= np.nprobe
         JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.qid
       ) WHERE rnk <= 3
@@ -336,13 +336,18 @@ def llm_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT np.nprobe, tr.qid,
            COALESCE(h.h, 0) / CAST(tr.n_truth AS DOUBLE) AS recall
-    FROM (VALUES (1), (2)) AS np(nprobe)
+    FROM (VALUES (1), (2), (4), (6)) AS np(nprobe)
     CROSS JOIN truth tr
     LEFT JOIN hits h ON h.nprobe = np.nprobe AND h.qid = tr.qid
     """,
-    note="Recall@3 per query id for IVF at nprobe=1 vs nprobe=2 against the exact "
-    "brute-force top-3 — quantifies what the second probe buys. nprobe=2 recall is "
-    "monotonically >= nprobe=1 by construction (superset of candidates).",
+    note="Recall@3 per query id for IVF at nprobe in {1,2,4,6} against the exact "
+    "brute-force top-3 — quantifies what each extra probe buys; recall is monotone "
+    "in nprobe by construction (superset of candidates). The synthetic 64-d "
+    "embeddings are directionally unclustered (random-ish), so the measured curve "
+    "climbs slowly — nprobe=6 of 10 cells is the first config to clear recall 0.9 "
+    "(pinned as a pytest floor, tests/test_scale_ops.py; BASELINE.md records the "
+    "curve). On real clustered embeddings the same machinery reaches 0.9 at far "
+    "lower probe fractions — the floor guards TUNING regressions, not the data.",
 )
 def llm_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from banksy_spark.suite.llm import llm_ann_bruteforce
@@ -362,13 +367,13 @@ def llm_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(centn))
         .withColumn("_simc", sim_c)
         .withColumn("rk", F.row_number().over(wq))
-        .filter(F.col("rk") <= 2)
+        .filter(F.col("rk") <= 6)
         .select(
             F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
             F.col("nrm").alias("qn"), "cell", "rk",
         )
     )
-    nprobes = spark.createDataFrame([(1,), (2,)], "nprobe int")
+    nprobes = spark.createDataFrame([(1,), (2,), (4,), (6,)], "nprobe int")
     q = probes.join(F.broadcast(nprobes), probes.rk <= F.col("nprobe")).select(
         "nprobe", "qid", "qv", "qn", "cell"
     )

@@ -149,3 +149,26 @@ def test_cc_converges_where_fixed_budget_under_merges(spark):
 
     exact = {r.node: r.lab for r in connected_components(df).collect()}
     assert exact == {i: 0 for i in range(64)}
+
+
+def test_ann_recall_floor_at_pinned_nprobe(spark):
+    """VERDICT r4 item 4: the ANN recall queries measure recall but
+    nothing asserted a floor. Config pinned in BASELINE.md: IVF with
+    the 10 label-mean cells at nprobe=6 clears recall@3 >= 0.9 on
+    sf0.1 (measured 0.958); a tuning regression (probe-rank tie-break,
+    centroid arithmetic, candidate filter) now fails loudly.
+
+    Runs at the bench scale factor (sf0.1), the scale the floor was
+    tuned at — smaller sfs have too few vectors for a stable curve."""
+    from banksy_spark.suite import REGISTRY
+
+    sf_bench = "/root/testdata/sf0.1"
+    rec = REGISTRY["llm_ann_recall_multiprobe"].fn(spark, sf_bench)
+    by_np = {
+        r["nprobe"]: r["r"]
+        for r in rec.groupBy("nprobe").agg(F.avg("recall").alias("r")).collect()
+    }
+    assert set(by_np) == {1, 2, 4, 6}
+    # monotone in nprobe (candidate superset) — structural invariant
+    assert by_np[1] <= by_np[2] <= by_np[4] <= by_np[6]
+    assert by_np[6] >= 0.9, f"pinned config nprobe=6 regressed: {by_np}"

@@ -290,52 +290,62 @@ def test_incremental_lsh_dedup_stream_equals_batch(spark, tmp_path):
 
 
 def test_transform_with_state_first_seen_across_batches(spark, tmp_path):
-    """transformWithStateInPandas (Spark 4 typed-state API): first-seen
-    dedup emits each user exactly once even when the same data arrives
-    in two micro-batches (two file copies, maxFilesPerTrigger=1).
-
-    The state protocol needs google.protobuf, which this container
-    lacks (pip is barred) — same policy as the media codecs: the
-    operator and its batch twin stay real; the incremental run is
-    exercised when the dependency exists."""
+    """First-seen dedup emits each user exactly once even when the same
+    data arrives in two micro-batches (two file copies,
+    maxFilesPerTrigger=1). The incremental run ALWAYS executes via the
+    applyInPandasWithState twin (first_seen_stream_gs); the typed-state
+    transformWithStateInPandas form additionally runs when its protocol
+    dependency (google.protobuf) exists — the plan/schema build is
+    asserted either way."""
     src = tmp_path / "tws_in"
     src.mkdir()
     shutil.copy(f"{SF_SMOKE}/events.parquet", src / "a.parquet")
     shutil.copy(f"{SF_SMOKE}/events.parquet", src / "b.parquet")
 
-    from banksy_spark.streaming.transform_state import first_seen_batch, first_seen_stream
+    from banksy_spark.streaming.transform_state import (
+        first_seen_batch,
+        first_seen_stream,
+        first_seen_stream_gs,
+    )
     from banksy_spark.suite.registry import T
 
     batch = T(spark, SF_SMOKE, "events")
     want = {(r["user_id"], r["event_id"]) for r in first_seen_batch(batch).collect()}
     assert len(want) == batch.select("user_id").distinct().count()
 
-    # the streaming plan builds either way (analysis catches schema errors)
+    # typed-state plan builds regardless (analysis catches schema errors)
     stream = read_events_stream(spark, str(src))
     tws = first_seen_stream(stream)
     assert tws.isStreaming
     assert [f.name for f in tws.schema.fields] == ["user_id", "event_id", "ts"]
 
-    try:
-        import google.protobuf  # noqa: F401
-    except ImportError:
-        pytest.skip("google.protobuf absent: transformWithState runtime unavailable")
+    def run(df, name, ckpt):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "stream did not finish in time"
+        return {
+            (r["user_id"], r["event_id"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
 
-    q = (
-        tws.writeStream.format("memory")
-        .queryName("tws_first_seen")
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    assert q.awaitTermination(180), "stream did not finish in time"
-    got = {
-        (r["user_id"], r["event_id"])
-        for r in spark.sql("SELECT * FROM tws_first_seen").collect()
-    }
+    got = run(first_seen_stream_gs(read_events_stream(spark, str(src))),
+              "gs_first_seen", "ckpt_gs")
     assert got == want
     assert len(got) == batch.select("user_id").distinct().count()
+
+    try:
+        import google.protobuf  # noqa: F401
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False  # typed-state runtime gated; GS twin ran above
+    if has_protobuf:
+        assert run(tws, "tws_first_seen", "ckpt_tws") == want
 
 
 def test_stateful_ewma_stream_equals_batch(spark, tmp_path):
