@@ -172,3 +172,85 @@ def label_propagation_cc(
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < rounds:
             labels = labels.localCheckpoint(eager=False)
     return labels
+
+
+def bfs_distances(
+    edges: DataFrame, source: int = 0, rounds: int = 4
+) -> DataFrame:
+    """Bounded-depth BFS from ``source`` over a symmetric ``(u, v)``
+    edge list: ``rounds`` unrolled expand-along-edges + MIN-regroup
+    iterations (the Pregel step as a join+agg pair, each frontier
+    persisted so round k doesn't replay rounds 1..k-1).
+
+    Depth-exceeded detector (VERDICT r4 item 7): the output carries a
+    ``frontier_delta`` column — the number of nodes one MORE round
+    would still add or improve. 0 proves the budget covered the
+    reachable eccentricity; >0 means the bound truncated the answer,
+    so callers can fail loudly instead of shipping silently-short
+    distances. Columns: ``(node, dist, frontier_delta)``.
+
+    Scale: each round shuffles on node id only; the probe round is the
+    same plan run once more, reduced to a 1-row broadcast count."""
+    spark = edges.sparkSession
+    dist = spark.range(1).select(
+        F.lit(source).cast("bigint").alias("node"),
+        F.lit(0).cast("bigint").alias("dist"),
+    )
+    for i in range(rounds):
+        grown = dist.unionByName(
+            dist.join(edges, dist.node == edges.u).select(
+                F.col("v").alias("node"), (F.col("dist") + 1).alias("dist")
+            )
+        )
+        dist = grown.groupBy("node").agg(F.min("dist").alias("dist")).persist()
+        # each round references `dist` twice, so the un-truncated plan
+        # doubles per round (2^rounds leaf copies — analysis-time OOM
+        # past ~8 rounds); a lineage cut every 3 rounds caps the fan-out
+        # at 8 while keeping the 4-round suite query fully lazy
+        if (i + 1) % 3 == 0 and i + 1 < rounds:
+            dist = dist.localCheckpoint(eager=True)
+    probe = dist.unionByName(
+        dist.join(edges, dist.node == edges.u).select(
+            F.col("v").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+    ).groupBy("node").agg(F.min("dist").alias("dist"))
+    delta = (
+        probe.join(
+            dist.withColumnRenamed("dist", "old"), "node", "left"
+        )
+        .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+        .agg(F.count("*").cast("bigint").alias("frontier_delta"))
+    )
+    return dist.crossJoin(F.broadcast(delta))
+
+
+def ancestor_unroll(edges: DataFrame, depth: int = 4) -> DataFrame:
+    """Hierarchy (ancestor-chain) traversal by fixed-depth unroll:
+    ``depth`` chained LEFT self-joins against a ``(node, parent)``
+    edge table, assembling the root-to-node path (Spark has no
+    WITH RECURSIVE; the unroll IS the plan, one broadcastable
+    equi-join per hop).
+
+    Depth-exceeded detector (VERDICT r4 item 7): a per-row
+    ``truncated`` flag — true when the chain's top still has a parent
+    after ``depth`` hops, i.e. the walk did NOT reach a root and the
+    emitted path/depth/root are lower bounds. The suite oracle (a
+    genuine recursive CTE) marks the same rows via ``depth > bound``,
+    so truncation can never pass a hash check silently. Columns:
+    ``(node, path, depth, root, truncated)``."""
+    e = edges.select("node", "parent")
+    cur = e.select("node", F.col("parent").alias("a1"))
+    for k in range(2, depth + 1):
+        nxt = e.select(F.col("node").alias("_n"), F.col("parent").alias(f"a{k}"))
+        cur = cur.join(nxt, cur[f"a{k - 1}"] == nxt["_n"], "left").drop("_n")
+    probe = e.select(F.col("node").alias("_n"), F.col("parent").alias("_beyond"))
+    cur = cur.join(probe, cur[f"a{depth}"] == probe["_n"], "left").drop("_n")
+    chain = F.array_compact(F.array(*[f"a{k}" for k in range(depth, 0, -1)]))
+    path_arr = F.concat(chain, F.array(F.col("node")))
+    return cur.select(
+        "node",
+        F.array_join(path_arr, "/").alias("path"),
+        (F.size(path_arr) - 1).cast("bigint").alias("depth"),
+        F.element_at(path_arr, 1).cast("bigint").alias("root"),
+        F.col("_beyond").isNotNull().alias("truncated"),
+    )

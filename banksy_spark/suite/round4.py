@@ -1445,7 +1445,8 @@ def f_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM walk w JOIN edges e ON e.node = w.anc
     )
     SELECT node, path, CAST(depth AS BIGINT) AS depth,
-           CAST(string_split(path, '/')[1] AS BIGINT) AS root
+           CAST(string_split(path, '/')[1] AS BIGINT) AS root,
+           depth > 4 AS truncated
     FROM walk WHERE anc IS NULL
     """,
     note="Hierarchy (ancestor-chain) traversal — the recursive-CTE capability, "
@@ -1458,9 +1459,15 @@ def f_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is a join, exactly how a BOM/org-chart table would run. Scale: each hop "
     "is an equi-join on the parent key (broadcastable when the upper levels "
     "are small, as real hierarchies are); depth bounds plan size, and an "
-    "unbounded hierarchy uses the CC-style fixed-budget loop instead.",
+    "unbounded hierarchy uses the CC-style fixed-budget loop instead. "
+    "Depth-exceeded detector: the truncated flag marks rows whose chain "
+    "top still has a parent after the 4-hop unroll (oracle twin: true "
+    "recursion depth > 4) — a deeper hierarchy flags instead of silently "
+    "truncating; pytest drives a 10-deep chain to truncated=true.",
 )
 def j_hierarchy_unroll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.operators.graph import ancestor_unroll
+
     p = T(spark, sf_dir, "part")
     e = p.select(
         F.col("p_partkey").alias("node"),
@@ -1468,18 +1475,7 @@ def j_hierarchy_unroll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr("p_partkey DIV 16"))
         .alias("parent"),
     )
-    cur = e.select("node", F.col("parent").alias("a1"))
-    for k in range(2, 5):
-        nxt = e.select(F.col("node").alias("_n"), F.col("parent").alias(f"a{k}"))
-        cur = cur.join(nxt, cur[f"a{k - 1}"] == nxt["_n"], "left").drop("_n")
-    chain = F.array_compact(F.array("a4", "a3", "a2", "a1"))
-    path_arr = F.concat(chain, F.array(F.col("node")))
-    return cur.select(
-        "node",
-        F.array_join(path_arr, "/").alias("path"),
-        (F.size(path_arr) - 1).cast("bigint").alias("depth"),
-        F.element_at(path_arr, 1).cast("bigint").alias("root"),
-    )
+    return ancestor_unroll(e, depth=4)
 
 
 # --- Snapshot diff (table-state reconciliation) ----------------------------

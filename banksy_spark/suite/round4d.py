@@ -240,8 +240,14 @@ def _bfs_round_sql(prev: str, out: str) -> str:
     ),
     edges AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
     d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
-    {",".join(_bfs_round_sql(f"d{i}", f"d{i + 1}") for i in range(_BFS_ROUNDS))}
-    SELECT node, dist FROM d{_BFS_ROUNDS}
+    {",".join(_bfs_round_sql(f"d{i}", f"d{i + 1}") for i in range(_BFS_ROUNDS + 1))}
+    SELECT d.node, d.dist, probe.frontier_delta
+    FROM d{_BFS_ROUNDS} d CROSS JOIN (
+      SELECT CAST(COUNT(*) AS BIGINT) AS frontier_delta
+      FROM d{_BFS_ROUNDS + 1} nxt
+      LEFT JOIN d{_BFS_ROUNDS} cur ON cur.node = nxt.node
+      WHERE cur.node IS NULL OR nxt.dist < cur.dist
+    ) probe
     """,
     note="Bounded-depth BFS (4 hops) from node 0 over the same derived "
     "order graph family as graph_triangle_count, symmetrized. Each round "
@@ -252,9 +258,15 @@ def _bfs_round_sql(prev: str, out: str) -> str:
     "Scale: each round shuffles on node id only; the full-table (not "
     "delta-frontier) formulation is deliberate for parity — production "
     "would keep the semi-naive delta frontier, noted in GraphX/Pregel "
-    "literature, with identical join keys.",
+    "literature, with identical join keys. Depth-exceeded detector: the "
+    "frontier_delta column counts nodes one MORE round would add or "
+    "improve — 0 proves the 4-round budget covered the reachable "
+    "eccentricity; both engines compute it, so a truncating budget can "
+    "never pass silently (pytest drives a deeper fixture to non-zero).",
 )
 def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.operators.graph import bfs_distances
+
     o = T(spark, sf_dir, "orders").select(
         (F.col("o_custkey") % _BFS_N).alias("u"),
         (F.col("o_orderkey") % _BFS_N).alias("v"),
@@ -265,17 +277,7 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    dist = spark.range(1).select(
-        F.lit(0).cast("bigint").alias("node"), F.lit(0).cast("bigint").alias("dist")
-    )
-    for _ in range(_BFS_ROUNDS):
-        grown = dist.unionByName(
-            dist.join(edges, dist.node == edges.u).select(
-                F.col("v").alias("node"), (F.col("dist") + 1).alias("dist")
-            )
-        )
-        dist = grown.groupBy("node").agg(F.min("dist").alias("dist")).persist()
-    return dist
+    return bfs_distances(edges, source=0, rounds=_BFS_ROUNDS)
 
 
 # --- Watermark lateness audit ----------------------------------------------

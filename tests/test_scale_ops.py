@@ -172,3 +172,37 @@ def test_ann_recall_floor_at_pinned_nprobe(spark):
     # monotone in nprobe (candidate superset) — structural invariant
     assert by_np[1] <= by_np[2] <= by_np[4] <= by_np[6]
     assert by_np[6] >= 0.9, f"pinned config nprobe=6 regressed: {by_np}"
+
+
+def test_bounded_depth_detectors_fire_on_deep_fixtures(spark):
+    """VERDICT r4 item 7: the bounded iterative ops must flag, not
+    silently truncate. On shallow graphs the detectors read 0/false
+    (and the suite oracles assert that); on fixtures deeper than the
+    budget they must fire."""
+    from banksy_spark.operators.graph import ancestor_unroll, bfs_distances
+
+    # 10-node path graph: eccentricity from node 0 is 9 > 4 rounds
+    chain = [(i, i + 1) for i in range(9)]
+    edges = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], "u bigint, v bigint"
+    )
+    deep = bfs_distances(edges, source=0, rounds=4)
+    assert deep.first()["frontier_delta"] > 0, "BFS detector failed to fire"
+    done = bfs_distances(edges, source=0, rounds=9)
+    assert done.first()["frontier_delta"] == 0
+    assert done.count() == 10
+
+    # 10-deep ancestor chain: node k's parent is k-1, root is 0
+    parents = spark.createDataFrame(
+        [(k, k - 1 if k else None) for k in range(10)],
+        "node bigint, parent bigint",
+    )
+    short = ancestor_unroll(parents, depth=4)
+    trunc = {r["node"]: r["truncated"] for r in short.collect()}
+    assert trunc[9] and trunc[5], "deep rows must flag truncated"
+    assert not trunc[4] and not trunc[0], "shallow rows must not flag"
+    full = ancestor_unroll(parents, depth=9)
+    rows = {r["node"]: r for r in full.collect()}
+    assert not any(r["truncated"] for r in rows.values())
+    assert rows[9]["path"] == "/".join(map(str, range(10)))
+    assert rows[9]["root"] == 0 and rows[9]["depth"] == 9

@@ -168,3 +168,73 @@ def test_connected_components_checkpointing_identical(spark):
         for r in label_propagation_cc(df, checkpoint_every=2).collect()
     }
     assert plain == lazy == ckpt and plain[4] == 1
+
+
+def test_dsv2_scrape_source_stream_equals_batch(spark, tmp_path):
+    """VERDICT r4 item 6: the DSv2 scrape source (rate limit + validity
+    predicate + give-up timeout) must deliver exactly what the batch
+    poll loop delivers for the same scripted fetch sequence — one
+    (attempt, payload) row on success, zero rows on give-up — in BOTH
+    its batch and streaming forms."""
+    import time
+
+    from banksy_spark.sources.adapters import poll_until_valid
+    from banksy_spark.sources.fetchers import flaky_then_valid, never_valid
+    from banksy_spark.sources.scrape_source import register_scrape_source
+
+    register_scrape_source(spark)
+
+    def opts(reader, factory, timeout_s):
+        return (
+            reader.format("scrape")
+            .option("fetcher", f"banksy_spark.sources.fetchers:{factory}")
+            .option("min_len", "50")
+            .option("timeout_s", str(timeout_s))
+            .option("interval_s", "0.01")
+            .option("sys_path", "/root/repo")
+        )
+
+    def run_stream(factory, timeout_s, name):
+        q = (
+            opts(spark.readStream, factory, timeout_s)
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql(f"SELECT * FROM {name}").collect()
+            if rows or factory == "never_valid" and time.time() > deadline - 85:
+                # give-up case: wait a grace period, then accept empty
+                if factory == "never_valid":
+                    time.sleep(2)
+                    rows = spark.sql(f"SELECT * FROM {name}").collect()
+                break
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination(30)
+        return [(r["attempt"], r["payload"]) for r in rows]
+
+    # driver-side oracle of record: the adapter poll loop
+    want_payload = poll_until_valid(
+        flaky_then_valid(), min_len=50, timeout_s=10, interval_s=0,
+        sleep=lambda _s: None, clock=lambda: 0.0,
+    )
+    assert want_payload is not None
+
+    batch = opts(spark.read, "flaky_then_valid", 10).load().collect()
+    assert [(r["attempt"], r["payload"]) for r in batch] == [(3, want_payload)]
+    assert run_stream("flaky_then_valid", 10, "dsv2_ok") == [(3, want_payload)]
+
+    # give-up arm: always-invalid payload, tiny budget -> zero rows
+    assert poll_until_valid(
+        never_valid(), min_len=50, timeout_s=0.02, interval_s=0.01,
+        sleep=lambda _s: None,
+    ) is None
+    assert opts(spark.read, "never_valid", 0.02).load().collect() == []
+    assert run_stream("never_valid", 0.02, "dsv2_giveup") == []
