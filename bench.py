@@ -150,6 +150,9 @@ HEADLINE = [
     "a_dow_hour_grid",        # arithmetic-weekday heatmap grid
     "a_rfm_segmentation",     # tie-broken NTILE quintile scoring
     "a_return_rate_brand",    # one-pass conditional return metrics
+    "j_asof_tolerance",       # as-of join with staleness cap (merge_asof)
+    "llm_cdc_chunks",         # content-defined chunking (rolling-hash)
+    "ml_kmeans_step",         # spherical k-means Lloyd step (fixed-point)
 ]
 
 
