@@ -272,3 +272,313 @@ def ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         "n_members",
     )
+
+
+# --- Shift-robust near-dup via shared CDC chunks ---------------------------
+
+_CDC_MAX_DF = 10  # chunk hashes in more docs than this are boilerplate
+_CDC_JACCARD = 0.5
+
+_CDC_CTES = f"""
+    tk AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      FROM documents
+    ),
+    fl AS (
+      SELECT doc_id, tok, pos,
+             CASE WHEN ({{poly_tok}}) % {_CDC_MOD} = 0
+                  THEN 1 ELSE 0 END AS is_b
+      FROM tk
+    ),
+    ch AS (
+      SELECT doc_id, tok, pos,
+             COALESCE(SUM(is_b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS chunk_id
+      FROM fl
+    ),
+    chunk_agg AS (
+      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+      FROM ch GROUP BY doc_id, chunk_id
+    ),
+    hashes AS (
+      SELECT doc_id, chunk_id, n_tokens, chunk_text,
+             ({{poly_chunk}}) AS chunk_hash
+      FROM chunk_agg
+    )"""
+
+
+def _cdc_ctes() -> str:
+    return _CDC_CTES.format(
+        poly_tok=_POLY_DUCK.format(s="tok"),
+        poly_chunk=_POLY_DUCK.format(s="chunk_text"),
+    )
+
+
+@query(
+    "llm_dedup_cdc",
+    oracle=f"""
+    WITH {_cdc_ctes()},
+    dh AS (SELECT DISTINCT doc_id, chunk_hash FROM hashes),
+    keep AS (
+      SELECT chunk_hash FROM dh
+      GROUP BY chunk_hash HAVING COUNT(*) <= {_CDC_MAX_DF}
+    ),
+    idx AS (SELECT dh.doc_id, dh.chunk_hash FROM dh JOIN keep USING (chunk_hash)),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM dh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_chunks
+      FROM idx a JOIN idx b
+        ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b, p.shared_chunks,
+           sa.n_chunks AS n_a, sb.n_chunks AS n_b,
+           CAST(p.shared_chunks AS DOUBLE)
+             / (sa.n_chunks + sb.n_chunks - p.shared_chunks) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE CAST(p.shared_chunks AS DOUBLE)
+            / (sa.n_chunks + sb.n_chunks - p.shared_chunks) >= {_CDC_JACCARD}
+    """,
+    note="Shift-robust near-dup detection over content-defined chunks: two "
+    "documents are near-dups when the Jaccard of their distinct chunk-hash "
+    f"sets is >= {_CDC_JACCARD}. Because chunk boundaries are content-defined "
+    "(llm_cdc_chunks), an insertion perturbs one chunk — the rest still "
+    "collide, which fixed windows and whole-doc hashes both miss. Candidate "
+    "pairs come ONLY from chunk-hash collisions (index keyed on chunk_hash) "
+    f"with boilerplate hashes capped at document-frequency {_CDC_MAX_DF} — "
+    "bucketed, never all-pairs, the same 100 TB discipline as the MinHash "
+    "LSH family; the cap is what bounds a viral boilerplate chunk's bucket. "
+    "Integer shared/size counts make the Jaccard a single deterministic "
+    "double division.",
+)
+def llm_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = llm_cdc_chunks(spark, sf_dir).select("doc_id", "chunk_hash")
+    dh = chunks.distinct().persist()
+    keep = dh.groupBy("chunk_hash").agg(F.count("*").alias("_df")).filter(
+        F.col("_df") <= _CDC_MAX_DF
+    ).select("chunk_hash")
+    idx = dh.join(keep, "chunk_hash")
+    sizes = dh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_chunks"))
+    a = idx.select(F.col("doc_id").alias("doc_a"), "chunk_hash")
+    b = idx.select(F.col("doc_id").alias("doc_b"), "chunk_hash")
+    pairs = (
+        a.join(b, "chunk_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("shared_chunks"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_chunks").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_chunks").alias("n_b"))
+    jac = F.col("shared_chunks").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("shared_chunks")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= _CDC_JACCARD)
+        .select("doc_a", "doc_b", "shared_chunks", "n_a", "n_b", "jaccard")
+    )
+
+
+# --- CUSUM changepoint detection -------------------------------------------
+
+
+@query(
+    "w_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS pri, o_orderdate AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT pri,
+             CAST(CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) AS mu,
+             sqrt(
+               CAST(CAST(SUM(CAST(cents AS DECIMAL(38,0))
+                              * CAST(cents AS DECIMAL(38,0))) AS VARCHAR)
+                    AS DOUBLE) / COUNT(*)
+               - (CAST(CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS VARCHAR)
+                       AS DOUBLE) / COUNT(*))
+                 * (CAST(CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS VARCHAR)
+                         AS DOUBLE) / COUNT(*))
+             ) AS sigma
+      FROM daily GROUP BY pri
+    ),
+    seq AS (
+      SELECT d.pri, d.day, d.cents, s.mu, s.sigma,
+             list(CAST(d.cents AS DOUBLE)) OVER (
+               PARTITION BY d.pri ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l
+      FROM daily d JOIN stats s ON s.pri = d.pri
+    )
+    SELECT pri, day, cents,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE), l),
+                       (acc, x) -> greatest(CAST(0 AS DOUBLE),
+                                            acc + x - mu - 0.5e0 * sigma))
+             AS s_pos,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE), l),
+                       (acc, x) -> greatest(CAST(0 AS DOUBLE),
+                                            acc + x - mu - 0.5e0 * sigma))
+             > 4.0e0 * sigma AS drift
+    FROM seq
+    """,
+    note="One-sided CUSUM changepoint detector per order-priority class: "
+    "S_t = max(0, S_{t-1} + (x_t - mu - 0.5 sigma)) over the daily revenue "
+    "series, drift flagged when S_t > 4 sigma — the classic sequential "
+    "drift test (Page 1954) a pipeline runs on data-quality metrics. CUSUM "
+    "is recursive, so like w_ewma both engines compute it as an ordered "
+    "fold over the collected frame — identical IEEE sequence, bit-exact. "
+    "mu/sigma come from exact DECIMAL(38,0) sums of integer cents "
+    "(VARCHAR-routed to double); x_t is integer cents cast to double. "
+    "Scale: one exchange on the series key; the fold is partition-local, "
+    "and a real deployment bounds the frame with a trailing window or the "
+    "stateful streaming fold (streaming/ewma.py shape) instead of the "
+    "full-history list.",
+)
+def w_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderdate").alias("day"),
+    ).agg(
+        # 2dp money convention: the DECIMAL(18,2) cast is exact for 2dp
+        # sources (never halfway at the 3rd decimal), where *100-then-
+        # cast in DOUBLE is not (Spark truncates, DuckDB rounds)
+        F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)")
+        .alias("cents")
+    )
+    dec = 'CAST(cents AS DECIMAL(38,0))'
+    mu = F.expr(f"CAST(CAST(SUM({dec}) AS STRING) AS DOUBLE)") / F.count("*")
+    ex2 = F.expr(f"CAST(CAST(SUM({dec} * {dec}) AS STRING) AS DOUBLE)") / F.count("*")
+    stats = daily.groupBy("pri").agg(mu.alias("mu"), ex2.alias("ex2")).select(
+        "pri", "mu", F.sqrt(F.col("ex2") - F.col("mu") * F.col("mu")).alias("sigma")
+    )
+    wl = (
+        Window.partitionBy("pri")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = daily.join(stats, "pri").withColumn(
+        "l", F.collect_list(F.col("cents").cast("double")).over(wl)
+    )
+    fold = F.expr(
+        "aggregate(l, CAST(0 AS DOUBLE),"
+        " (acc, x) -> greatest(CAST(0 AS DOUBLE), acc + x - mu - 0.5D * sigma))"
+    )
+    return seq.select(
+        "pri",
+        "day",
+        "cents",
+        fold.alias("s_pos"),
+        (fold > 4.0 * F.col("sigma")).alias("drift"),
+    )
+
+
+# --- Interval-set overlap join (bucketed range join) -----------------------
+
+
+@query(
+    "j_interval_overlap",
+    oracle="""
+    WITH sess AS (
+      SELECT user_id, MIN(ts) AS s_start, MAX(ts) AS s_end FROM (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS sid
+        FROM (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) IS NULL
+                        OR epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id))
+                           > 1800000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+        )
+      ) GROUP BY user_id, sid
+    ),
+    span AS (
+      SELECT date_trunc('week', MIN(ts)) AS w0, MAX(ts) AS tmax FROM events
+    ),
+    win AS (
+      SELECT unnest(generate_series(
+               w0 + INTERVAL 6 DAY + INTERVAL 2 HOUR,
+               tmax, INTERVAL 7 DAY)) AS w_start
+      FROM span
+    ),
+    wine AS (
+      SELECT w_start, w_start + INTERVAL 2 HOUR AS w_end FROM win
+    )
+    SELECT s.user_id,
+           strftime(s.s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(w.w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           least(epoch_us(s.s_end), epoch_us(w.w_end))
+             - greatest(epoch_us(s.s_start), epoch_us(w.w_start))
+             AS overlap_us
+    FROM sess s JOIN wine w
+      ON s.s_start < w.w_end AND w.w_start < s.s_end
+    """,
+    note="Interval-set overlap join: per-user activity sessions (the suite's "
+    "30-minute exact-microsecond gap rule) joined against weekly maintenance "
+    "windows (Sunday 02:00-04:00, generated from the data span) on the "
+    "open-interval overlap predicate, emitting the exact integer-us overlap. "
+    "The oracle runs DuckDB's native inequality join (IEJoin), so the Spark "
+    "composition is checked against a real range-join implementation. Spark "
+    "side: the window set is calendar-generated and tiny, so the right plan "
+    "is explode + BROADCAST + predicate (plan shows BroadcastNestedLoopJoin "
+    "over the windows — the j_range_broadcast discipline); when BOTH interval "
+    "sets are data-sized, the same query switches to the day-bucket "
+    "explode-and-equi-join shape (j_spatial_grid_join's discipline) — bucket "
+    "on date, equi-join buckets, dedupe, re-verify the exact predicate. "
+    "Sessions shuffle once on user_id; everything else is map-side.",
+)
+def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(wo))
+    brk = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    sess = (
+        e.select("user_id", "ts", "event_id", F.sum(brk).over(wo).alias("sid"))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    span = e.agg(
+        F.date_trunc("week", F.min("ts")).alias("w0"), F.max("ts").alias("tmax")
+    )
+    wins = (
+        span.select(
+            F.explode(
+                F.sequence(
+                    F.expr("w0 + INTERVAL 6 DAY + INTERVAL 2 HOUR"),
+                    F.col("tmax"),
+                    F.expr("INTERVAL 7 DAY"),
+                )
+            ).alias("w_start")
+        )
+        .withColumn("w_end", F.expr("w_start + INTERVAL 2 HOUR"))
+    )
+    joined = sess.join(
+        F.broadcast(wins),
+        (F.col("s_start") < F.col("w_end")) & (F.col("w_start") < F.col("s_end")),
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("s_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        (
+            F.least(F.unix_micros("s_end"), F.unix_micros("w_end"))
+            - F.greatest(F.unix_micros("s_start"), F.unix_micros("w_start"))
+        ).alias("overlap_us"),
+    )

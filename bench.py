@@ -153,6 +153,9 @@ HEADLINE = [
     "j_asof_tolerance",       # as-of join with staleness cap (merge_asof)
     "llm_cdc_chunks",         # content-defined chunking (rolling-hash)
     "ml_kmeans_step",         # spherical k-means Lloyd step (fixed-point)
+    "llm_dedup_cdc",          # shift-robust near-dup over CDC chunk hashes
+    "w_cusum_changepoint",    # CUSUM drift detection (ordered fold)
+    "j_interval_overlap",     # interval-set overlap join
 ]
 
 

@@ -28,6 +28,11 @@ PROBES = [
     "llm_epoch_shuffle",
     "graph_pagerank",
     "w_ewma",
+    # round-5: ordered chunk reassembly, fold-based CUSUM, partial-agg
+    # ordering of the fixed-point k-means sums
+    "llm_cdc_chunks",
+    "w_cusum_changepoint",
+    "ml_kmeans_step",
 ]
 
 
