@@ -1,0 +1,122 @@
+"""Distributed spherical k-means trained to convergence (the iterated
+form of suite.round5.ml_kmeans_step — same per-iteration plan, driver
+loop + assignment-stability stopping rule, the exact shape of the
+convergence-guaranteed connected-components operator in graph.py).
+
+Determinism contract (pytest-verified bit-exact vs a pure-Python
+replica, tests/test_scale_ops.py):
+- seeds: the first k vectors by id (no RNG);
+- assignment: argmax cosine with (similarity DESC, seed id ASC)
+  tie-break — the cosine is a LEFT FOLD over the array (Spark
+  ``aggregate``), so the IEEE sequence matches any engine that folds
+  left-to-right;
+- centroid update: fixed-point exact means — floor(x*1e12) integer
+  sums (order-free, associative) divided back in double. A DECIMAL
+  cast is NOT cross-engine/cross-run stable for full-mantissa doubles
+  (Spark rounds HALF_UP, DuckDB HALF_EVEN — see ml_kmeans_step).
+
+Scale: per iteration, assignment is a broadcast of k centroids against
+a narrow scan (map-only) and the update is one (cell, pos) exchange
+with map-side combine; ``localCheckpoint`` truncates lineage per
+iteration (the stability count materializes anyway). Empty cells keep
+their previous centroid — no respawn heuristic, so runs are replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+_NORM = "sqrt(aggregate(transform({v}, x -> x * x), 0D, (acc, v) -> acc + v))"
+
+
+def _assign(n: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid cell per vector: (vec_id, cell, v)."""
+    sim = F.expr(_DOT.format(a="v", b="cv")) / (F.col("nrm") * F.col("cnorm"))
+    wa = Window.partitionBy("vec_id").orderBy(F.col("_sim").desc(), "cell")
+    return (
+        n.crossJoin(F.broadcast(cents))
+        .withColumn("_sim", sim)
+        .withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cell", "v")
+    )
+
+
+def kmeans_train(
+    vectors: DataFrame,
+    k: int = 8,
+    max_iter: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> tuple[DataFrame, DataFrame, int, bool]:
+    """Train spherical k-means to assignment convergence.
+
+    ``vectors``: (id_col, vec_col: array<double>). Returns
+    ``(centroids, assignments, n_iter, converged)`` where centroids is
+    (cell, cv: array<double>, cnorm) and assignments is (vec_id, cell).
+    Stops when no vector changes cell, else at ``max_iter`` with
+    ``converged=False`` — reported honestly rather than masked, because
+    on weakly-clustered data a handful of boundary vectors can
+    oscillate between equidistant cells indefinitely (observed on the
+    synthetic 64-d embeddings at sf0.1); the assignments are still the
+    standard fixed-budget Lloyd output every ML library ships when
+    max_iter trips.
+    """
+    n = (
+        vectors.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+        )
+        .withColumn("nrm", F.expr(_NORM.format(v="v")))
+        .persist()
+    )
+    cents = (
+        n.filter(F.col("vec_id") < k)
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnorm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    assigned = _assign(n, cents).localCheckpoint(eager=True)
+    n_iter, converged = 0, False
+    for _ in range(max_iter):
+        n_iter += 1
+        dims = assigned.select(
+            "cell", F.posexplode("v").alias("pos", "val")
+        ).select(
+            "cell", "pos", F.floor(F.col("val") * 1e12).cast("bigint").alias("q")
+        )
+        means = (
+            dims.groupBy("cell", "pos")
+            .agg((F.sum("q").cast("double") / F.lit(1e12) / F.count("*")).alias("c"))
+            .groupBy("cell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, c))), x -> x.c)"
+                ).alias("cv")
+            )
+        )
+        # empty cells keep their previous centroid (deterministic)
+        cents = (
+            cents.select("cell", F.col("cv").alias("prev"))
+            .join(means, "cell", "left")
+            .select("cell", F.coalesce("cv", "prev").alias("cv"))
+            .withColumn("cnorm", F.expr(_NORM.format(v="cv")))
+            .localCheckpoint(eager=True)
+        )
+        nxt = _assign(n, cents).localCheckpoint(eager=True)
+        moved = (
+            nxt.select("vec_id", F.col("cell").alias("new_cell"))
+            .join(assigned.select("vec_id", "cell"), "vec_id")
+            .filter(F.col("new_cell") != F.col("cell"))
+            .count()
+        )
+        assigned = nxt
+        if moved == 0:
+            converged = True
+            break
+    n.unpersist()
+    return cents, assigned.select("vec_id", "cell"), n_iter, converged

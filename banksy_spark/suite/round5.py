@@ -392,6 +392,31 @@ def llm_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- CUSUM changepoint detection -------------------------------------------
 
 
+def cusum_parts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared derivation for the batch query and the streaming twin
+    (streaming/cusum.py test): per-(priority, day) revenue cents and
+    per-priority (mu, sigma) from exact DECIMAL moments."""
+    o = T(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderdate").alias("day"),
+    ).agg(
+        # 2dp money convention: the DECIMAL(18,2) cast is exact for 2dp
+        # sources (never halfway at the 3rd decimal), where *100-then-
+        # cast in DOUBLE is not (Spark truncates, DuckDB rounds)
+        F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)")
+        .alias("cents")
+    )
+    dec = 'CAST(cents AS DECIMAL(38,0))'
+    mu = F.expr(f"CAST(CAST(SUM({dec}) AS STRING) AS DOUBLE)") / F.count("*")
+    ex2 = F.expr(f"CAST(CAST(SUM({dec} * {dec}) AS STRING) AS DOUBLE)") / F.count("*")
+    stats = daily.groupBy("pri").agg(mu.alias("mu"), ex2.alias("ex2")).select(
+        "pri", "mu", F.sqrt(F.col("ex2") - F.col("mu") * F.col("mu")).alias("sigma")
+    )
+    return daily, stats
+
+
+
 @query(
     "w_cusum_changepoint",
     oracle="""
@@ -448,23 +473,7 @@ def llm_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "full-history list.",
 )
 def w_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = T(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.col("o_orderpriority").alias("pri"),
-        F.col("o_orderdate").alias("day"),
-    ).agg(
-        # 2dp money convention: the DECIMAL(18,2) cast is exact for 2dp
-        # sources (never halfway at the 3rd decimal), where *100-then-
-        # cast in DOUBLE is not (Spark truncates, DuckDB rounds)
-        F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)")
-        .alias("cents")
-    )
-    dec = 'CAST(cents AS DECIMAL(38,0))'
-    mu = F.expr(f"CAST(CAST(SUM({dec}) AS STRING) AS DOUBLE)") / F.count("*")
-    ex2 = F.expr(f"CAST(CAST(SUM({dec} * {dec}) AS STRING) AS DOUBLE)") / F.count("*")
-    stats = daily.groupBy("pri").agg(mu.alias("mu"), ex2.alias("ex2")).select(
-        "pri", "mu", F.sqrt(F.col("ex2") - F.col("mu") * F.col("mu")).alias("sigma")
-    )
+    daily, stats = cusum_parts(spark, sf_dir)
     wl = (
         Window.partitionBy("pri")
         .orderBy("day")
@@ -581,4 +590,41 @@ def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.unix_micros("s_end"), F.unix_micros("w_end"))
             - F.greatest(F.unix_micros("s_start"), F.unix_micros("w_start"))
         ).alias("overlap_us"),
+    )
+
+
+# --- Converged k-means (driver-loop operator; rows-only check) -------------
+
+
+@query(
+    "ml_kmeans_converged",
+    oracle=None,  # driver-loop iteration: not SQL-expressible; the exact
+    # float contract is pytest-verified bit-exact against a pure-Python
+    # replica (tests/test_scale_ops.py::test_kmeans_train_converges_bit_exact_vs_python)
+    note="Spherical k-means trained to assignment convergence "
+    "(operators/kmeans.py): the iterated form of ml_kmeans_step with the "
+    "same driver-loop + localCheckpoint shape as the convergence-guaranteed "
+    "connected components. Emits one row per vector (vec_id, cell) plus the "
+    "centroid coordinate count and iteration count as constant audit "
+    "columns. Not SQL-expressible (data-dependent iteration count), so the "
+    "oracle is the bit-exact pure-Python replica in pytest; the driver "
+    "records the rows-only check. A converged flag reports honestly when "
+    "the max_iter budget trips (boundary vectors oscillate on "
+    "weakly-clustered data) — the fixed-budget Lloyd output every ML "
+    "library ships, flagged instead of masked.",
+)
+def ml_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.operators.kmeans import kmeans_train
+
+    e = T(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+    )
+    cents, assigned, n_iter, converged = kmeans_train(e, k=_KM_K, max_iter=20)
+    n_coords = cents.selectExpr("sum(size(cv)) AS n").first()["n"]
+    return assigned.select(
+        "vec_id",
+        F.col("cell").cast("bigint").alias("cell"),
+        F.lit(n_iter).cast("int").alias("n_iter"),
+        F.lit(converged).alias("converged"),
+        F.lit(int(n_coords)).cast("bigint").alias("n_centroid_coords"),
     )

@@ -206,3 +206,82 @@ def test_bounded_depth_detectors_fire_on_deep_fixtures(spark):
     assert not any(r["truncated"] for r in rows.values())
     assert rows[9]["path"] == "/".join(map(str, range(10)))
     assert rows[9]["root"] == 0 and rows[9]["depth"] == 9
+
+
+def test_kmeans_train_converges_bit_exact_vs_python(spark):
+    """operators/kmeans.py: the converged spherical k-means must be
+    bit-identical to a pure-Python replica of its documented float
+    contract (left-fold dots, fixed-point means, (sim desc, cell)
+    tie-break, empty cells keep previous centroid) — the same
+    verify-by-reimplementation discipline the oracle gives SQL-able
+    queries."""
+    import math
+
+    from banksy_spark.operators.kmeans import kmeans_train
+    from banksy_spark.suite.registry import T
+
+    K = 8
+    rows = (
+        T(spark, SF_SMOKE, "embeddings")
+        .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+        .collect()
+    )
+    vecs = {r["vec_id"]: list(r["v"]) for r in rows}
+
+    def norm(v):
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        return math.sqrt(acc)
+
+    def dot(a, b):
+        acc = 0.0
+        for t in [x * y for x, y in zip(a, b)]:
+            acc += t
+        return acc
+
+    def assign(cents):
+        out = {}
+        for vid, v in vecs.items():
+            nv = norm(v)
+            best = min(
+                ((-(dot(v, cv) / (nv * cn)), cell) for cell, (cv, cn) in cents.items())
+            )
+            out[vid] = best[1]
+        return out
+
+    cents = {vid: (vecs[vid], norm(vecs[vid])) for vid in range(K)}
+    assigned = assign(cents)
+    py_iters = 0
+    for _ in range(20):
+        py_iters += 1
+        new = {}
+        for cell in cents:
+            members = [vecs[vid] for vid, c in assigned.items() if c == cell]
+            if not members:
+                new[cell] = cents[cell]
+                continue
+            cv = []
+            for pos in range(len(members[0])):
+                s = sum(math.floor(m[pos] * 1e12) for m in members)
+                cv.append(float(s) / 1e12 / len(members))
+            new[cell] = (cv, norm(cv))
+        cents = new
+        nxt = assign(cents)
+        moved = sum(1 for vid in nxt if nxt[vid] != assigned[vid])
+        assigned = nxt
+        if moved == 0:
+            break
+
+    df = spark.createDataFrame(
+        [(vid, v) for vid, v in vecs.items()], "vec_id bigint, v array<double>"
+    )
+    sc, sa, n_iter, converged = kmeans_train(df, k=K, max_iter=20)
+    assert n_iter == py_iters and converged
+    got_assign = {r["vec_id"]: r["cell"] for r in sa.collect()}
+    assert got_assign == assigned
+    got_cents = {r["cell"]: list(r["cv"]) for r in sc.collect()}
+    for cell, (cv, _n) in cents.items():
+        assert got_cents[cell] == cv, f"centroid {cell} diverged"
+    # sanity: it actually iterated and produced k cells
+    assert n_iter >= 2 and len(got_cents) == K

@@ -481,3 +481,66 @@ def test_stateful_attribution_stream_equals_batch(spark, tmp_path):
 
     assert len(got) == len(want) > 0
     assert got == want, "incremental attribution diverged from batch window"
+
+
+def test_stateful_cusum_stream_equals_batch(spark, tmp_path):
+    """The applyInPandasWithState CUSUM must reproduce the batch fold
+    (w_cusum_changepoint) exactly when the daily series arrives split
+    across two micro-batches: (mu, sigma) are fitted offline by
+    cusum_parts and frozen as online-detector parameters — the
+    standard fit-offline/monitor-online sequential-test split."""
+    import time as _time
+
+    from banksy_spark.streaming.cusum import cusum_stream
+    from banksy_spark.suite import REGISTRY
+    from banksy_spark.suite.round5 import cusum_parts
+
+    daily, stats = cusum_parts(spark, SF_SMOKE)
+    params = {r["pri"]: (r["mu"], r["sigma"]) for r in stats.collect()}
+
+    day_l = F.col("day").cast("timestamp").cast("long")
+    mid = daily.agg(F.expr(
+        "percentile_approx(CAST(CAST(day AS TIMESTAMP) AS LONG), 0.5)"
+    )).first()[0]
+    early = daily.filter(day_l <= mid)
+    late = daily.filter(day_l > mid)
+    src = tmp_path / "cusum_in"
+    src.mkdir()
+    early.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "c1"))
+    late.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "c2"))
+    import os as _os
+
+    now = _time.time()
+    for i, d in enumerate(("c1", "c2")):
+        for f in (tmp_path / d).glob("*.parquet"):
+            dst = src / f"part-{i}.parquet"
+            shutil.copy(f, dst)
+            # file source orders batches by mtime at MS resolution —
+            # sub-ms copy times tie and flip batch order; pin explicitly
+            _os.utime(dst, (now + 10 * i, now + 10 * i))
+
+    stream = (
+        spark.readStream.schema(daily.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        cusum_stream(stream, params)
+        .writeStream.format("memory")
+        .queryName("cusum_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cusum"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not finish in time"
+    got = {
+        (r["pri"], r["day"]): (r["cents"], r["s_pos"], r["drift"])
+        for r in spark.sql("SELECT * FROM cusum_out").collect()
+    }
+    want = {
+        (r["pri"], r["day"]): (r["cents"], r["s_pos"], r["drift"])
+        for r in REGISTRY["w_cusum_changepoint"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert len(want) > 100
