@@ -1,70 +1,127 @@
-"""Property-based checks (SURVEY §5.2 item 4), deterministic profile.
-
-The properties pin the reference's *semantics*, including where its
-heuristic deliberately diverges from true arbitrage math.
+"""Property-style invariants for round-5 operators: facts that must
+hold for EVERY row/doc, checked exhaustively at the smoke scale factor
+(stronger than example-based asserts, cheaper than a second oracle).
 """
 
 from __future__ import annotations
 
-from hypothesis import assume, given, settings
-from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from banksy_spark.functions.odds import american_to_decimal
-
-# odds away from the degenerate (-100, 100) band, like real books
-_odds = st.integers(min_value=101, max_value=500)
+from tests.conftest import SF_SMOKE
 
 
-def _decimal(am: int) -> float:
-    if am > 0:
-        return am / 100.0 + 1.0
-    if am < 0:
-        return 100.0 / abs(am) + 1.0
-    return 1.0
+def test_cdc_chunks_reassemble_to_original_text(spark):
+    """Lossless-ness: concatenating a document's chunks in chunk order
+    must reproduce the original text exactly, for every document —
+    content-defined chunking may never drop, duplicate, or reorder a
+    token."""
+    from banksy_spark.suite import REGISTRY
+    from banksy_spark.suite.registry import T
 
-
-@settings(max_examples=50, deadline=None)
-@given(a=_odds, b=_odds)
-def test_mixed_sign_flag_equals_true_arbitrage(a: int, b: int):
-    """For the common one-favorite case (a>0, b<0) the reference's
-    `a + b > 0` test (arbitrage_scanner.py:283-285) is EXACTLY the true
-    arbitrage condition 1/d(a) + 1/d(-b) < 1 — algebra, not luck.
-
-    a == |b| is excluded: the sum is exactly 1 mathematically but lands
-    at 0.999… in floats (the knife-edge where the heuristic and float
-    comparison disagree by one ulp)."""
-    assume(a != b)
-    flag = a + (-b) > 0
-    true_arb = 1.0 / _decimal(a) + 1.0 / _decimal(-b) < 1.0
-    assert flag == true_arb
-
-
-@settings(max_examples=20, deadline=None)
-@given(a=_odds, b=_odds)
-def test_both_positive_flag_overreports(a: int, b: int):
-    """Both-sides-positive: the reference flags every pair (sum>0) but
-    true arbitrage additionally needs a*b > 10000. We replicate the
-    reference faithfully, so document the divergence as a property:
-    flagged ⊇ true-arb, with equality iff a*b > 10000."""
-    flag = a + b > 0
-    true_arb = 1.0 / _decimal(a) + 1.0 / _decimal(b) < 1.0
-    assert flag  # always flagged
-    assert true_arb == (a * b > 10000)
-
-
-def test_stake_math_equalizes_payouts(spark):
-    """Stakes per arbitrage_scanner.py:368-370: whatever the outcome,
-    the payout is identical (within float ε) — checked through the
-    Spark expression tree, not Python."""
-    rows = [(150, -120), (225, -180), (105, -101), (300, 250)]
-    df = spark.createDataFrame(rows, "a int, b int")
-    d_a = american_to_decimal(F.col("a"))
-    d_b = american_to_decimal(F.col("b"))
-    stake_b = F.lit(100.0) * d_a / d_b
-    out = df.select(
-        (F.lit(100.0) * d_a).alias("payout_a"),
-        (stake_b * d_b).alias("payout_b"),
+    chunks = REGISTRY["llm_cdc_chunks"].fn(spark, SF_SMOKE)
+    rebuilt = chunks.groupBy("doc_id").agg(
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(chunk_id, chunk_text))),"
+                " x -> x.chunk_text)"
+            ),
+            " ",
+        ).alias("rebuilt")
     )
-    for r in out.collect():
-        assert abs(r.payout_a - r.payout_b) < 1e-9
+    docs = T(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    bad = (
+        docs.join(rebuilt, "doc_id", "left")
+        .filter(
+            F.col("rebuilt").isNull() | (F.col("rebuilt") != F.col("text"))
+        )
+        .count()
+    )
+    assert bad == 0
+    # and chunking is non-trivial: some doc has >1 chunk
+    assert chunks.groupBy("doc_id").count().agg(F.max("count")).first()[0] > 1
+
+
+def test_asof_tolerance_never_matches_stale_or_future(spark):
+    """Every match must be a PRIOR signup within the 7-day cap, and
+    every null must be correct: no signup of that user exists in the
+    (error_ts - 7d, error_ts] window."""
+    from banksy_spark.suite import REGISTRY
+    from banksy_spark.suite.registry import T
+
+    TOL = 7 * 24 * 3600 * 1_000_000
+    out = REGISTRY["j_asof_tolerance"].fn(spark, SF_SMOKE)
+    matched = out.filter(F.col("signup_id").isNotNull())
+    assert (
+        matched.filter(
+            (F.col("staleness_us") < 0) | (F.col("staleness_us") > TOL)
+        ).count()
+        == 0
+    )
+
+    e = T(spark, SF_SMOKE, "events")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.unix_micros("ts").alias("s_us")
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("e_us")
+    )
+    has_fresh = (
+        errors.join(
+            signups,
+            (F.col("user_id") == F.col("s_user"))
+            & (F.col("s_us") <= F.col("e_us"))
+            & (F.col("e_us") - F.col("s_us") <= TOL),
+            "left_semi",
+        )
+        .select("event_id")
+    )
+    nulls = out.filter(F.col("signup_id").isNull()).select("event_id")
+    wrongly_null = nulls.join(has_fresh, "event_id").count()
+    assert wrongly_null == 0
+    assert matched.count() > 0 and nulls.count() > 0, "fixture exercises both arms"
+
+
+def test_cusum_is_nonnegative_and_clips(spark):
+    """S_t >= 0 everywhere (the one-sided reset), S_t is bounded by the
+    running sum of positive excursions, and at least one series value
+    actually clips to exactly 0 after a negative excursion (the reset
+    arm executes on this data)."""
+    from banksy_spark.suite import REGISTRY
+
+    out = REGISTRY["w_cusum_changepoint"].fn(spark, SF_SMOKE).cache()
+    assert out.filter(F.col("s_pos") < 0).count() == 0
+    assert out.filter(F.col("s_pos") == 0).count() > 0
+    # drift flag consistency: drift <=> s_pos > 4 sigma is internal to
+    # the query; here check drift rows have strictly positive s_pos
+    assert out.filter(F.col("drift") & (F.col("s_pos") <= 0)).count() == 0
+    out.unpersist()
+
+
+def test_interval_overlap_is_nonnegative_and_within_window(spark):
+    """Every emitted overlap is >= 0 (exactly 0 only for zero-length
+    single-event sessions strictly inside a window — a point-in-window
+    containment, which the open-interval predicate admits by design)
+    and can never exceed the 2-hour window length."""
+    from banksy_spark.suite import REGISTRY
+
+    out = REGISTRY["j_interval_overlap"].fn(spark, SF_SMOKE).cache()
+    assert out.count() > 0, "fixture produces overlaps"
+    assert out.filter(F.col("overlap_us") < 0).count() == 0
+    assert out.filter(F.col("overlap_us") > 0).count() > 0
+    assert out.filter(F.col("overlap_us") > 2 * 3600 * 1_000_000).count() == 0
+    out.unpersist()
+
+
+def test_dedup_cdc_pairs_are_symmetric_free_and_bounded(spark):
+    """Candidate pairs are canonical (doc_a < doc_b, no duplicates) and
+    jaccard lies in (0, 1]."""
+    from banksy_spark.suite import REGISTRY
+
+    out = REGISTRY["llm_dedup_cdc"].fn(spark, SF_SMOKE).cache()
+    assert out.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
+    assert out.groupBy("doc_a", "doc_b").count().filter("count > 1").count() == 0
+    assert out.filter((F.col("jaccard") <= 0) | (F.col("jaccard") > 1)).count() == 0
+    assert (
+        out.filter(F.col("shared_chunks") > F.least("n_a", "n_b")).count() == 0
+    )
+    out.unpersist()

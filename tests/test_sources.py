@@ -238,3 +238,50 @@ def test_dsv2_scrape_source_stream_equals_batch(spark, tmp_path):
     ) is None
     assert opts(spark.read, "never_valid", 0.02).load().collect() == []
     assert run_stream("never_valid", 0.02, "dsv2_giveup") == []
+
+
+def test_dsv2_notify_sink_applies_min_batch_rule(spark, tmp_path):
+    """The DSv2 notification sink must behave exactly like the
+    send_notifications adapter (K3): a micro-batch with >=2 alerts
+    posts ONE newline-joined push; a 1-alert batch posts nothing.
+    Two parquet files with pinned mtimes -> two micro-batches."""
+    import os
+    import shutil
+    import time
+
+    from banksy_spark.sources.notify_sink import (
+        read_pushes,
+        register_notify_sink,
+    )
+
+    register_notify_sink(spark)
+    src = tmp_path / "alerts_in"
+    src.mkdir()
+    spark.createDataFrame([("a1",), ("a2",)], "combined string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "b1"))
+    spark.createDataFrame([("only",)], "combined string").coalesce(1).write.parquet(
+        str(tmp_path / "b2")
+    )
+    now = time.time()
+    for i, d in enumerate(("b1", "b2")):
+        for f in (tmp_path / d).glob("*.parquet"):
+            dst = src / f"part-{i}.parquet"
+            shutil.copy(f, dst)
+            os.utime(dst, (now + 10 * i, now + 10 * i))
+
+    log = tmp_path / "pushes.log"
+    q = (
+        spark.readStream.schema("combined string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.format("notify")
+        .option("path", str(log))
+        .option("checkpointLocation", str(tmp_path / "ckpt_notify"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish in time"
+    pushes = read_pushes(str(log))
+    assert len(pushes) == 1, f"exactly the 2-alert batch sends: {pushes}"
+    assert sorted(pushes[0].split("\n")) == ["a1", "a2"]
