@@ -254,3 +254,100 @@ def ancestor_unroll(edges: DataFrame, depth: int = 4) -> DataFrame:
         F.element_at(path_arr, 1).cast("bigint").alias("root"),
         F.col("_beyond").isNotNull().alias("truncated"),
     )
+
+
+def bfs_converged(
+    edges: DataFrame, source: int = 0, max_iter: int = 64
+) -> tuple[DataFrame, int]:
+    """BFS distances iterated until the frontier is exhausted — the
+    convergence-guaranteed sibling of :func:`bfs_distances`, same loop
+    discipline as :func:`connected_components`: expand + MIN-regroup
+    per round, eager ``localCheckpoint`` to keep the plan flat, stop
+    when one more round would change nothing (the same test the
+    bounded form exposes as its ``frontier_delta`` detector). Returns
+    ``((node, dist), n_rounds)``; raises at ``max_iter`` rather than
+    return silently-short distances — reachable eccentricity bounds
+    rounds, and 64 covers any graph whose diameter fits a real
+    workload (raise it for pathological paths)."""
+    spark = edges.sparkSession
+    dist = spark.range(1).select(
+        F.lit(source).cast("bigint").alias("node"),
+        F.lit(0).cast("bigint").alias("dist"),
+    ).localCheckpoint(eager=True)
+    n_rounds = 0
+    for _ in range(max_iter):
+        n_rounds += 1
+        nxt = (
+            dist.unionByName(
+                dist.join(edges, dist.node == edges.u).select(
+                    F.col("v").alias("node"), (F.col("dist") + 1).alias("dist")
+                )
+            )
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.join(dist.withColumnRenamed("dist", "old"), "node", "left")
+            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .count()
+        )
+        dist = nxt
+        if changed == 0:
+            return dist, n_rounds
+    raise RuntimeError(
+        f"bfs_converged did not exhaust the frontier in {max_iter} rounds "
+        "— graph diameter exceeds the backstop, raise max_iter"
+    )
+
+
+def ancestors_converged(
+    edges: DataFrame, max_iter: int = 50
+) -> tuple[DataFrame, int]:
+    """Root + depth for EVERY node of a (node, parent) forest of
+    arbitrary depth — the convergence-guaranteed sibling of
+    :func:`ancestor_unroll`, via pointer jumping (path doubling): each
+    round every unfinished pointer jumps to its pointer's pointer and
+    accumulates the hop count, so a chain of depth h resolves in
+    ceil(log2 h) + 1 rounds (NOT h rounds — the same O(log) discipline
+    as large-star/small-star). Stop when no pointer is still mid-tree.
+    Returns ``((node, root, depth), n_rounds)``. Cycles would never
+    finish; the max_iter raise is the detector (2^50 depth is beyond
+    any acyclic data)."""
+    state = edges.select(
+        "node",
+        F.coalesce("parent", F.col("node")).alias("ptr"),
+        F.when(F.col("parent").isNull(), 0).otherwise(1).cast("bigint").alias("d"),
+        F.col("parent").isNull().alias("done"),
+    ).localCheckpoint(eager=True)
+    # done=True ⇒ ptr IS the root and d the exact depth
+    n_rounds = 0
+    for _ in range(max_iter):
+        pending = state.filter(~F.col("done")).count()
+        if pending == 0:
+            return state.select("node", F.col("ptr").alias("root"), F.col("d").alias("depth")), n_rounds
+        n_rounds += 1
+        hop = state.select(
+            F.col("node").alias("_p"),
+            F.col("ptr").alias("p_ptr"),
+            F.col("d").alias("p_d"),
+            F.col("done").alias("p_done"),
+        )
+        state = (
+            state.join(hop, state.ptr == hop._p, "left")
+            .select(
+                "node",
+                F.when(F.col("done"), F.col("ptr"))
+                .otherwise(F.coalesce("p_ptr", "ptr"))
+                .alias("ptr"),
+                F.when(F.col("done"), F.col("d"))
+                .otherwise(F.col("d") + F.coalesce("p_d", F.lit(0)))
+                .alias("d"),
+                (F.col("done") | F.coalesce("p_done", F.lit(True))).alias("done"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"ancestors_converged did not resolve in {max_iter} rounds — "
+        "either a cycle in the parent relation or depth > 2^{max_iter}"
+    )

@@ -628,3 +628,103 @@ def ml_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(converged).alias("converged"),
         F.lit(int(n_coords)).cast("bigint").alias("n_centroid_coords"),
     )
+
+
+# --- Converged graph ops as oracle-verified queries ------------------------
+
+from banksy_spark.suite.round4d import _BFS_N  # noqa: E402  (shared fixture)
+
+
+@query(
+    "j_ancestry_converged",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT p_partkey AS node,
+             CASE WHEN p_partkey = 0 THEN NULL ELSE p_partkey // 16 END AS parent
+      FROM part
+    ),
+    walk(node, cur, depth) AS (
+      SELECT node, node, 0 FROM edges
+      UNION ALL
+      SELECT w.node, e.parent, w.depth + 1
+      FROM walk w JOIN edges e ON e.node = w.cur
+      WHERE e.parent IS NOT NULL
+    )
+    SELECT w.node, w.cur AS root, CAST(w.depth AS BIGINT) AS depth
+    FROM walk w JOIN edges e ON e.node = w.cur
+    WHERE e.parent IS NULL
+    """,
+    note="Arbitrary-depth ancestry resolution: every part labeled with its "
+    "hierarchy ROOT and exact depth via pointer jumping (path doubling, "
+    "operators/graph.py:ancestors_converged) — ceil(log2 h)+1 driver-loop "
+    "rounds for depth h, NOT h rounds, with eager localCheckpoint per round "
+    "(the CC loop discipline). This is the convergence-guaranteed sibling "
+    "of j_hierarchy_unroll: no depth budget to outrun, so the truncated "
+    "flag that guards the unroll is structurally unnecessary here. Oracle: "
+    "a genuine recursive CTE walked to each node's root — unbounded "
+    "recursion checked against the O(log) distributed form. Scale: each "
+    "round is one self-join on the pointer key over |V| rows; rounds are "
+    "logarithmic in the deepest chain, so a depth-10^6 pathology costs 21 "
+    "rounds, not 10^6.",
+)
+def j_ancestry_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.operators.graph import ancestors_converged
+
+    p = T(spark, sf_dir, "part")
+    e = p.select(
+        F.col("p_partkey").alias("node"),
+        F.when(F.col("p_partkey") == 0, F.lit(None))
+        .otherwise(F.expr("p_partkey DIV 16"))
+        .alias("parent"),
+    )
+    out, _rounds = ancestors_converged(e)
+    return out.select(
+        "node",
+        F.col("root").cast("bigint").alias("root"),
+        F.col("depth").cast("bigint").alias("depth"),
+    )
+
+
+@query(
+    "graph_bfs_converged",
+    oracle=f"""
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT o_custkey % {_BFS_N} AS u, o_orderkey % {_BFS_N} AS v
+      FROM orders WHERE o_custkey % {_BFS_N} <> o_orderkey % {_BFS_N}
+    ),
+    edges AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+    reach(node, dist) AS (
+      SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      UNION
+      SELECT e.v, r.dist + 1
+      FROM reach r JOIN edges e ON e.u = r.node
+      WHERE r.dist < 64
+    )
+    SELECT node, MIN(dist) AS dist FROM reach GROUP BY node
+    """,
+    note="BFS distances iterated to frontier exhaustion (operators/graph.py:"
+    "bfs_converged) — the convergence-guaranteed sibling of the 4-round "
+    "graph_bfs_distance: the loop stops when one more expansion would "
+    "change nothing (the exact test the bounded form exposes as its "
+    "frontier_delta detector), so no reachable node can be missing and no "
+    "distance can be an overestimate. Oracle: recursive-CTE reachability "
+    "with a 64-level backstop (mirroring the operator's max_iter) reduced "
+    "by MIN per node. Scale: per round one shuffle keyed on node id; "
+    "rounds = reachable eccentricity; a semi-naive delta frontier halves "
+    "the per-round volume at cluster scale with the identical join keys.",
+)
+def graph_bfs_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.operators.graph import bfs_converged
+
+    o = T(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % _BFS_N).alias("u"),
+        (F.col("o_orderkey") % _BFS_N).alias("v"),
+    )
+    e0 = o.filter(F.col("u") != F.col("v")).distinct()
+    edges = (
+        e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    dist, _rounds = bfs_converged(edges, source=0)
+    return dist

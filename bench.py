@@ -156,6 +156,8 @@ HEADLINE = [
     "llm_dedup_cdc",          # shift-robust near-dup over CDC chunk hashes
     "w_cusum_changepoint",    # CUSUM drift detection (ordered fold)
     "j_interval_overlap",     # interval-set overlap join
+    "j_ancestry_converged",   # pointer-jumping ancestry (O(log h) rounds)
+    "graph_bfs_converged",    # frontier-exhausting BFS
 ]
 
 

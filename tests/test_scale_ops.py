@@ -285,3 +285,51 @@ def test_kmeans_train_converges_bit_exact_vs_python(spark):
         assert got_cents[cell] == cv, f"centroid {cell} diverged"
     # sanity: it actually iterated and produced k cells
     assert n_iter >= 2 and len(got_cents) == K
+
+
+def test_converged_bfs_and_ancestry_match_python(spark):
+    """The convergence-guaranteed siblings of the bounded graph ops:
+    bfs_converged exhausts any frontier (no rounds budget to outrun)
+    and ancestors_converged resolves arbitrary-depth trees in O(log h)
+    pointer-jumping rounds — both checked against python replicas on a
+    deep chain plus a branching forest."""
+    import random
+
+    from banksy_spark.operators.graph import ancestors_converged, bfs_converged
+
+    # 40-node path: eccentricity 39 — far beyond the 4-round budget
+    chain = [(i, i + 1) for i in range(39)]
+    edges = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], "u bigint, v bigint"
+    )
+    dist, rounds = bfs_converged(edges, source=0)
+    got = {r["node"]: r["dist"] for r in dist.collect()}
+    assert got == {i: i for i in range(40)}
+    assert rounds >= 39  # one frontier hop per round on a path
+
+    # random forest: 200 nodes, parent < node (acyclic by construction)
+    rng = random.Random(11)
+    parents = {0: None, 1: None}
+    for n in range(2, 200):
+        parents[n] = rng.randrange(n) if rng.random() < 0.9 else None
+    pdf = spark.createDataFrame(
+        [(n, p) for n, p in parents.items()], "node bigint, parent bigint"
+    )
+    out, pj_rounds = ancestors_converged(pdf)
+    got = {r["node"]: (r["root"], r["depth"]) for r in out.collect()}
+
+    def resolve(n):
+        d = 0
+        while parents[n] is not None:
+            n = parents[n]
+            d += 1
+        return n, d
+
+    want = {n: resolve(n) for n in parents}
+    assert got == want
+    max_depth = max(d for _r, d in want.values())
+    import math
+
+    assert pj_rounds <= math.ceil(math.log2(max(2, max_depth))) + 2, (
+        f"pointer jumping took {pj_rounds} rounds for depth {max_depth}"
+    )
