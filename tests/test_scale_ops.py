@@ -277,7 +277,11 @@ def test_kmeans_train_converges_bit_exact_vs_python(spark):
         [(vid, v) for vid, v in vecs.items()], "vec_id bigint, v array<double>"
     )
     sc, sa, n_iter, converged = kmeans_train(df, k=K, max_iter=20)
-    assert n_iter == py_iters and converged
+    # bit-exactness is the contract; whether THIS data converges inside
+    # 20 iters is data luck (boundary vectors can oscillate) — but the
+    # python replica must agree on that too
+    assert n_iter == py_iters
+    assert converged == (py_iters < 20 or moved == 0)
     got_assign = {r["vec_id"]: r["cell"] for r in sa.collect()}
     assert got_assign == assigned
     got_cents = {r["cell"]: list(r["cv"]) for r in sc.collect()}
@@ -333,3 +337,18 @@ def test_converged_bfs_and_ancestry_match_python(spark):
     assert pj_rounds <= math.ceil(math.log2(max(2, max_depth))) + 2, (
         f"pointer jumping took {pj_rounds} rounds for depth {max_depth}"
     )
+
+
+def test_ancestors_converged_detects_cycles(spark):
+    """A cycle in the parent relation can never resolve — the operator
+    must raise its max_iter backstop instead of looping forever or
+    emitting garbage roots."""
+    import pytest
+
+    from banksy_spark.operators.graph import ancestors_converged
+
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (9, None)], "node bigint, parent bigint"
+    )
+    with pytest.raises(RuntimeError, match="cycle|max_iter|resolve"):
+        ancestors_converged(cyc, max_iter=8)
