@@ -474,24 +474,39 @@ def cusum_parts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
 )
 def w_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily, stats = cusum_parts(spark, sf_dir)
-    wl = (
-        Window.partitionBy("pri")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # ONE fold per series, not one per row: collecting an expanding
+    # frame per row is O(n^2) list elements (measured 2.4 s at sf0.1);
+    # instead sort the whole series once, run a single running-state
+    # fold that appends each S_t to an accumulator array (identical
+    # IEEE sequence to the oracle's per-row folds — every prefix of a
+    # left fold IS the shorter fold), and explode back to rows.
+    seq = (
+        daily.groupBy("pri")
+        .agg(F.expr("array_sort(collect_list(struct(day, cents)))").alias("seq"))
+        .join(stats, "pri")
     )
-    seq = daily.join(stats, "pri").withColumn(
-        "l", F.collect_list(F.col("cents").cast("double")).over(wl)
+    s_arr = F.expr(
+        "aggregate(seq,"
+        " struct(CAST(array() AS ARRAY<DOUBLE>) AS out, CAST(0 AS DOUBLE) AS acc),"
+        " (st, x) -> struct("
+        "   array_append(st.out,"
+        "     greatest(CAST(0 AS DOUBLE),"
+        "              st.acc + CAST(x.cents AS DOUBLE) - mu - 0.5D * sigma)),"
+        "   greatest(CAST(0 AS DOUBLE),"
+        "            st.acc + CAST(x.cents AS DOUBLE) - mu - 0.5D * sigma)),"
+        " st -> st.out)"
     )
-    fold = F.expr(
-        "aggregate(l, CAST(0 AS DOUBLE),"
-        " (acc, x) -> greatest(CAST(0 AS DOUBLE), acc + x - mu - 0.5D * sigma))"
-    )
-    return seq.select(
+    z = seq.select(
         "pri",
-        "day",
-        "cents",
-        fold.alias("s_pos"),
-        (fold > 4.0 * F.col("sigma")).alias("drift"),
+        "sigma",
+        F.posexplode(F.arrays_zip("seq", s_arr.alias("s_arr"))).alias("_i", "z"),
+    )
+    return z.select(
+        "pri",
+        F.col("z.seq.day").alias("day"),
+        F.col("z.seq.cents").alias("cents"),
+        F.col("z.s_arr").alias("s_pos"),
+        (F.col("z.s_arr") > 4.0 * F.col("sigma")).alias("drift"),
     )
 
 
