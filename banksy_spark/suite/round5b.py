@@ -688,5 +688,5 @@ def j_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return s.join(
-        dom_supp, s.s_suppkey == dom_supp.l_suppkey, "left_semi"
+        F.broadcast(dom_supp), s.s_suppkey == dom_supp.l_suppkey, "left_semi"
     ).select("s_suppkey", "s_name")

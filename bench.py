@@ -158,6 +158,14 @@ HEADLINE = [
     "j_interval_overlap",     # interval-set overlap join
     "j_ancestry_converged",   # pointer-jumping ancestry (O(log h) rounds)
     "graph_bfs_converged",    # frontier-exhausting BFS
+    "a_q1_pricing_summary",   # TPC-H Q1: one-pass 8-measure wide aggregate
+    "a_q6_forecast_revenue",  # TPC-H Q6: scan-filter-sum, pure pushdown
+    "j_q5_regional_volume",   # TPC-H Q5: 6-way join, one fact shuffle
+    "a_q8_market_share",      # TPC-H Q8: CASE-share, no fact self-join
+    "a_q9_product_profit",    # TPC-H Q9 shape: broadcast-only joins
+    "j_q10_returned_items",   # TPC-H Q10: aggregate-then-top-k
+    "a_q13_order_distribution", # TPC-H Q13: pre-agg before outer join
+    "j_q20_dominant_suppliers", # TPC-H Q20 shape: agg+window, semi probe
 ]
 
 
