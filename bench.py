@@ -166,6 +166,9 @@ HEADLINE = [
     "j_q10_returned_items",   # TPC-H Q10: aggregate-then-top-k
     "a_q13_order_distribution", # TPC-H Q13: pre-agg before outer join
     "j_q20_dominant_suppliers", # TPC-H Q20 shape: agg+window, semi probe
+    "j_similarity_prefix_join", # exact prefix-filtered similarity join
+    "j_fuzzy_edit1_join",       # deletion-neighborhood edit-1 matching
+    "llm_stratified_split",     # exact per-stratum 80/10/10 split
 ]
 
 
