@@ -169,6 +169,9 @@ HEADLINE = [
     "j_similarity_prefix_join", # exact prefix-filtered similarity join
     "j_fuzzy_edit1_join",       # deletion-neighborhood edit-1 matching
     "llm_stratified_split",     # exact per-stratum 80/10/10 split
+    "w_linear_interpolate",     # time interpolation (ffill+bfill windows)
+    "w_holt_linear",            # Holt level+trend fold per series
+    "j_asof_nearest",           # bidirectional as-of via one union+sort
 ]
 
 
