@@ -172,6 +172,9 @@ HEADLINE = [
     "w_linear_interpolate",     # time interpolation (ffill+bfill windows)
     "w_holt_linear",            # Holt level+trend fold per series
     "j_asof_nearest",           # bidirectional as-of via one union+sort
+    "w_rolling_median_7",       # exact trailing-frame rolling median
+    "w_capped_sessions",        # gap+cap sessionization fold
+    "dq_skew_report",           # shuffle-key skew profile
 ]
 
 
