@@ -544,3 +544,55 @@ def test_stateful_cusum_stream_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 100
+
+
+def test_stateful_capped_sessions_stream_equals_batch(spark, tmp_path):
+    """The applyInPandasWithState capped sessionizer must reproduce the
+    batch fold (w_capped_sessions) exactly when events arrive time-split
+    across two micro-batches: session_id, last-event time, and the
+    session-start anchor all carry across the batch boundary, so a
+    session spanning the split is neither re-opened nor re-capped."""
+    import os as _os
+    import time as _time
+
+    from banksy_spark.streaming.sessions import capped_sessions_stream
+    from banksy_spark.suite import REGISTRY
+    from banksy_spark.suite.registry import T
+
+    batch = T(spark, SF_SMOKE, "events")
+    mid = batch.agg(F.expr("percentile_approx(CAST(ts AS DOUBLE), 0.5)")).first()[0]
+    early = batch.filter(F.col("ts").cast("double") <= mid)
+    late = batch.filter(F.col("ts").cast("double") > mid)
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    early.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "s1"))
+    late.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "s2"))
+    now = _time.time()
+    for i, d in enumerate(("s1", "s2")):
+        for f in (tmp_path / d).glob("*.parquet"):
+            dst = src / f"part-{i}.parquet"
+            shutil.copy(f, dst)
+            _os.utime(dst, (now + 10 * i, now + 10 * i))
+
+    stream = read_events_stream(spark, str(src))
+    q = (
+        capped_sessions_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not finish in time"
+    got = {
+        (r["user_id"], r["event_id"]): r["session_id"]
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"]): r["session_id"]
+        for r in REGISTRY["w_capped_sessions"].fn(spark, SF_SMOKE).collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want, "incremental capped sessions diverged from batch fold"
