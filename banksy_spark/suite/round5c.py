@@ -195,15 +195,17 @@ def j_fuzzy_edit1_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = keys.select(
         F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"), "blk"
     )
-    cand = (
+    # verify BEFORE the distinct: levenshtein on an 18-char pair is
+    # cheaper than shuffling duplicate candidates (a pair can collide on
+    # up to L shared deletion keys), and the dedup then carries only the
+    # surviving 2-int tuples
+    return (
         a.join(b, "blk")
         .filter(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "name_a", "key_b", "name_b")
+        .filter(F.levenshtein(F.col("name_a"), F.col("name_b")) == 1)
+        .select("key_a", "key_b")
         .distinct()
     )
-    return cand.filter(
-        F.levenshtein(F.col("name_a"), F.col("name_b")) == 1
-    ).select("key_a", "key_b")
 
 
 # --- k-anonymity audit -----------------------------------------------------

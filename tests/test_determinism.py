@@ -33,6 +33,13 @@ PROBES = [
     "llm_cdc_chunks",
     "w_cusum_changepoint",
     "ml_kmeans_step",
+    # round-5b/c/d/e order-sensitive classes: prefix-filtered candidate
+    # generation (distinct over shuffled pairs), two-state Holt fold,
+    # anchor-fed session fold, trailing-frame rolling median
+    "j_similarity_prefix_join",
+    "w_holt_linear",
+    "w_capped_sessions",
+    "w_rolling_median_7",
 ]
 
 
