@@ -1,0 +1,274 @@
+"""Round-5 continuation, batch 5: reporting/product-analytics
+completions — largest-remainder allocation, funnel conversion within a
+time window, per-document keyword extraction, and cohort LTV curves.
+
+- a_largest_remainder: integer proration (Hamilton's method) — the
+  classic finance/reporting allocation where floors are topped up by
+  largest fractional remainder. All-integer arithmetic, so parity is
+  exact by construction.
+- w_funnel_within: time-boxed conversion (first view → purchase within
+  1 h), the product-metric twin of the unbounded funnel
+  (stream_funnel_steps).
+- llm_keywords_tfidf: per-document top-k salient terms by tf/df (the
+  rational-arithmetic tf-idf variant — ln(idf) would hash-mismatch on
+  cross-engine libm ulps, tf/df ranks identically for single-corpus
+  extraction and stays exact).
+- a_ltv_cumulative: cumulative revenue per signup cohort by age — the
+  lifetime-value curve next to a_retention_cohorts' retention matrix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from banksy_spark.suite.registry import T, query
+
+# --- largest-remainder (Hamilton) allocation -------------------------------
+
+_ALLOC_UNITS = 10_000
+
+
+@query(
+    "a_largest_remainder",
+    oracle=f"""
+    WITH counts AS (
+      SELECT c_nationkey, COUNT(*) AS n_cust,
+             SUM(COUNT(*)) OVER () AS total
+      FROM customer GROUP BY 1
+    ),
+    quotas AS (
+      SELECT c_nationkey, n_cust,
+             ({_ALLOC_UNITS} * n_cust) // total AS base,
+             ({_ALLOC_UNITS} * n_cust) % total AS rem,
+             total
+      FROM counts
+    ),
+    ranked AS (
+      SELECT c_nationkey, n_cust, base, rem,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, c_nationkey) AS rk,
+             {_ALLOC_UNITS} - SUM(base) OVER () AS leftover
+      FROM quotas
+    )
+    SELECT c_nationkey, n_cust,
+           base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+    FROM ranked
+    """,
+    note="Largest-remainder (Hamilton) allocation: prorate "
+    f"{_ALLOC_UNITS} units across nations by customer count — floor of "
+    "the exact quota, then one extra unit to the largest fractional "
+    "remainders (ties to the smaller key) until the total is exact. "
+    "EVERYTHING is integer arithmetic (units·n // total, %, counts), so "
+    "both engines agree bit-for-bit and ΣALLOC == units is a structural "
+    "invariant, not a rounding accident — the property float-based "
+    "proration famously violates. Scale: one count exchange + a "
+    "|groups|-sized rank; the fact table is touched once.",
+)
+def a_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        T(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .withColumn("total", F.sum("n_cust").over(Window.partitionBy()))
+    )
+    quotas = counts.select(
+        "c_nationkey",
+        "n_cust",
+        F.floor(F.lit(_ALLOC_UNITS) * F.col("n_cust") / F.col("total")).alias(
+            "base"
+        ),
+        ((F.lit(_ALLOC_UNITS) * F.col("n_cust")) % F.col("total")).alias("rem"),
+    )
+    ranked = quotas.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.desc("rem"), F.col("c_nationkey"))),
+    ).withColumn(
+        "leftover", F.lit(_ALLOC_UNITS) - F.sum("base").over(Window.partitionBy())
+    )
+    return ranked.select(
+        "c_nationkey",
+        "n_cust",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("alloc"),
+    )
+
+
+# --- funnel conversion within a time window --------------------------------
+
+_CONVERT_US = 3600 * 1_000_000  # 1 hour
+
+
+@query(
+    "w_funnel_within",
+    oracle=f"""
+    WITH first_view AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS view_us
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    conv AS (
+      SELECT v.user_id, v.view_us, MIN(epoch_us(p.ts)) AS conv_us
+      FROM first_view v
+      JOIN events p
+        ON p.user_id = v.user_id AND p.event_type = 'purchase'
+       AND epoch_us(p.ts) > v.view_us
+       AND epoch_us(p.ts) <= v.view_us + {_CONVERT_US}
+      GROUP BY 1, 2
+    )
+    SELECT v.user_id, v.view_us,
+           c.conv_us IS NOT NULL AS converted,
+           c.conv_us - v.view_us AS time_to_convert_us
+    FROM first_view v LEFT JOIN conv c ON c.user_id = v.user_id
+    """,
+    note="Time-boxed funnel conversion: did the user's FIRST view lead "
+    "to a purchase within one hour, and how fast — the bounded-window "
+    "product metric next to the unbounded step funnel "
+    "(stream_funnel_steps). Two passes over events (anchor aggregate, "
+    "then a user-keyed join bounded by the window predicate before its "
+    "MIN), exact-µs integer arithmetic throughout. Scale: both "
+    "aggregates and the join share the user_id key — one logical "
+    "exchange reused; the window predicate prunes the purchase side "
+    "before the aggregate, so state never exceeds one row per user.",
+)
+def w_funnel_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    first_view = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("view_us"))
+    )
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    conv = (
+        first_view.join(pur, "user_id")
+        .filter(
+            (F.col("p_us") > F.col("view_us"))
+            & (F.col("p_us") <= F.col("view_us") + F.lit(_CONVERT_US))
+        )
+        .groupBy("user_id", "view_us")
+        .agg(F.min("p_us").alias("conv_us"))
+    )
+    return (
+        first_view.join(conv.select("user_id", "conv_us"), "user_id", "left")
+        .select(
+            "user_id",
+            "view_us",
+            F.col("conv_us").isNotNull().alias("converted"),
+            (F.col("conv_us") - F.col("view_us")).alias("time_to_convert_us"),
+        )
+    )
+
+
+# --- per-document keyword extraction (tf/df salience) ----------------------
+
+_TOP_TERMS = 3
+
+
+@query(
+    "llm_keywords_tfidf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    )
+    SELECT doc_id, term, score
+    FROM (
+      SELECT t.doc_id, t.term,
+             CAST(t.tf AS DOUBLE) / d.df AS score,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC,
+                                         t.term) AS rk
+      FROM tf t JOIN df d ON d.term = t.term
+    )
+    WHERE rk <= {_TOP_TERMS}
+    """,
+    note=f"Per-document top-{_TOP_TERMS} keyword extraction by tf/df "
+    "salience — the rational-arithmetic tf-idf variant: tf·ln(N/df) "
+    "ranks identically to tf/df per fixed corpus for extraction "
+    "purposes, and the integer division is bit-exact across engines "
+    "where libm's ln() is not (the same reason a_benford_deviation "
+    "pins log10 literals). Shape: one explode → (doc,term) aggregate, "
+    "df as a term-keyed aggregate joined back (broadcastable once the "
+    "vocabulary is dimension-sized relative to the corpus), doc-keyed "
+    "top-k window. Deterministic term tiebreak.",
+)
+def llm_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = T(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    scored = tf.join(df, "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_TERMS)
+        .select("doc_id", "term", "score")
+    )
+
+
+# --- cohort LTV curve ------------------------------------------------------
+
+
+@query(
+    "a_ltv_cumulative",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS cohort_d
+      FROM events GROUP BY 1
+    ),
+    rev AS (
+      SELECT c.cohort_d,
+             (epoch_us(e.ts) // 86400000000) - c.cohort_d AS age_days,
+             SUM(CAST(e.value AS DECIMAL(18,2))) AS rev_d
+      FROM events e JOIN cohort c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT cohort_d, age_days,
+           CAST(CAST(SUM(rev_d) OVER (
+             PARTITION BY cohort_d ORDER BY age_days
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS VARCHAR) AS DOUBLE) AS cum_revenue
+    FROM rev
+    """,
+    note="Cohort lifetime-value curve: users cohorted by first-activity "
+    "day (integer epoch-day index — no date arithmetic ambiguity), "
+    "purchase revenue aggregated per (cohort, age) and accumulated over "
+    "age — the LTV companion to a_retention_cohorts' retention counts. "
+    "DECIMAL revenue sums keep the running total associative-exact; the "
+    "cumulative window runs over the tiny (cohort × age) grid, not the "
+    "fact table. Scale: cohort map is one user-keyed aggregate joined "
+    "back (broadcastable at |users| ≪ |events|), one grid exchange.",
+)
+def a_ltv_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    day_idx = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000))
+    cohort = e.groupBy("user_id").agg(F.min(day_idx).alias("cohort_d"))
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(cohort), "user_id")
+        .groupBy("cohort_d", (day_idx - F.col("cohort_d")).alias("age_days"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("rev_d"))
+    )
+    w = (
+        Window.partitionBy("cohort_d")
+        .orderBy("age_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rev.select(
+        "cohort_d",
+        "age_days",
+        F.sum("rev_d").over(w).cast("string").cast("double").alias("cum_revenue"),
+    )

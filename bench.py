@@ -175,6 +175,9 @@ HEADLINE = [
     "w_rolling_median_7",       # exact trailing-frame rolling median
     "w_capped_sessions",        # gap+cap sessionization fold
     "dq_skew_report",           # shuffle-key skew profile
+    "llm_keywords_tfidf",       # per-doc top-k term salience
+    "a_ltv_cumulative",         # cohort LTV running curve
+    "w_funnel_within",          # time-boxed conversion metric
 ]
 
 
