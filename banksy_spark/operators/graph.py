@@ -351,3 +351,63 @@ def ancestors_converged(
         f"ancestors_converged did not resolve in {max_iter} rounds — "
         "either a cycle in the parent relation or depth > 2^{max_iter}"
     )
+
+
+def weighted_rollup_converged(
+    edges: DataFrame, max_iter: int = 50
+) -> tuple[DataFrame, int]:
+    """Root + path-PRODUCT of edge weights for every node of a
+    (node, parent, w) forest — the bill-of-materials companion of
+    :func:`ancestors_converged`: ``mult`` is the product of per-edge
+    quantities from the node up to its root (1 for roots), so one unit
+    of ``node`` expands to ``mult`` units of ``root``. Same pointer
+    jumping: each round a pending pointer jumps to its pointer's
+    pointer and MULTIPLIES the accumulated weights (products are
+    associative, so path doubling composes them exactly like the hop
+    counts). Integer weights stay integer — no float drift across
+    rounds. Returns ``((node, root, mult), n_rounds)``."""
+    from pyspark.sql import functions as F
+
+    state = edges.select(
+        "node",
+        F.coalesce("parent", F.col("node")).alias("ptr"),
+        F.when(F.col("parent").isNull(), F.lit(1))
+        .otherwise(F.col("w"))
+        .cast("bigint")
+        .alias("m"),
+        F.col("parent").isNull().alias("done"),
+    ).localCheckpoint(eager=True)
+    n_rounds = 0
+    for _ in range(max_iter):
+        if state.filter(~F.col("done")).count() == 0:
+            return (
+                state.select(
+                    "node", F.col("ptr").alias("root"), F.col("m").alias("mult")
+                ),
+                n_rounds,
+            )
+        n_rounds += 1
+        hop = state.select(
+            F.col("node").alias("_p"),
+            F.col("ptr").alias("p_ptr"),
+            F.col("m").alias("p_m"),
+            F.col("done").alias("p_done"),
+        )
+        state = (
+            state.join(hop, state.ptr == hop._p, "left")
+            .select(
+                "node",
+                F.when(F.col("done"), F.col("ptr"))
+                .otherwise(F.coalesce("p_ptr", "ptr"))
+                .alias("ptr"),
+                F.when(F.col("done"), F.col("m"))
+                .otherwise(F.col("m") * F.coalesce("p_m", F.lit(1)))
+                .alias("m"),
+                (F.col("done") | F.coalesce("p_done", F.lit(True))).alias("done"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"weighted_rollup_converged did not resolve in {max_iter} rounds — "
+        "either a cycle in the parent relation or depth > 2^{max_iter}"
+    )

@@ -178,6 +178,9 @@ HEADLINE = [
     "llm_keywords_tfidf",       # per-doc top-k term salience
     "a_ltv_cumulative",         # cohort LTV running curve
     "w_funnel_within",          # time-boxed conversion metric
+    "llm_phrase_search",        # positional-index adjacency join
+    "j_bom_rollup",             # multiplicative pointer jumping
+    "w_control_chart",          # SPC zone rules over daily series
 ]
 
 
