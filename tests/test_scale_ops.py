@@ -352,3 +352,59 @@ def test_ancestors_converged_detects_cycles(spark):
     )
     with pytest.raises(RuntimeError, match="cycle|max_iter|resolve"):
         ancestors_converged(cyc, max_iter=8)
+
+
+def test_weighted_rollup_matches_python_and_is_logarithmic(spark):
+    """weighted_rollup_converged must compose edge-quantity PRODUCTS
+    exactly under path doubling: checked against a python replica on a
+    random weighted forest, with the O(log h) round bound, plus the
+    cycle backstop."""
+    import math
+    import random
+
+    import pytest
+
+    from banksy_spark.operators.graph import weighted_rollup_converged
+
+    rng = random.Random(23)
+    parents = {0: None, 1: None}
+    weights = {}
+    for n in range(2, 200):
+        if rng.random() < 0.9:
+            parents[n] = rng.randrange(n)
+            weights[n] = rng.randrange(1, 5)
+        else:
+            parents[n] = None
+    pdf = spark.createDataFrame(
+        [(n, p, weights.get(n)) for n, p in parents.items()],
+        "node bigint, parent bigint, w bigint",
+    )
+    out, rounds = weighted_rollup_converged(pdf)
+    got = {r["node"]: (r["root"], r["mult"]) for r in out.collect()}
+
+    def resolve(n):
+        m = 1
+        while parents[n] is not None:
+            m *= weights[n]
+            n = parents[n]
+        return n, m
+
+    want = {n: resolve(n) for n in parents}
+    assert got == want
+
+    def depth(n):
+        d = 0
+        while parents[n] is not None:
+            n = parents[n]
+            d += 1
+        return d
+
+    max_depth = max(depth(n) for n in parents)
+    assert rounds <= math.ceil(math.log2(max(2, max_depth))) + 2
+
+    cyc = spark.createDataFrame(
+        [(1, 2, 2), (2, 1, 2), (9, None, None)],
+        "node bigint, parent bigint, w bigint",
+    )
+    with pytest.raises(RuntimeError, match="cycle|max_iter|resolve"):
+        weighted_rollup_converged(cyc, max_iter=6)
