@@ -96,3 +96,49 @@ def write_append(df: DataFrame, path: str, partition_by: list[str] | None = None
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_partition_overwrite(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Backfill sink: overwrite ONLY the partitions present in ``df``,
+    leaving every other partition untouched (dynamic partition
+    overwrite). This is how a 100 TB date-partitioned fact is
+    backfilled — re-running one day replaces that day's directory
+    atomically instead of truncating the table (static overwrite) or
+    duplicating rows (append). Session-conf scoped to the write and
+    restored afterwards."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def upsert_batch(df: DataFrame, path: str, key_cols: list[str]) -> None:
+    """Idempotent keyed upsert (last-write-wins merge): rows in ``df``
+    replace same-key rows at ``path``; other rows survive. Because the
+    result is a pure function of (current state, batch contents),
+    REPLAYING a batch converges to the identical state — the
+    exactly-once property a ``foreachBatch`` streaming sink needs under
+    Structured Streaming's at-least-once batch redelivery. Use as:
+    ``q.writeStream.foreachBatch(lambda b, _id: upsert_batch(b, path,
+    keys))``.
+
+    Scale: the anti-join keys on ``key_cols`` (broadcastable for a
+    micro-batch-sized ``df``); a table-format sink (Delta/Iceberg
+    MERGE) replaces the read-union-rewrite with a transactional merge,
+    same semantics."""
+    import os
+
+    spark = df.sparkSession
+    df = df.localCheckpoint(eager=True)  # sever lineage from `path` pre-read
+    if os.path.exists(path):
+        current = spark.read.parquet(path)
+        keep = current.join(df.select(*key_cols).distinct(), key_cols, "left_anti")
+        merged = keep.unionByName(df).localCheckpoint(eager=True)
+    else:
+        merged = df
+    merged.write.mode("overwrite").parquet(path)

@@ -285,3 +285,45 @@ def test_dsv2_notify_sink_applies_min_batch_rule(spark, tmp_path):
     pushes = read_pushes(str(log))
     assert len(pushes) == 1, f"exactly the 2-alert batch sends: {pushes}"
     assert sorted(pushes[0].split("\n")) == ["a1", "a2"]
+
+
+def test_dynamic_partition_overwrite_backfills_one_day(spark, tmp_path):
+    """write_partition_overwrite must replace ONLY the partitions in
+    the frame: backfilling day 2 leaves days 1 and 3 byte-identical."""
+    from banksy_spark.io import write_overwrite, write_partition_overwrite
+
+    p = str(tmp_path / "fact")
+    full = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "day int, k string, v int"
+    )
+    write_overwrite(full, p, partition_by=["day"])
+    fix = spark.createDataFrame([(2, "b2", 99)], "day int, k string, v int")
+    write_partition_overwrite(fix, p, partition_by=["day"])
+    got = {
+        (r["day"], r["k"], r["v"]) for r in spark.read.parquet(p).collect()
+    }
+    assert got == {(1, "a", 10), (2, "b2", 99), (3, "c", 30)}
+    # the conf must be restored (static) after the scoped write
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+    )
+
+
+def test_upsert_batch_is_idempotent_under_replay(spark, tmp_path):
+    """Replaying the same micro-batch through upsert_batch must
+    converge to the identical state (the foreachBatch exactly-once
+    contract under at-least-once redelivery)."""
+    from banksy_spark.io import upsert_batch
+
+    p = str(tmp_path / "state")
+    b1 = spark.createDataFrame([(1, "x"), (2, "y")], "id int, v string")
+    upsert_batch(b1, p, ["id"])
+    b2 = spark.createDataFrame([(2, "y2"), (3, "z")], "id int, v string")
+    upsert_batch(b2, p, ["id"])
+    want = {(1, "x"), (2, "y2"), (3, "z")}
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(p).collect()}
+    assert got == want
+    # replay batch 2 — state must not change
+    upsert_batch(b2, p, ["id"])
+    got2 = {(r["id"], r["v"]) for r in spark.read.parquet(p).collect()}
+    assert got2 == want
