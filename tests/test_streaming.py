@@ -596,3 +596,61 @@ def test_stateful_capped_sessions_stream_equals_batch(spark, tmp_path):
     }
     assert len(got) == len(want) > 0
     assert got == want, "incremental capped sessions diverged from batch fold"
+
+
+def test_stateful_holt_stream_equals_batch(spark, tmp_path):
+    """The applyInPandasWithState Holt fold must reproduce the batch
+    recursion (w_holt_linear) exactly when the daily series arrives
+    split across two micro-batches: (t, level, trend) carry across the
+    boundary so the first post-split point smooths against the carried
+    state, not a re-initialized one."""
+    import os as _os
+    import time as _time
+
+    from banksy_spark.streaming.holt import holt_stream
+    from banksy_spark.suite import REGISTRY
+    from banksy_spark.suite.round5 import cusum_parts
+
+    daily, _stats = cusum_parts(spark, SF_SMOKE)
+    day_l = F.col("day").cast("timestamp").cast("long")
+    mid = daily.agg(F.expr(
+        "percentile_approx(CAST(CAST(day AS TIMESTAMP) AS LONG), 0.5)"
+    )).first()[0]
+    early = daily.filter(day_l <= mid)
+    late = daily.filter(day_l > mid)
+    src = tmp_path / "holt_in"
+    src.mkdir()
+    early.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "h1"))
+    late.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "h2"))
+    now = _time.time()
+    for i, d in enumerate(("h1", "h2")):
+        for f in (tmp_path / d).glob("*.parquet"):
+            dst = src / f"part-{i}.parquet"
+            shutil.copy(f, dst)
+            _os.utime(dst, (now + 10 * i, now + 10 * i))
+
+    stream = (
+        spark.readStream.schema(daily.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        holt_stream(stream)
+        .writeStream.format("memory")
+        .queryName("holt_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_holt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not finish in time"
+    got = {
+        (r["pri"], r["day"]): (r["cents"], r["level"], r["trend"])
+        for r in spark.sql("SELECT * FROM holt_out").collect()
+    }
+    want = {
+        (r["pri"], r["day"]): (r["cents"], r["level"], r["trend"])
+        for r in REGISTRY["w_holt_linear"].fn(spark, SF_SMOKE).collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want, "incremental Holt diverged from the batch fold"
