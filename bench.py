@@ -181,6 +181,9 @@ HEADLINE = [
     "llm_phrase_search",        # positional-index adjacency join
     "j_bom_rollup",             # multiplicative pointer jumping
     "w_control_chart",          # SPC zone rules over daily series
+    "a_survival_km",            # Kaplan-Meier product-limit fold
+    "ml_gini_split",            # one-pass split-candidate contingencies
+    "j_graph_2hop_recs",        # wedge join + anti-join + top-k
 ]
 
 
