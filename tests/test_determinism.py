@@ -40,6 +40,9 @@ PROBES = [
     "w_holt_linear",
     "w_capped_sessions",
     "w_rolling_median_7",
+    # round-5h: scalar product fold, wedge-join top-k
+    "a_survival_km",
+    "j_graph_2hop_recs",
 ]
 
 
