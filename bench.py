@@ -184,6 +184,9 @@ HEADLINE = [
     "a_survival_km",            # Kaplan-Meier product-limit fold
     "ml_gini_split",            # one-pass split-candidate contingencies
     "j_graph_2hop_recs",        # wedge join + anti-join + top-k
+    "ml_roc_auc",               # rank-statistic AUC
+    "a_changepoint_binseg",     # one-pass SSE split scoring
+    "a_sequence_ab",            # first-occurrence ordering pairs
 ]
 
 
