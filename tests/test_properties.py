@@ -125,3 +125,121 @@ def test_dedup_cdc_pairs_are_symmetric_free_and_bounded(spark):
         out.filter(F.col("shared_chunks") > F.least("n_a", "n_b")).count() == 0
     )
     out.unpersist()
+
+
+def test_prefix_filter_completeness_on_adversarial_corpus(spark):
+    """The AllPairs prefix filter must find EVERY pair with Jaccard >=
+    tau — checked against a python brute force on a purpose-built
+    corpus: near-dup clone clusters, shared-boilerplate docs, and
+    random chaff (the shapes that break naive blocking). The oracle at
+    sf0.01 proves the production corpus; this proves adversarial ones."""
+    import itertools
+    import random
+
+    from banksy_spark.suite.round5c import _TAU_DEN, _TAU_NUM
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = {}
+    did = 0
+    # clone clusters with small edits
+    for c in range(6):
+        base = rng.sample(vocab, 12)
+        for v in range(3):
+            d = list(base)
+            for _ in range(v):
+                d[rng.randrange(len(d))] = rng.choice(vocab)
+            docs[did] = " ".join(d + base[:3])  # len >= 3 tokens
+            did += 1
+    # boilerplate: common prefix + distinct tails
+    boiler = rng.sample(vocab, 8)
+    for _ in range(6):
+        docs[did] = " ".join(boiler + rng.sample(vocab, 8))
+        did += 1
+    # chaff
+    for _ in range(10):
+        docs[did] = " ".join(rng.choices(vocab, k=rng.randrange(3, 20)))
+        did += 1
+
+    def shingles(text):
+        t = text.split(" ")
+        return {
+            "\x1f".join(t[i : i + 3]) for i in range(len(t) - 2)
+        } if len(t) >= 3 else set()
+
+    tau = _TAU_NUM / _TAU_DEN
+    want = set()
+    for a, b in itertools.combinations(sorted(docs), 2):
+        sa, sb = shingles(docs[a]), shingles(docs[b])
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        if inter and inter / (len(sa) + len(sb) - inter) >= tau:
+            want.add((a, b))
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"doc_id": list(docs), "text": [docs[k] for k in docs],
+         "lang": "en", "source": "t", "n_chars": [len(v) for v in docs.values()]}
+    )
+    tmpdir = spark._jvm.java.lang.System.getProperty("java.io.tmpdir")
+    path = f"{tmpdir}/prefix_prop_{id(docs)}"
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/documents.parquet"
+    )
+    from banksy_spark.suite import REGISTRY
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["j_similarity_prefix_join"].fn(spark, path).collect()
+    }
+    assert got == want, (
+        f"prefix filter missed {want - got} / hallucinated {got - want}"
+    )
+
+
+def test_fastss_edit1_completeness_on_adversarial_names(spark):
+    """Deletion-neighborhood blocking must surface EVERY pair at edit
+    distance exactly 1 (substitution, insertion, deletion) — python
+    brute-force Levenshtein is the truth on a name set dense in
+    near-misses."""
+    import itertools
+
+    def lev(a, b):
+        if abs(len(a) - len(b)) > 1:
+            return 2
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    names = [
+        "alpha", "alpah", "alphaa", "alph", "blpha", "alpha",  # dup too
+        "beta", "betta", "bet", "bea", "zeta", "zeta1", "eta",
+        "gamma", "gamm", "gama", "gammma", "amma",
+    ]
+    # unique ids; duplicate strings get distinct keys (dist 0, excluded)
+    rows = [(i, n) for i, n in enumerate(names)]
+    want = {
+        (a, b)
+        for (a, na), (b, nb) in itertools.combinations(rows, 2)
+        if lev(na, nb) == 1
+    }
+    df = spark.createDataFrame(rows, "c_custkey bigint, c_name string")
+    tmpdir = spark._jvm.java.lang.System.getProperty("java.io.tmpdir")
+    path = f"{tmpdir}/fastss_prop_{len(names)}"
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/customer.parquet")
+    from banksy_spark.suite import REGISTRY
+
+    got = {
+        (r["key_a"], r["key_b"])
+        for r in REGISTRY["j_fuzzy_edit1_join"].fn(spark, path).collect()
+    }
+    assert got == want, (
+        f"FastSS missed {want - got} / hallucinated {got - want}"
+    )
