@@ -248,6 +248,7 @@ def w_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e0 AS (
       SELECT DISTINCT o_custkey % {_BFS_N} AS u, o_orderkey % {_BFS_N} AS v
       FROM orders WHERE o_custkey % {_BFS_N} <> o_orderkey % {_BFS_N}
+        AND o_orderkey % 23 = 0
     ),
     edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
     two_hop AS (
@@ -281,7 +282,12 @@ def w_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the same candidate algebra in plain SQL.",
 )
 def j_graph_2hop_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = T(spark, sf_dir, "orders").select(
+    # thin the modulo graph (1-in-23 orders): the raw fixture goes
+    # near-complete at sf0.1 (58k distinct edges over 500 nodes), which
+    # makes ANY 2-hop enumeration Σdeg² ≈ N³ — a property of the
+    # synthetic graph, not the operator. Real social graphs are sparse;
+    # the thinned degree (~25) models that honestly.
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 23 == 0).select(
         (F.col("o_custkey") % _BFS_N).alias("u"),
         (F.col("o_orderkey") % _BFS_N).alias("v"),
     )
