@@ -187,6 +187,7 @@ HEADLINE = [
     "ml_roc_auc",               # rank-statistic AUC
     "a_changepoint_binseg",     # one-pass SSE split scoring
     "a_sequence_ab",            # first-occurrence ordering pairs
+    "llm_e2e_prepare",          # fused corpus-prep pipeline DAG
 ]
 
 
