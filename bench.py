@@ -188,6 +188,8 @@ HEADLINE = [
     "a_changepoint_binseg",     # one-pass SSE split scoring
     "a_sequence_ab",            # first-occurrence ordering pairs
     "llm_e2e_prepare",          # fused corpus-prep pipeline DAG
+    "ml_calibration_bins",      # reliability-diagram bins
+    "ml_lift_gains",            # cumulative-gains / lift table
 ]
 
 
