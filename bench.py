@@ -190,6 +190,7 @@ HEADLINE = [
     "llm_e2e_prepare",          # fused corpus-prep pipeline DAG
     "ml_calibration_bins",      # reliability-diagram bins
     "ml_lift_gains",            # cumulative-gains / lift table
+    "a_ddsketch_log2",          # log2-bucket mergeable quantile sketch
 ]
 
 
