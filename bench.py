@@ -191,6 +191,7 @@ HEADLINE = [
     "ml_calibration_bins",      # reliability-diagram bins
     "ml_lift_gains",            # cumulative-gains / lift table
     "a_ddsketch_log2",          # log2-bucket mergeable quantile sketch
+    "llm_preference_pairs",     # RLHF/DPO pair construction
 ]
 
 
