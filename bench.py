@@ -192,6 +192,8 @@ HEADLINE = [
     "ml_lift_gains",            # cumulative-gains / lift table
     "a_ddsketch_log2",          # log2-bucket mergeable quantile sketch
     "llm_preference_pairs",     # RLHF/DPO pair construction
+    "llm_fim_transform",        # fill-in-middle PSM reorder
+    "ml_target_encoding_loo",   # leakage-guarded target encoding
 ]
 
 
