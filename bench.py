@@ -194,6 +194,8 @@ HEADLINE = [
     "llm_preference_pairs",     # RLHF/DPO pair construction
     "llm_fim_transform",        # fill-in-middle PSM reorder
     "ml_target_encoding_loo",   # leakage-guarded target encoding
+    "w_bollinger_bands",        # rolling-moment bands, exact decimals
+    "a_runs_test",              # runs-count randomness z
 ]
 
 
