@@ -43,6 +43,9 @@ PROBES = [
     # round-5h: scalar product fold, wedge-join top-k
     "a_survival_km",
     "j_graph_2hop_recs",
+    # round-5o: rolling decimal moments, quadratic pair-sign aggregate
+    "w_bollinger_bands",
+    "a_mann_kendall_trend",
 ]
 
 
