@@ -1,0 +1,83 @@
+"""Round-5 continuation, batch 15: the skyline (Pareto-front) query.
+
+j_skyline_pareto finds the non-dominated parts on (price ↓, size ↑):
+a part is dominated if some other part is no more expensive AND no
+smaller, with at least one strict. The classic O(n²) dominance
+definition collapses to ONE sorted window pass for 2D: after ordering
+by exact price cents, a part is dominated iff the max size among
+STRICTLY cheaper parts reaches its size, or a same-price peer strictly
+exceeds it — two window frames (a RANGE frame ending 1 cent before
+current, and the same-price partition), no self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from banksy_spark.suite.registry import T, query
+
+
+@query(
+    "j_skyline_pareto",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_size,
+             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM part
+    ),
+    fr AS (
+      SELECT p_partkey, p_size, cents,
+             MAX(p_size) OVER (ORDER BY cents
+                               RANGE BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS best_cheaper,
+             MAX(p_size) OVER (PARTITION BY cents) AS best_same
+      FROM p
+    )
+    SELECT p_partkey, p_size,
+           CAST(cents AS DOUBLE) / 100e0 AS price
+    FROM fr
+    WHERE (best_cheaper IS NULL OR best_cheaper < p_size)
+      AND best_same = p_size
+    """,
+    note="Skyline (Pareto-front) query: parts non-dominated on "
+    "(cheaper, bigger). The O(n²) dominance test collapses to one "
+    "sorted pass in 2D: order by exact integer price cents, then "
+    "dominated ⟺ the running MAX size over the RANGE frame ending one "
+    "cent earlier reaches this size, OR a same-price peer is strictly "
+    "bigger (two frames on one sort — same-size same-price peers "
+    "survive together, per the standard skyline definition). No "
+    "self-join, exact integer comparisons. Scale: the global sort "
+    "decomposes into range-partitioned runs whose boundary prefixes "
+    "exchange only each run's running max (64 numbers, not rows) — "
+    "or the angular-partition parallel skyline for d>2.",
+)
+def j_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = T(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.expr(
+            "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    w_cheaper = (
+        Window.orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("cents")
+    fr = p.select(
+        "p_partkey",
+        "p_size",
+        "cents",
+        F.max("p_size").over(w_cheaper).alias("best_cheaper"),
+        F.max("p_size").over(w_same).alias("best_same"),
+    )
+    return fr.filter(
+        (F.col("best_cheaper").isNull() | (F.col("best_cheaper") < F.col("p_size")))
+        & (F.col("best_same") == F.col("p_size"))
+    ).select(
+        "p_partkey",
+        "p_size",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("price"),
+    )

@@ -196,6 +196,7 @@ HEADLINE = [
     "ml_target_encoding_loo",   # leakage-guarded target encoding
     "w_bollinger_bands",        # rolling-moment bands, exact decimals
     "a_runs_test",              # runs-count randomness z
+    "j_skyline_pareto",         # 2D skyline in one sorted pass
 ]
 
 
