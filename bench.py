@@ -197,6 +197,9 @@ HEADLINE = [
     "w_bollinger_bands",        # rolling-moment bands, exact decimals
     "a_runs_test",              # runs-count randomness z
     "j_skyline_pareto",         # 2D skyline in one sorted pass
+    "a_lorenz_curve_points",    # exact-decimal concentration curve
+    "a_price_index_laspeyres",  # integer-basket price indices
+    "a_xyz_classification",     # demand-CV variability classes
 ]
 
 
