@@ -200,6 +200,7 @@ HEADLINE = [
     "a_lorenz_curve_points",    # exact-decimal concentration curve
     "a_price_index_laspeyres",  # integer-basket price indices
     "a_xyz_classification",     # demand-CV variability classes
+    "a_wilson_ci",              # Wilson proportion intervals
 ]
 
 
