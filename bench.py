@@ -201,6 +201,8 @@ HEADLINE = [
     "a_price_index_laspeyres",  # integer-basket price indices
     "a_xyz_classification",     # demand-CV variability classes
     "a_wilson_ci",              # Wilson proportion intervals
+    "a_dau_mau_stickiness",     # daily vs 30-day distinct ratio
+    "dq_merkle_root",           # XOR digests + table root hash
 ]
 
 
