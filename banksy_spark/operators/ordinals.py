@@ -1,0 +1,381 @@
+"""Scale-safe global ordinals: row_number / NTILE / running aggregates
+over a TOTAL order, with every window partitioned.
+
+The naive form — ``row_number() OVER (ORDER BY k)`` with no PARTITION BY
+— is the canonical 100 TB scale-killer: Spark plans it as
+``Exchange SinglePartition`` + Sort + Window, i.e. ONE task sorts and
+numbers the whole table.  This module is the reusable two-phase
+decomposition (the same one ``o_global_rownum`` proved against its
+naive-form oracle, suite/round4.py):
+
+ 1. **Range-bucket** rows by the leading sort key.  Cut points come
+    from ``approxQuantile`` (a sampled scan — exactly what Spark's own
+    ``RangePartitioner``/``repartitionByRange`` does internally, but
+    with the boundaries held as *literals* so the bucket id is a pure
+    deterministic function of the value, never of a sampled shuffle;
+    rel_err only moves bucket BALANCE, never a result, so the default
+    stays loose — tightening it 10x costs ~3x sketch time for nothing).
+    A value that carries ≥1/n of the mass shows up as a *repeated*
+    quantile; the bucket id ``#{bounds < v} + #{bounds <= v}`` gives
+    every boundary value its own singleton odd bucket, so a hot value
+    can be further **sub-split by the secondary sort key** without
+    breaking global monotonicity (see ``tools/bench_skew.py`` for the
+    measured zipfian behaviour).
+ 2. **Per-bucket prefix aggregates** (counts, exact sums, maxima) are
+    collected to the driver — a bounded ≤ ``2·n_buckets+1``-row table,
+    the same driver-side scale class as the quantile call itself — and
+    rebroadcast as a literal offsets table.
+ 3. Each ordinal is then ``bucket_offset + intra-bucket window`` where
+    the window is ``PARTITION BY bucket`` — bounded partitions, no
+    single-partition exchange anywhere in the plan
+    (tests/test_ordinals.py asserts this on the physical plan).
+
+Exactness rules (registry.py docstring): running sums are only offered
+for DECIMAL / integral inputs, where per-bucket partial sums are
+associative-exact; a float running sum would change grouping order and
+drift ulps against a sequential oracle.  Running max/min are
+order-insensitive and allowed for any orderable type.
+
+Correctness is boundary-placement-invariant: ANY monotone cut points
+give the same ordinals (the quantile call only balances the buckets),
+so the sampled boundaries never make a result nondeterministic.
+
+Reference parity: the reference ranks/qcuts in pandas on one node
+(e.g. arbitrage_scanner.py's frame-wide orderings); this operator is
+the distributed form the suite's rank-family queries ride on.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from decimal import Decimal
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as SQLT
+
+_B = "_gob"  # primary bucket column (monotone in the leading sort key)
+_S = "_gosub"  # sub-bucket within a hot singleton bucket
+BUCKET_KEYS = [_B, _S]  # join/partition keys a Bucketing consumer uses
+
+
+def _parse_order(order: Sequence[str]) -> list[tuple[str, bool]]:
+    """``["-rev", "key"]`` → ``[("rev", False), ("key", True)]``."""
+    out = []
+    for o in order:
+        if o.startswith("-"):
+            out.append((o[1:], False))
+        else:
+            out.append((o, True))
+    return out
+
+
+def _sort_cols(parsed: list[tuple[str, bool]]) -> list[Column]:
+    return [F.col(c).asc() if asc else F.col(c).desc() for c, asc in parsed]
+
+
+def _bucket_expr(col: Column, bounds: list[float]) -> Column:
+    """Monotone bucket id: strict + non-strict boundary counts.
+
+    Interior values get even ids, each distinct boundary value gets its
+    own odd id (a singleton bucket) — which is what lets a hot value be
+    sub-split later.  NULL (none in the suite's sort keys) falls into
+    bucket 0 with the smallest values, matching Spark's NULLS FIRST.
+    """
+    if not bounds:
+        return F.lit(0)
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    v = col.cast("double")
+    s = F.size(F.filter(arr, lambda x: x < v))
+    t = F.size(F.filter(arr, lambda x: x <= v))
+    return s + t
+
+
+@dataclass
+class Bucketing:
+    """A range-bucketed frame plus its driver-side bucket directory."""
+
+    df: DataFrame  # input + _gob/_gosub columns
+    parsed: list[tuple[str, bool]]  # (col, asc) order spec
+    # bucket directory in GLOBAL sort order: [(gob, gosub, row_count,
+    # {agg_name: value})]
+    directory: list[tuple[int, int, int, dict]]
+    agg_fields: list[SQLT.StructField]  # schema of the extra aggregates
+
+    @property
+    def total_count(self) -> int:
+        return sum(r[2] for r in self.directory)
+
+    def agg_total(self, name: str):
+        vals = [r[3][name] for r in self.directory if r[3][name] is not None]
+        if not vals:
+            return None
+        return sum(vals[1:], vals[0])
+
+    def local_window(self) -> Window:
+        return Window.partitionBy(_B, _S).orderBy(*_sort_cols(self.parsed))
+
+
+def bucketize(
+    df: DataFrame,
+    order: Sequence[str],
+    *,
+    aggs: dict[str, Column] | None = None,
+    n_buckets: int = 64,
+    rel_err: float = 1e-2,
+    skew_split: bool = True,
+) -> Bucketing:
+    """Range-bucket ``df`` by the leading column of ``order``.
+
+    ``aggs`` are extra per-bucket aggregate expressions (exact sums,
+    maxima) whose per-bucket values land in the driver directory for
+    prefix-offset computation.  Two bounded driver actions run here:
+    the quantile sample and the ≤``2·n_buckets+1``-row directory
+    collect — the same class of driver work as ``repartitionByRange``'s
+    internal sampling, and the price of removing every
+    single-partition window from the downstream plan.
+    """
+    parsed = _parse_order(order)
+    c1, asc1 = parsed[0]
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    keyed = df.withColumn("_goval", F.col(c1).cast("double"))
+    raw = keyed.approxQuantile("_goval", probs, rel_err)
+    # repeated quantiles ⇒ that exact value holds ≥1/n of the rows
+    hot: list[float] = []
+    seen: set[float] = set()
+    for i, q in enumerate(raw):
+        if i + 1 < len(raw) and raw[i + 1] == q and q not in seen:
+            hot.append(q)
+            seen.add(q)
+    bounds = sorted(set(raw))
+    b = _bucket_expr(F.col(c1), bounds)
+
+    sub = F.lit(0)
+    if skew_split and hot and len(parsed) > 1:
+        c2, asc2 = parsed[1]
+        c2t = dict(df.dtypes).get(c2, "")
+        splittable = not c2t.startswith(("string", "binary", "array", "struct"))
+        if splittable:
+            # ONE job for every hot value's secondary cut points: a
+            # grouped percentile_approx over the hot slice (a per-value
+            # filter+quantile loop would cost a driver job per hot
+            # value — integer-valued keys easily have dozens)
+            kmax = 2 + max(sum(1 for q in raw if q == v) for v in hot)
+            sprobs = F.array(*[F.lit(i / kmax) for i in range(1, kmax)])
+            sub_rows = (
+                keyed.filter(F.col("_goval").isin(hot))
+                .groupBy("_goval")
+                .agg(
+                    F.percentile_approx(
+                        F.col(c2).cast("double"), sprobs, 1000
+                    ).alias("_gosb")
+                )
+                .collect()
+            )
+            for r in sub_rows:
+                sbounds = sorted({x for x in r["_gosb"] if x is not None})
+                if sbounds:
+                    arr = F.array(*[F.lit(float(x)) for x in sbounds])
+                    sid = F.size(F.filter(arr, lambda x: x <= F.col(c2).cast("double")))
+                    sub = F.when(
+                        F.col(c1).cast("double") == r["_goval"], sid
+                    ).otherwise(sub)
+
+    bucketed = df.withColumn(_B, b).withColumn(_S, sub)
+    aggs = aggs or {}
+    agg_exprs = [F.count(F.lit(1)).alias("_gocnt")] + [
+        e.alias(n) for n, e in aggs.items()
+    ]
+    bdir = bucketed.groupBy(_B, _S).agg(*agg_exprs)
+    rows = bdir.collect()
+    agg_fields = [f for f in bdir.schema.fields if f.name in aggs]
+
+    def _key(r):
+        gb = r[_B] if asc1 else -r[_B]
+        gs = r[_S]
+        if len(parsed) > 1 and not parsed[1][1]:
+            gs = -gs
+        return (gb, gs)
+
+    directory = [
+        (r[_B], r[_S], r["_gocnt"], {n: r[n] for n in aggs})
+        for r in sorted(rows, key=_key)
+    ]
+    return Bucketing(df=bucketed, parsed=parsed, directory=directory, agg_fields=agg_fields)
+
+
+def _widen(f: SQLT.StructField) -> SQLT.DataType:
+    """Prefix sums of per-bucket sums need headroom: widen decimals to
+    precision 38, integrals to long; everything else keeps its type."""
+    t = f.dataType
+    if isinstance(t, SQLT.DecimalType):
+        return SQLT.DecimalType(38, t.scale)
+    if isinstance(t, (SQLT.ByteType, SQLT.ShortType, SQLT.IntegerType, SQLT.LongType)):
+        return SQLT.LongType()
+    return t
+
+
+def offsets_table(
+    bk: Bucketing,
+    spark,
+    *,
+    count_offset: str | None = "_gooff",
+    sum_offsets: dict[str, str] | None = None,
+    max_prefix: dict[str, str] | None = None,
+) -> DataFrame:
+    """Broadcastable literal table keyed by (bucket, sub-bucket).
+
+    - ``count_offset``: rows strictly before the bucket (global rn base)
+    - ``sum_offsets``: {agg_name: out} exclusive prefix sum of an exact
+      per-bucket aggregate
+    - ``max_prefix``: {agg_name: out} max over all STRICTLY earlier
+      buckets (every value there is strictly below this bucket's range —
+      the skyline's cross-bucket dominance carrier), NULL for the first
+    """
+    sum_offsets = sum_offsets or {}
+    max_prefix = max_prefix or {}
+    fields = [
+        SQLT.StructField(_B, SQLT.IntegerType(), False),
+        SQLT.StructField(_S, SQLT.IntegerType(), False),
+    ]
+    by_name = {f.name: f for f in bk.agg_fields}
+    if count_offset:
+        fields.append(SQLT.StructField(count_offset, SQLT.LongType(), False))
+    for n, out in sum_offsets.items():
+        fields.append(SQLT.StructField(out, _widen(by_name[n]), True))
+    for n, out in max_prefix.items():
+        fields.append(SQLT.StructField(out, by_name[n].dataType, True))
+
+    out_rows = []
+    run_cnt = 0
+    run_sum: dict[str, object] = {n: None for n in sum_offsets}
+    run_max: dict[str, object] = {n: None for n in max_prefix}
+    for gb, gs, cnt, avals in bk.directory:
+        row = [gb, gs]
+        if count_offset:
+            row.append(run_cnt)
+        for n in sum_offsets:
+            row.append(run_sum[n])
+        for n in max_prefix:
+            row.append(run_max[n])
+        out_rows.append(tuple(row))
+        run_cnt += cnt
+        for n in sum_offsets:
+            v = avals[n]
+            if v is not None:
+                run_sum[n] = v if run_sum[n] is None else run_sum[n] + v
+        for n in max_prefix:
+            v = avals[n]
+            if v is not None:
+                run_max[n] = v if run_max[n] is None else max(run_max[n], v)
+    # exclusive prefix: a None sum offset means "zero so far"
+    zero = {n: Decimal(0) if isinstance(_widen(by_name[n]), SQLT.DecimalType) else 0
+            for n in sum_offsets}
+    fixed = []
+    for r in out_rows:
+        r = list(r)
+        base = 2 + (1 if count_offset else 0)
+        for i, n in enumerate(sum_offsets):
+            if r[base + i] is None:
+                r[base + i] = zero[n]
+        fixed.append(tuple(r))
+    return F.broadcast(spark.createDataFrame(fixed, SQLT.StructType(fields)))
+
+
+def ntile_expr(rn: Column, total: int, n: int) -> Column:
+    """Standard NTILE from a global row number: the first ``total % n``
+    tiles take ``total//n + 1`` rows.  Integer arithmetic only (the
+    doubles stay exact far beyond 2^40 rows, but DIV avoids the
+    question entirely)."""
+    if total <= 0:
+        return F.lit(None).cast("int")
+    q, r = divmod(total, n)
+    if q == 0:
+        return rn.cast("int")
+    cut = (q + 1) * r
+    lo = F.floor((rn - 1) / F.lit(q + 1)).cast("int") + 1
+    hi = F.lit(r) + F.floor((rn - 1 - cut) / F.lit(q)).cast("int") + 1
+    return F.when(rn <= cut, lo).otherwise(hi)
+
+
+def global_ordinals(
+    df: DataFrame,
+    order: Sequence[str],
+    spark=None,
+    *,
+    row_number: str | None = None,
+    ntile: tuple[int, str] | None = None,
+    cumsum: Sequence[tuple[str, str]] = (),
+    total_count: str | None = None,
+    totals: Sequence[tuple[str, str]] = (),
+    n_buckets: int = 64,
+    rel_err: float = 1e-2,
+    skew_split: bool = True,
+) -> DataFrame:
+    """Attach globally-ordered measures, every window partitioned.
+
+    - ``order``: sort spec, ``"-col"`` for DESC; the leading column
+      drives the range bucketing and must cast monotonically to double
+      (numeric / date / timestamp).
+    - ``row_number``: output column for the global 1-based row number.
+    - ``ntile=(n, out)``: global NTILE(n) on the same order.
+    - ``cumsum=[(value_col, out), ...]``: inclusive running sum; the
+      value column must be DECIMAL or integral (exactness rule above).
+    - ``total_count`` / ``totals=[(value_col, out), ...]``: grand count
+      / grand sums attached as literals (no ``OVER ()`` window).
+    """
+    if spark is None:
+        spark = df.sparkSession
+    cumsum = list(cumsum)
+    totals = list(totals)
+    for vc, _ in list(cumsum) + list(totals):
+        t = dict(df.dtypes)[vc]
+        if not (t.startswith("decimal") or t in ("int", "bigint", "smallint", "tinyint")):
+            raise TypeError(
+                f"running/grand sum over non-exact type {t} ({vc}): "
+                "per-bucket regrouping would drift ulps vs a sequential "
+                "oracle — cast to DECIMAL first"
+            )
+    aggs = {f"_gosum_{vc}": F.sum(vc) for vc in {v for v, _ in cumsum + totals}}
+    bk = bucketize(
+        df, order, aggs=aggs, n_buckets=n_buckets, rel_err=rel_err,
+        skew_split=skew_split,
+    )
+    need_rn = row_number or ntile
+    off = offsets_table(
+        bk,
+        spark,
+        count_offset="_gooff" if need_rn else None,
+        sum_offsets={f"_gosum_{vc}": f"_gooffs_{vc}" for vc, _ in cumsum},
+    )
+    out = bk.df.join(off, [_B, _S])
+    w = bk.local_window()
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rn_name = row_number or ("_gorn" if ntile else None)
+    if rn_name:
+        out = out.withColumn(rn_name, F.col("_gooff") + F.row_number().over(w))
+    if ntile:
+        n, tname = ntile
+        out = out.withColumn(tname, ntile_expr(F.col(rn_name), bk.total_count, n))
+    for vc, oname in cumsum:
+        out = out.withColumn(
+            oname, F.col(f"_gooffs_{vc}") + F.sum(vc).over(wrun)
+        )
+    if total_count:
+        out = out.withColumn(total_count, F.lit(bk.total_count))
+    for vc, oname in totals:
+        tot = bk.agg_total(f"_gosum_{vc}")
+        lit = F.lit(tot)
+        if isinstance(tot, Decimal):
+            # pin the literal's scale to the input sum's scale so the
+            # string form (and thus the VARCHAR→DOUBLE parity route)
+            # matches the oracle's SUM() OVER () rendering
+            scale = dict(df.dtypes)[vc]
+            s = int(scale.split(",")[1].rstrip(")")) if "," in scale else 0
+            lit = F.lit(str(tot)).cast(f"decimal(38,{s})")
+        out = out.withColumn(oname, lit)
+    drop = [_B, _S] + [c for c in out.columns if c.startswith("_goo")]
+    if ntile and not row_number:
+        drop.append("_gorn")
+    return out.drop(*drop)

@@ -41,29 +41,28 @@ from banksy_spark.suite.registry import T, query
     note="ABC inventory classification: parts ranked by exact DECIMAL "
     "revenue, class A while the running share stays within 80%, B to 95%, "
     "C after — both thresholds cross-multiplied so classification never "
-    "touches a float. The global ordered window runs over the POST-agg "
-    "part table (|parts| rows, dimension-sized); at fact-table scale the "
-    "swap is the suite's bucketed global row-number machinery. Tie-break "
-    "on partkey pins boundary assignment. Scale: one map-side-combinable "
-    "agg over lineitem; the window input is ~10^5 rows even at 100 TB of "
-    "facts; 3 output rows.",
+    "touches a float. The running-revenue share rides operators/"
+    "ordinals.py: per-bucket exact DECIMAL partial sums prefix-offset "
+    "the intra-bucket running sum (every window PARTITION BY bucket) "
+    "and the grand total attaches as a literal — no single-partition "
+    "window even though the input is only |parts| rows, so the same "
+    "query shape survives a fact-grain key. Tie-break on partkey pins "
+    "boundary assignment. Scale: one map-side-combinable agg over "
+    "lineitem; 3 output rows.",
 )
 def a_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.operators.ordinals import global_ordinals
+
     li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
-    )
-    wo = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = rev.select(
-        "rev",
-        F.sum("rev").over(wo).alias("cum"),
-        F.sum("rev").over(wall).alias("tot"),
-    )
+    ).localCheckpoint(eager=False)  # sampled + counted + ranked: agg once
+    ranked = global_ordinals(
+        rev,
+        ["-rev", "l_partkey"],
+        cumsum=[("rev", "cum")],
+        totals=[("rev", "tot")],
+    ).select("rev", "cum", "tot")
     abc = (
         F.when(F.col("cum") * 5 <= F.col("tot") * 4, "A")
         .when(F.col("cum") * 20 <= F.col("tot") * 19, "B")
@@ -520,13 +519,17 @@ def a_dow_hour_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tie-break, which is what makes NTILE deterministic (ties at a "
     "quintile boundary otherwise land arbitrarily, a known cross-engine "
     "hash flake). Output is the scored-cell census plus the classic "
-    "champion/at-risk/new labeling. Scale: one orders aggregate; the "
-    "three global NTILEs run over the |customers| table — at true scale "
-    "the swap is score-by-percentile-bounds (broadcast the 4 cut points "
-    "from the exact-rank machinery) instead of a global sort; same "
-    "semantics, noted not substituted.",
+    "champion/at-risk/new labeling. Scale: one orders aggregate; each "
+    "of the three quintile scores rides operators/ordinals.py — "
+    "range-bucketed exact global row number + integer tile arithmetic, "
+    "every window PARTITION BY bucket (the chained calls re-sort the "
+    "|customers| frame three times, same sort count as three NTILEs, "
+    "but none through a single partition; on a cluster you'd persist "
+    "the customer aggregate across the three bucketings).",
 )
 def a_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.operators.ordinals import global_ordinals
+
     o = T(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.datediff(
@@ -536,14 +539,19 @@ def a_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
     )
-    r = F.ntile(5).over(Window.orderBy("recency_days", "o_custkey"))
-    f = F.ntile(5).over(
-        Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    # the three chained bucketings each sample + count their input:
+    # materialize the customer aggregate once (the cluster-scale move is
+    # the same — persist the dimension-grain frame, not re-agg orders 9×)
+    cust = cust.localCheckpoint(eager=False)
+    scored = global_ordinals(
+        cust, ["recency_days", "o_custkey"], ntile=(5, "r_score")
     )
-    m = F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
-    scored = cust.select(
-        r.alias("r_score"), f.alias("f_score"), m.alias("m_score")
+    scored = global_ordinals(
+        scored, ["-frequency", "o_custkey"], ntile=(5, "f_score")
     )
+    scored = global_ordinals(
+        scored, ["-monetary", "o_custkey"], ntile=(5, "m_score")
+    ).select("r_score", "f_score", "m_score")
     seg = (
         F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")
         .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "at_risk")

@@ -441,10 +441,12 @@ def a_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quarter. Returnflag filters lineitem and the quarter filters orders "
     "BEFORE the one orderkey shuffle; customer+nation broadcast onto the "
     "aggregate. The top-k is deterministic (revenue DESC, custkey "
-    "tiebreak) — Spark takes it as a rank-window over the tiny "
-    "per-customer aggregate, DuckDB as ORDER BY/LIMIT; both see the same "
-    "exact decimal revenue so the selected set is identical. Scale: "
-    "aggregate first (customers ≪ lineitems), top-k never sorts the fact.",
+    "tiebreak) — Spark plans orderBy().limit(20) as "
+    "TakeOrderedAndProject (per-partition top-20 heaps, one 20-row "
+    "merge — plan-asserted in test_plans.py), DuckDB as ORDER BY/"
+    "LIMIT; both see the same exact decimal revenue so the selected "
+    "set is identical. Scale: aggregate first (customers ≪ lineitems), "
+    "top-k never sorts the fact and never ranks through one partition.",
 )
 def j_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
@@ -465,10 +467,9 @@ def j_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
         .agg(F.sum(_rev_spark()).alias("rev"))
     )
-    w = Window.orderBy(F.col("rev").desc(), F.col("c_custkey"))
     return (
-        agg.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= 20)
+        agg.orderBy(F.col("rev").desc(), F.col("c_custkey"))
+        .limit(20)
         .select(
             "c_custkey", "c_name", "n_name",
             _dd("rev").alias("revenue"), "c_acctbal",

@@ -141,19 +141,24 @@ def llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "heaviest key is deterministic), the heaviest key itself, and the "
     "max/mean skew ratio — the number that decides between a plain "
     "shuffle, AQE skew split, or the salted operators (operators/"
-    "skew.py). Shape: one exchange to count keys, then a count-keyed "
-    "sort over |distinct keys| rows (dimension-sized, not fact-sized); "
-    "the single-row output joins nothing.",
+    "skew.py). Shape: one exchange to count keys, then the rank over "
+    "|distinct keys| rows rides operators/ordinals.py — key counts "
+    "repeat heavily (most orders have 1-7 lines), so the hot count "
+    "values become singleton buckets sub-split by key: exactly the "
+    "skew-proof shape a key-cardinality diagnostic itself needs. Total "
+    "key count attaches as a literal; no single-partition window.",
 )
 def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.operators.ordinals import global_ordinals
+
     kc = (
         T(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_orderkey").alias("key"))
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)  # sampled + counted + ranked: agg once
     )
-    w = Window.orderBy("cnt", "key")
-    ranked = kc.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    ranked = global_ordinals(
+        kc, ["cnt", "key"], row_number="rn", total_count="n"
     )
     n, rn, cnt = F.col("n"), F.col("rn"), F.col("cnt")
     return ranked.agg(

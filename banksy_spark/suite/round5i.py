@@ -55,21 +55,23 @@ from banksy_spark.suite.registry import T, query
     "the Mann-Whitney U rank statistic: ties get the average rank, held "
     "as the INTEGER doubled form min_rank+max_rank over the tie group, "
     "so the whole statistic stays integer until the single final "
-    "division — exact parity, no float rank accumulation. One sort by "
-    "score; at 100 TB the global rank decomposes exactly like "
-    "o_global_rownum (bucketed two-phase ordinals) and the tie-group "
-    "min/max are per-score aggregates on the same exchange. The "
+    "division — exact parity, no float rank accumulation. The global "
+    "rank rides operators/ordinals.py (range-bucketed two-phase "
+    "decomposition: every window PARTITION BY bucket, no "
+    "single-partition exchange — plan-asserted in test_plans.py) and "
+    "the tie-group min/max are per-score partitioned windows. The "
     "evaluation primitive for every ranking model the suite trains "
     "(quality classifier, langid, DSIR weights).",
 )
 def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.operators.ordinals import global_ordinals
+
     scored = T(spark, sf_dir, "orders").select(
         F.col("o_totalprice").alias("score"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
     )
-    w_rank = Window.orderBy("score", "y")
     w_tie = Window.partitionBy("score")
-    ranked = scored.withColumn("rn", F.row_number().over(w_rank)).select(
+    ranked = global_ordinals(scored, ["score", "y"], row_number="rn").select(
         "y",
         F.min("rn").over(w_tie).alias("min_rn"),
         F.max("rn").over(w_tie).alias("max_rn"),

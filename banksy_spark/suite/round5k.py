@@ -42,17 +42,23 @@ from banksy_spark.suite.registry import T, query
     "are identical across engines), per-bin mean normalized score vs "
     "observed positive rate — a calibrated model's bins sit on the "
     "diagonal. The score mean routes through an exact DECIMAL sum; the "
-    "positive rate is integer/integer. Scale: NTILE over a global "
-    "order decomposes like o_global_rownum (bucketed two-phase "
-    "ordinals); per-bin aggregates are one tiny exchange.",
+    "positive rate is integer/integer. Scale: the NTILE rides "
+    "operators/ordinals.py — range-bucketed global row number + "
+    "integer tile arithmetic, every window PARTITION BY bucket "
+    "(no single-partition exchange, plan-asserted); per-bin "
+    "aggregates are one tiny exchange.",
 )
 def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = T(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    scored = o.select(
+    from banksy_spark.operators.ordinals import global_ordinals
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        "o_orderkey",
         F.col("o_totalprice").cast("decimal(18,2)").alias("price_d"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
-        F.ntile(10).over(w).alias("bin"),
+    )
+    scored = global_ordinals(
+        o, ["o_totalprice", "o_orderkey"], ntile=(10, "bin")
     )
     return scored.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
@@ -102,15 +108,21 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "deciles capture (gain) and the ratio over random targeting "
     "(lift) — the campaign-targeting artifact next to ROC-AUC. All "
     "counts integer; each output row does two divisions. The running "
-    "windows run over 10 rows, cost-free; the NTILE decomposes like "
-    "ml_calibration_bins' at scale.",
+    "windows run over the 10 POST-AGG decile rows (bounded by "
+    "construction — allowlisted in tools/plan_audit.py); the NTILE "
+    "itself rides operators/ordinals.py with a desc-ordered range "
+    "bucketing, no single-partition window over the fact.",
 )
 def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = T(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
-    scored = o.select(
+    from banksy_spark.operators.ordinals import global_ordinals
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        "o_orderkey",
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
-        F.ntile(10).over(w).alias("decile"),
+    )
+    scored = global_ordinals(
+        o, ["-o_totalprice", "o_orderkey"], ntile=(10, "decile")
     )
     per = scored.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")

@@ -48,12 +48,21 @@ from banksy_spark.suite.registry import T, query
     "cent earlier reaches this size, OR a same-price peer is strictly "
     "bigger (two frames on one sort — same-size same-price peers "
     "survive together, per the standard skyline definition). No "
-    "self-join, exact integer comparisons. Scale: the global sort "
-    "decomposes into range-partitioned runs whose boundary prefixes "
-    "exchange only each run's running max (64 numbers, not rows) — "
-    "or the angular-partition parallel skyline for d>2.",
+    "self-join, exact integer comparisons. Scale: the sorted pass IS "
+    "range-partitioned (operators/ordinals.py bucketize on cents — "
+    "equal prices always share a bucket), the intra-bucket running max "
+    "runs PARTITION BY bucket, and the cross-bucket carry is each "
+    "bucket's max size prefix-folded on the driver and rebroadcast — "
+    "64 numbers exchanged, not rows, no single-partition stage "
+    "(plan-asserted; the angular-partition form is the d>2 extension).",
 )
 def j_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.operators.ordinals import (
+        BUCKET_KEYS,
+        bucketize,
+        offsets_table,
+    )
+
     p = T(spark, sf_dir, "part").select(
         "p_partkey",
         "p_size",
@@ -61,16 +70,28 @@ def j_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
         ).alias("cents"),
     )
+    # bucket on cents ONLY (no tiebreak → no hot-value sub-split):
+    # every bucket boundary then separates strictly-different prices,
+    # so "max over strictly earlier buckets" == "max over some strictly
+    # cheaper parts" — the dominance carry stays exact
+    bk = bucketize(p, ["cents"], aggs={"maxsz": F.max("p_size")}, skew_split=False)
+    off = offsets_table(
+        bk, spark, count_offset=None, max_prefix={"maxsz": "pre_max"}
+    )
+    d = bk.df.join(off, BUCKET_KEYS)
     w_cheaper = (
-        Window.orderBy("cents")
+        Window.partitionBy(*BUCKET_KEYS)
+        .orderBy("cents")
         .rangeBetween(Window.unboundedPreceding, -1)
     )
     w_same = Window.partitionBy("cents")
-    fr = p.select(
+    fr = d.select(
         "p_partkey",
         "p_size",
         "cents",
-        F.max("p_size").over(w_cheaper).alias("best_cheaper"),
+        F.greatest(
+            F.max("p_size").over(w_cheaper), F.col("pre_max")
+        ).alias("best_cheaper"),
         F.max("p_size").over(w_same).alias("best_same"),
     )
     return fr.filter(

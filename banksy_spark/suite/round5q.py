@@ -65,25 +65,29 @@ def _dd(c: F.Column) -> F.Column:
     "vs population share sampled at each decile boundary — the plot "
     "behind a_gini_concentration's scalar. Cumulative sums stay exact "
     "DECIMAL until the two final share divisions; the decile bucket is "
-    "integer ceiling arithmetic ((10·rk+n−1) div n). One rank exchange "
-    "over |customers| (two-phase ordinal decomposition at scale), "
+    "integer ceiling arithmetic ((10·rk+n−1) div n). Rank AND running "
+    "sum ride one operators/ordinals.py bucketing (exact per-bucket "
+    "DECIMAL partial sums as prefix offsets, count/total attached as "
+    "literals — no OVER () window, no single-partition exchange), "
     "10-row output.",
 )
 def a_lorenz_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.operators.ordinals import global_ordinals
+
     rev = (
         T(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r"))
+        .localCheckpoint(eager=False)  # sampled + counted + ranked: agg once
     )
-    w_rank = Window.orderBy("r", "o_custkey")
-    w_all = Window.partitionBy()
-    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked = rev.select(
-        F.row_number().over(w_rank).alias("rk"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
-        F.sum("r").over(w_all).alias("total"),
-        F.sum("r").over(w_cum).alias("cum"),
-    )
+    ranked = global_ordinals(
+        rev,
+        ["r", "o_custkey"],
+        row_number="rk",
+        cumsum=[("r", "cum")],
+        total_count="n",
+        totals=[("r", "total")],
+    ).select("rk", "n", "total", "cum")
     pts = ranked.select(
         F.floor((10 * F.col("rk") + F.col("n") - 1) / F.col("n")).alias("decile"),
         (F.col("rk").cast("double") / F.col("n")).alias("pop_share"),

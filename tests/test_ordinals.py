@@ -1,0 +1,159 @@
+"""operators/ordinals.py: the bucketed global-ordinal decomposition
+must be bit-identical to the naive single-partition window forms, and
+its physical plan must contain NO single-partition exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from banksy_spark.operators.ordinals import global_ordinals, ntile_expr
+from tests.conftest import SF_ORACLE
+
+
+def _orders(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/orders.parquet").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+
+
+def test_row_number_matches_naive_asc(spark):
+    o = _orders(spark)
+    got = global_ordinals(
+        o, ["price", "o_orderkey"], row_number="rn", n_buckets=16
+    ).select("o_orderkey", "rn")
+    w = Window.orderBy("price", "o_orderkey")
+    want = o.select("o_orderkey", F.row_number().over(w).alias("rn"))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_row_number_matches_naive_desc_mixed(spark):
+    o = _orders(spark)
+    got = global_ordinals(
+        o, ["-price", "o_orderkey"], row_number="rn", n_buckets=16
+    ).select("o_orderkey", "rn")
+    w = Window.orderBy(F.col("price").desc(), "o_orderkey")
+    want = o.select("o_orderkey", F.row_number().over(w).alias("rn"))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_ntile_matches_spark_ntile(spark):
+    o = _orders(spark)
+    for n in (5, 10):
+        got = global_ordinals(
+            o, ["price", "o_orderkey"], ntile=(n, "tile"), n_buckets=16
+        ).select("o_orderkey", "tile")
+        w = Window.orderBy("price", "o_orderkey")
+        want = o.select("o_orderkey", F.ntile(n).over(w).alias("tile"))
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+
+def test_ntile_small_n_rows(spark):
+    # total < n: each of the first `total` tiles gets exactly one row
+    df = spark.createDataFrame([(i,) for i in range(4)], "v int")
+    got = global_ordinals(df, ["v"], ntile=(10, "t"), n_buckets=4)
+    assert sorted(r["t"] for r in got.collect()) == [1, 2, 3, 4]
+
+
+def test_cumsum_and_totals_exact(spark):
+    o = _orders(spark)
+    got = global_ordinals(
+        o,
+        ["price", "o_orderkey"],
+        cumsum=[("price", "cum")],
+        total_count="n",
+        totals=[("price", "tot")],
+        n_buckets=16,
+    ).select("o_orderkey", "cum", "n", "tot")
+    w = Window.orderBy("price", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    want = o.select(
+        "o_orderkey",
+        F.sum("price").over(wrun).alias("cum"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("price").over(wall).alias("tot"),
+    )
+    g = {r["o_orderkey"]: r for r in got.collect()}
+    for r in want.collect():
+        m = g[r["o_orderkey"]]
+        assert m["cum"] == r["cum"]
+        assert m["n"] == r["n"]
+        assert m["tot"] == r["tot"]
+
+
+def test_cumsum_rejects_double(spark):
+    df = spark.createDataFrame([(1.0,)], "v double")
+    import pytest
+
+    with pytest.raises(TypeError):
+        global_ordinals(df, ["v"], cumsum=[("v", "c")])
+
+
+def test_hot_value_sub_splits_buckets(spark):
+    # one value carries 60% of the rows; with skew_split the decomposed
+    # ordinals must still match the naive form AND spread the hot value
+    # across >1 (bucket, sub) group
+    rows = [(5.0, i) for i in range(6000)] + [
+        (float(i % 97), 10_000 + i) for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "v double, k bigint").repartition(8)
+    from banksy_spark.operators.ordinals import bucketize
+
+    bk = bucketize(df, ["v", "k"], n_buckets=16)
+    hot_groups = [
+        (gb, gs) for gb, gs, cnt, _ in bk.directory if cnt > 0
+    ]
+    hot_cnt_max = max(cnt for _, _, cnt, _ in bk.directory)
+    assert hot_cnt_max < 6000, "hot value was not sub-split"
+    got = global_ordinals(df, ["v", "k"], row_number="rn", n_buckets=16).select(
+        "k", "rn"
+    )
+    w = Window.orderBy("v", "k")
+    want = df.select("k", F.row_number().over(w).alias("rn"))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert len(hot_groups) >= 16
+
+
+def test_no_single_partition_exchange_in_plan(spark):
+    o = _orders(spark)
+    got = global_ordinals(
+        o,
+        ["price", "o_orderkey"],
+        row_number="rn",
+        ntile=(10, "tile"),
+        cumsum=[("price", "cum")],
+        total_count="n",
+        n_buckets=16,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan  # the partitioned intra-bucket window
+    assert "BroadcastHashJoin" in plan  # literal offsets table broadcast
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "v double, k bigint")
+    got = global_ordinals(df, ["v", "k"], row_number="rn", ntile=(4, "t"))
+    assert got.count() == 0
+
+
+def test_ntile_expr_formula():
+    # pure-python cross-check of the tile arithmetic against the spec:
+    # first total%n tiles get total//n+1 rows
+    import itertools
+
+    for total, n in [(10, 3), (7, 7), (100, 9), (5, 10)]:
+        q, r = divmod(total, n)
+        sizes = [(q + 1 if i < r else q) for i in range(n)]
+        expect = list(
+            itertools.chain.from_iterable(
+                [i + 1] * s for i, s in enumerate(sizes)
+            )
+        )
+        expect = [t for t in expect if t]
+        assert len(expect) == total

@@ -191,3 +191,52 @@ def test_temporal_lookup_has_no_inequality_join(spark):
         "BroadcastHashJoin"
     ) == 1
     assert "Window" in plan
+
+
+# --- global-window (single-partition) elimination: round-6 contract --------
+
+_GLOBAL_WINDOW_RE = re.compile(
+    r"Window[^\n]*\n[^\n]*Sort[^\n]*\n[^\n]*Exchange SinglePartition"
+)
+
+# the nine queries the round-5 verdict flagged as single-partition
+# global windows, now riding operators/ordinals.py (or, for q10, a
+# TakeOrderedAndProject top-k)
+_ORDINAL_REWRITES = [
+    "ml_roc_auc",
+    "ml_calibration_bins",
+    "a_rfm_segmentation",
+    "a_abc_classification",
+    "a_lorenz_curve_points",
+    "dq_skew_report",
+    "j_skyline_pareto",
+    "j_q10_returned_items",
+]
+
+
+def _global_windows(plan: str) -> int:
+    return len(_GLOBAL_WINDOW_RE.findall(plan))
+
+
+def test_no_global_window_in_rank_family(spark):
+    for name in _ORDINAL_REWRITES:
+        plan = _plan(spark, name)
+        assert _global_windows(plan) == 0, (
+            f"{name}: single-partition window re-entered the plan"
+        )
+
+
+def test_lift_gains_global_windows_only_post_agg(spark):
+    # the fact-grain NTILE is decomposed; the only global windows left
+    # run over the 10 POST-AGGREGATION decile rows (bounded by
+    # construction, allowlisted in tools/plan_audit.py)
+    plan = _plan(spark, "ml_lift_gains")
+    assert _global_windows(plan) <= 2
+    # and the aggregate producing those 10 rows sits below them
+    assert "HashAggregate" in plan
+
+
+def test_q10_top_k_is_take_ordered(spark):
+    plan = _plan(spark, "j_q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
