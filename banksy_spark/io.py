@@ -117,7 +117,12 @@ def write_partition_overwrite(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
-def upsert_batch(df: DataFrame, path: str, key_cols: list[str]) -> None:
+def upsert_batch(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    version_col: str | None = None,
+) -> None:
     """Idempotent keyed upsert (last-write-wins merge): rows in ``df``
     replace same-key rows at ``path``; other rows survive. Because the
     result is a pure function of (current state, batch contents),
@@ -127,18 +132,49 @@ def upsert_batch(df: DataFrame, path: str, key_cols: list[str]) -> None:
     ``q.writeStream.foreachBatch(lambda b, _id: upsert_batch(b, path,
     keys))``.
 
+    ``version_col``: when a batch can carry MULTIPLE rows per key, pass
+    the column naming the winner — the highest version per key survives
+    (per-key partitioned window, deterministic when versions are unique
+    within a key). Without it, the batch must hold at most one row per
+    key or the merged table keeps all of them.
+
+    Durability: existence is probed and the swap performed through the
+    Hadoop FileSystem API of ``path`` (works on HDFS/S3A/local alike —
+    a driver-local ``os.path`` check would silently truncate remote
+    tables). The merge writes to a staging directory first, then
+    delete+rename: the crash window shrinks to the two metadata ops
+    (atomic on HDFS; object stores narrow it further with committers).
+    A table format (Delta/Iceberg MERGE) replaces the whole
+    read-union-rewrite with a transactional merge, same semantics.
+
     Scale: the anti-join keys on ``key_cols`` (broadcastable for a
-    micro-batch-sized ``df``); a table-format sink (Delta/Iceberg
-    MERGE) replaces the read-union-rewrite with a transactional merge,
-    same semantics."""
-    import os
+    micro-batch-sized ``df``)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
 
     spark = df.sparkSession
+    if version_col:
+        w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
+        df = (
+            df.withColumn("_ub_rn", F.row_number().over(w))
+            .filter(F.col("_ub_rn") == 1)
+            .drop("_ub_rn")
+        )
     df = df.localCheckpoint(eager=True)  # sever lineage from `path` pre-read
-    if os.path.exists(path):
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    target = jvm.org.apache.hadoop.fs.Path(path)
+    fs = target.getFileSystem(hconf)
+    if fs.exists(target):
         current = spark.read.parquet(path)
         keep = current.join(df.select(*key_cols).distinct(), key_cols, "left_anti")
-        merged = keep.unionByName(df).localCheckpoint(eager=True)
+        merged = keep.unionByName(df)
     else:
         merged = df
-    merged.write.mode("overwrite").parquet(path)
+    staging = jvm.org.apache.hadoop.fs.Path(path + "__staging__")
+    fs.delete(staging, True)
+    merged.write.mode("overwrite").parquet(path + "__staging__")
+    fs.delete(target, True)
+    if not fs.rename(staging, target):
+        raise IOError(f"upsert_batch: rename {staging} -> {target} failed")

@@ -349,7 +349,7 @@ def ancestors_converged(
         )
     raise RuntimeError(
         f"ancestors_converged did not resolve in {max_iter} rounds — "
-        "either a cycle in the parent relation or depth > 2^{max_iter}"
+        f"either a cycle in the parent relation or depth > 2^{max_iter}"
     )
 
 
@@ -409,5 +409,5 @@ def weighted_rollup_converged(
         )
     raise RuntimeError(
         f"weighted_rollup_converged did not resolve in {max_iter} rounds — "
-        "either a cycle in the parent relation or depth > 2^{max_iter}"
+        f"either a cycle in the parent relation or depth > 2^{max_iter}"
     )

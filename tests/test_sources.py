@@ -327,3 +327,30 @@ def test_upsert_batch_is_idempotent_under_replay(spark, tmp_path):
     upsert_batch(b2, p, ["id"])
     got2 = {(r["id"], r["v"]) for r in spark.read.parquet(p).collect()}
     assert got2 == want
+
+
+def test_upsert_batch_version_col_picks_deterministic_winner(spark, tmp_path):
+    """A batch with duplicate keys + version_col keeps exactly the
+    highest-version row per key (the documented last-write-wins
+    contract), and no staging directory is left behind."""
+    import os
+
+    from banksy_spark.io import upsert_batch
+
+    p = str(tmp_path / "vstate")
+    b = spark.createDataFrame(
+        [(1, "old", 1), (1, "new", 2), (2, "only", 7)],
+        "id int, v string, ver int",
+    )
+    upsert_batch(b, p, ["id"], version_col="ver")
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(p).collect()}
+    assert got == {(1, "new"), (2, "only")}
+    # merge against existing state, replayed twice — still converges
+    b2 = spark.createDataFrame(
+        [(2, "upd", 8), (2, "stale", 3)], "id int, v string, ver int"
+    )
+    for _ in range(2):
+        upsert_batch(b2, p, ["id"], version_col="ver")
+        got = {(r["id"], r["v"]) for r in spark.read.parquet(p).collect()}
+        assert got == {(1, "new"), (2, "upd")}
+    assert not os.path.exists(p + "__staging__")
