@@ -80,11 +80,127 @@ _MEDIA_SCHEMA = (
 )
 
 
+def _decode_wav(payload: bytes) -> dict:
+    """Stdlib WAV decode: header fields plus the mean absolute sample
+    level of the PCM payload (numpy over the raw frame buffer — real
+    signal math, no audio libs needed)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch, samp_w, rate, n_frames = (
+            w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()
+        )
+        raw = w.readframes(n_frames)
+    if samp_w == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif samp_w == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"WAV sample width {samp_w} not supported")
+    level = float(np.abs(x).mean()) if x.size else 0.0
+    return {
+        "kind": "audio", "width": rate, "height": n_ch,
+        "n_frames": n_frames, "mean_level": level,
+    }
+
+
+def _decode_ppm(payload: bytes) -> dict:
+    """Binary PPM (P6) decode: whitespace/comment-tolerant header parse,
+    then numpy over the RGB plane for the mean level."""
+    import numpy as np
+
+    pos, tokens = 0, []
+    while len(tokens) < 4:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(payload[start:pos])
+    pos += 1  # single whitespace after maxval
+    magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if magic != b"P6" or maxval > 255:
+        raise NotImplementedError("only 8-bit binary PPM (P6) supported")
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return {
+        "kind": "image", "width": w, "height": h, "n_frames": 1,
+        "mean_level": float(px.mean()) / maxval if px.size else 0.0,
+    }
+
+
+def _decode_bmp(payload: bytes) -> dict:
+    """Uncompressed 24-bit BMP decode: BITMAPINFOHEADER via struct,
+    4-byte row padding stripped with a numpy reshape."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise NotImplementedError("not a BMP stream")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_sz, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_sz < 40 or bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    rows = abs(h)
+    stride = (w * 3 + 3) & ~3
+    px = np.frombuffer(payload, dtype=np.uint8, count=stride * rows, offset=data_off)
+    px = px.reshape(rows, stride)[:, : w * 3]
+    return {
+        "kind": "image", "width": w, "height": rows, "n_frames": 1,
+        "mean_level": float(px.mean()) / 255.0 if px.size else 0.0,
+    }
+
+
 def decode_media_real(payload: bytes) -> dict:
-    """The real codec hook. Image/audio libraries are not available in
-    this container; a production deployment would decode here (PIL /
-    libav via a Pandas UDF over the same binary column)."""
-    raise NotImplementedError("media codecs not available in this environment")
+    """The real codec hook: container sniffing + pure-Python/numpy
+    decoders for the formats decodable without native libraries (WAV
+    via stdlib ``wave``, binary PPM, uncompressed 24-bit BMP — header
+    parse AND pixel/sample statistics, not fakes). Formats that
+    genuinely need native codecs in this container (JPEG/PNG/MP4/...)
+    still raise — a production deployment plugs PIL/libav into the same
+    dispatch, the Arrow plumbing above it is unchanged."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    raise NotImplementedError(
+        "media codec not available in this environment for this format"
+    )
+
+
+_DECODED_SCHEMA = (
+    "doc_id bigint, kind string, width bigint, height bigint, "
+    "n_frames bigint, mean_level double"
+)
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Real-decode stage over a binary ``payload`` column: the same
+    two-stage ``mapInPandas`` Arrow plumbing as ``fake_decode_media``,
+    but each batch row routes through ``decode_media_real``. The
+    per-payload Python loop is the codec itself (decoders are
+    numpy-vectorized internally); batches stream partition-by-partition
+    with no collect."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [decode_media_real(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(recs)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out[["doc_id", "kind", "width", "height", "n_frames", "mean_level"]]
+
+    return df.select("doc_id", "payload").mapInPandas(decode, _DECODED_SCHEMA)
 
 
 def fake_decode_media(df: DataFrame) -> DataFrame:
