@@ -48,5 +48,6 @@ from banksy_spark.suite import round5p  # noqa: E402,F401
 from banksy_spark.suite import round5q  # noqa: E402,F401
 from banksy_spark.suite import round5r  # noqa: E402,F401
 from banksy_spark.suite import round5s  # noqa: E402,F401
+from banksy_spark.suite import round6  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "query"]

@@ -203,6 +203,10 @@ HEADLINE = [
     "a_wilson_ci",              # Wilson proportion intervals
     "a_dau_mau_stickiness",     # daily vs 30-day distinct ratio
     "dq_merkle_root",           # XOR digests + table root hash
+    "o_global_ntile",           # shard id + running length, one bucketing
+    "ml_ks_statistic",          # integer cross-multiplied KS distance
+    "ml_pr_auc",                # average precision from global ranks
+    "a_trimmed_mean",           # exact-rank 5% trimmed mean
 ]
 
 

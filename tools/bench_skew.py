@@ -133,6 +133,92 @@ def main() -> None:
     )
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
+    # --- global-ordinal arms (VERDICT r6 item 7) ----------------------
+    # NTILE over (k, salt_src) with k zipfian: the naive form sorts all
+    # 40M rows through ONE task; the ordinal decomposition range-buckets
+    # on k, detects the hot value (~50% of rows) as a repeated quantile,
+    # and sub-splits it by the secondary key — max bucket share proves it.
+    from pyspark.sql import Window
+
+    from banksy_spark.operators.ordinals import bucketize, global_ordinals
+
+    # the naive arm routinely does NOT finish: one task sorts/spills all
+    # 40M ~100B rows. Cap it with a job-group cancel and report the
+    # bound — "didn't finish in N s" IS the measurement.
+    NAIVE_BUDGET_S = 240
+    import threading
+
+    sc = spark.sparkContext
+    naive_timed_out = False
+
+    def naive():
+        sc.setJobGroup("naive-ntile", "single-partition ntile arm", True)
+        try:
+            drain(
+                big.select(
+                    F.ntile(10)
+                    .over(Window.orderBy("k", "salt_src"))
+                    .alias("tile"),
+                    "payload",
+                )
+            )
+        finally:
+            sc.setJobGroup("", "")
+
+    timer = threading.Timer(
+        NAIVE_BUDGET_S, lambda: sc.cancelJobGroup("naive-ntile")
+    )
+    timer.start()
+    try:
+        results["ntile_naive_global_window"] = timed(naive)
+    except Exception:
+        naive_timed_out = True
+        results["ntile_naive_global_window"] = float(NAIVE_BUDGET_S)
+    finally:
+        timer.cancel()
+    results["ntile_ordinal_bucketed"] = timed(
+        lambda: drain(
+            global_ordinals(big, ["k", "salt_src"], ntile=(10, "tile")).select(
+                "tile", "payload"
+            )
+        )
+    )
+    bk = bucketize(big, ["k", "salt_src"], n_buckets=64)
+    max_share = max(c for _, _, c, _ in bk.directory) / N_BIG
+
+    # --- distributed skyline at fact scale (VERDICT r6 item 3) --------
+    # 40M (price=salt_src, size=v) points through the j_skyline_pareto
+    # shape: range-bucketed sorted pass + driver-folded prefix maxima.
+    # The executed plan must contain no single-partition stage.
+    from banksy_spark.operators.ordinals import offsets_table
+
+    def skyline():
+        pts = big.select(F.col("salt_src").alias("cents"), F.col("v"))
+        kb = bucketize(pts, ["cents"], aggs={"mx": F.max("v")}, skew_split=False)
+        off = offsets_table(
+            kb, spark, count_offset=None, max_prefix={"mx": "pre_max"}
+        )
+        d = kb.df.join(off, ["_gob", "_gosub"])
+        w_ch = (
+            Window.partitionBy("_gob", "_gosub")
+            .orderBy("cents")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_same = Window.partitionBy("cents")
+        fr = d.select(
+            "cents", "v",
+            F.greatest(F.max("v").over(w_ch), F.col("pre_max")).alias("bc"),
+            F.max("v").over(w_same).alias("bs"),
+        ).filter(
+            (F.col("bc").isNull() | (F.col("bc") < F.col("v")))
+            & (F.col("bs") == F.col("v"))
+        )
+        plan = fr._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan, "skyline plan regressed"
+        drain(fr)
+
+    results["skyline_40m_bucketed"] = timed(skyline)
+
     out = {
         "metric": "skew_bench",
         "n_big": N_BIG,
@@ -143,6 +229,13 @@ def main() -> None:
         "join_salt_speedup_vs_noaqe": round(
             results["join_unsalted_noaqe"] / results["join_salted_noaqe"], 2
         ),
+        "naive_ntile_timed_out_after_s": NAIVE_BUDGET_S if naive_timed_out else None,
+        "ordinal_speedup_vs_naive": round(
+            results["ntile_naive_global_window"]
+            / results["ntile_ordinal_bucketed"],
+            2,
+        ),
+        "ordinal_max_bucket_share": round(max_share, 4),
     }
     print(json.dumps(out))
 
