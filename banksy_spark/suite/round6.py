@@ -255,3 +255,65 @@ def a_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("trimmed_mean"),
     )
+
+
+# --- exact global weighted percentiles -------------------------------------
+
+
+@query(
+    "a_weighted_percentiles_global",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(l_quantity AS BIGINT) AS wt,
+             l_extendedprice AS v, l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    c AS (
+      SELECT v, wt,
+             SUM(wt) OVER (ORDER BY v, l_orderkey, l_linenumber, wt
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumw,
+             SUM(wt) OVER () AS tw
+      FROM w
+    )
+    SELECT MAX(tw) AS total_weight,
+           MAX(CASE WHEN 10 * cumw >= tw AND 10 * (cumw - wt) < tw
+                    THEN v END) AS p10,
+           MAX(CASE WHEN 2 * cumw >= tw AND 2 * (cumw - wt) < tw
+                    THEN v END) AS p50,
+           MAX(CASE WHEN 10 * cumw >= 9 * tw AND 10 * (cumw - wt) < 9 * tw
+                    THEN v END) AS p90
+    FROM c
+    """,
+    note="Exact GLOBAL weighted percentiles (price weighted by shipped "
+    "quantity) at fact-table grain: the crossing row for each quantile "
+    "is the first whose running weight reaches q*W — both conditions "
+    "cross-multiplied integers, so the selected rows are identical "
+    "across engines (the grouped twin is a_weighted_median; quantile "
+    "SKETCHES bound error, this is the zero-error answer). The running "
+    "weight rides the ordinal operator's bucketed integer cumsum with "
+    "the grand total as a literal — no single-partition window over "
+    "the 600k-row (6B-at-scale) fact. One final 3-value aggregate.",
+)
+def a_weighted_percentiles_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = T(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("wt"),
+        F.col("l_extendedprice").alias("v"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    c = global_ordinals(
+        w,
+        ["v", "l_orderkey", "l_linenumber", "wt"],
+        cumsum=[("wt", "cumw")],
+        totals=[("wt", "tw")],
+    )
+    cumw, wt, tw, v = F.col("cumw"), F.col("wt"), F.col("tw"), F.col("v")
+    return c.agg(
+        F.max(tw).alias("total_weight"),
+        F.max(F.when((10 * cumw >= tw) & (10 * (cumw - wt) < tw), v)).alias("p10"),
+        F.max(F.when((2 * cumw >= tw) & (2 * (cumw - wt) < tw), v)).alias("p50"),
+        F.max(
+            F.when((10 * cumw >= 9 * tw) & (10 * (cumw - wt) < 9 * tw), v)
+        ).alias("p90"),
+    )

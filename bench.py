@@ -207,6 +207,7 @@ HEADLINE = [
     "ml_ks_statistic",          # integer cross-multiplied KS distance
     "ml_pr_auc",                # average precision from global ranks
     "a_trimmed_mean",           # exact-rank 5% trimmed mean
+    "a_weighted_percentiles_global",  # exact weighted p10/p50/p90 at fact grain
 ]
 
 

@@ -80,8 +80,10 @@ def test_q10_topk_after_aggregate(spark):
     plan = _plan(spark, "j_q10_returned_items")
     # returnflag filter reaches the lineitem scan
     assert re.search(r"PushedFilters: \[.*l_returnflag", plan)
-    # the rank window sits above the customer-grain aggregate
-    assert "Window" in plan and "HashAggregate" in plan
+    # round 6: the deterministic top-20 is TakeOrderedAndProject over
+    # the customer-grain aggregate — per-partition heaps, no rank window
+    assert "TakeOrderedAndProject" in plan and "HashAggregate" in plan
+    assert "Window" not in plan
 
 
 def test_q11_threshold_joins_broadcast_scalar(spark):

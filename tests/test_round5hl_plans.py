@@ -30,9 +30,16 @@ def test_gini_split_one_pass_over_orders(spark):
 
 
 def test_roc_auc_no_join(spark):
+    # round 6: the global rank rides the ordinal decomposition — the
+    # only join is the broadcast of the literal bucket-offset table;
+    # still one orders scan, no shuffle join, no single-partition window
     plan = _plan(spark, "ml_roc_auc")
-    assert "Join" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
     assert len(re.findall(r"FileScan parquet [^\n]*orders", plan)) == 1
+    assert not re.search(
+        r"Window[^\n]*\n[^\n]*Sort[^\n]*\n[^\n]*Exchange SinglePartition", plan
+    )
 
 
 def test_changepoint_binseg_one_window_pass(spark):
@@ -72,7 +79,8 @@ def test_calibration_and_lift_single_scan(spark):
     for name in ("ml_calibration_bins", "ml_lift_gains"):
         plan = _plan(spark, name)
         assert len(re.findall(r"FileScan parquet [^\n]*orders", plan)) == 1
-        assert "Join" not in plan
+        # round 6: the bucket-offset broadcast is the only join
+        assert "SortMergeJoin" not in plan
 
 
 def test_2hop_thinned_filter_reaches_scan(spark):
