@@ -178,3 +178,55 @@ def upsert_batch(
     fs.delete(target, True)
     if not fs.rename(staging, target):
         raise IOError(f"upsert_batch: rename {staging} -> {target} failed")
+
+
+def write_sorted_shards(
+    df: DataFrame,
+    path: str,
+    order: list[str],
+    n_shards: int,
+) -> list[dict]:
+    """Globally-sorted export: ``n_shards`` range-disjoint parquet
+    shard directories, each internally sorted, plus a returned manifest
+    (shard id, row count, min/max ordinal) — the layout a downstream
+    consumer needs to merge-read 100 TB in total order, or to binary-
+    search a shard by key range.
+
+    The shard id is the ordinal operator's EXACT global NTILE (equal
+    fill ±1 row guaranteed regardless of key skew — a plain
+    ``repartitionByRange`` gives approximate balance and no per-shard
+    row-count contract), so every window in the plan is partitioned and
+    the sort work is n balanced per-shard sorts, never one task.
+    ``order`` uses the ordinal spec ("-col" = DESC; leading column must
+    cast monotonically to double).
+    """
+    from banksy_spark.operators.ordinals import global_ordinals
+
+    sharded = global_ordinals(
+        df, order, row_number="_ws_rn", ntile=(n_shards, "shard")
+    )
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_ws_rn")
+        .drop("_ws_rn")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    back = spark.read.parquet(path)
+    lead = order[0].lstrip("-")
+    from pyspark.sql import functions as F
+
+    manifest = [
+        r.asDict()
+        for r in back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min(lead).alias("lo"),
+            F.max(lead).alias("hi"),
+        )
+        .orderBy("shard")
+        .collect()
+    ]
+    return manifest

@@ -354,3 +354,28 @@ def test_upsert_batch_version_col_picks_deterministic_winner(spark, tmp_path):
         got = {(r["id"], r["v"]) for r in spark.read.parquet(p).collect()}
         assert got == {(1, "new"), (2, "upd")}
     assert not os.path.exists(p + "__staging__")
+
+
+def test_write_sorted_shards_range_disjoint_and_balanced(spark, tmp_path):
+    """Sorted-shard export: exact NTILE fill contract (sizes differ by
+    at most 1), shard key-ranges non-overlapping and ascending, and
+    each shard internally sorted."""
+    from banksy_spark.io import write_sorted_shards
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    n = df.count()
+    p = str(tmp_path / "shards")
+    man = write_sorted_shards(df, p, ["o_totalprice", "o_orderkey"], 8)
+    assert [m["shard"] for m in man] == list(range(1, 9))
+    sizes = [m["rows"] for m in man]
+    assert sum(sizes) == n and max(sizes) - min(sizes) <= 1
+    for a, b in zip(man, man[1:]):
+        assert a["hi"] <= b["lo"]  # range-disjoint ascending shards
+    import pandas as pd  # noqa: F401
+
+    one = (
+        spark.read.parquet(p + "/shard=3").select("o_totalprice").toPandas()
+    )
+    assert one["o_totalprice"].is_monotonic_increasing
