@@ -138,6 +138,14 @@ def bucketize(
     """
     parsed = _parse_order(order)
     c1, asc1 = parsed[0]
+    c1t = dict(df.dtypes).get(c1, "")
+    if c1t.startswith(("string", "binary", "array", "struct", "map")):
+        raise TypeError(
+            f"bucketize: leading sort column {c1} has type {c1t}, which "
+            "does not cast monotonically to double — prepend a numeric "
+            "monotone prefix instead (e.g. conv(substring(hex, 1, 4), "
+            "16, 10); see o_global_ntile)"
+        )
     probs = [i / n_buckets for i in range(1, n_buckets)]
     keyed = df.withColumn("_goval", F.col(c1).cast("double"))
     raw = keyed.approxQuantile("_goval", probs, rel_err)

@@ -157,3 +157,11 @@ def test_ntile_expr_formula():
         )
         expect = [t for t in expect if t]
         assert len(expect) == total
+
+
+def test_string_leading_column_rejected(spark):
+    df = spark.createDataFrame([("a", 1)], "s string, k int")
+    import pytest
+
+    with pytest.raises(TypeError, match="monotone prefix"):
+        global_ordinals(df, ["s", "k"], row_number="rn")
