@@ -317,3 +317,115 @@ def a_weighted_percentiles_global(spark: SparkSession, sf_dir: str) -> DataFrame
             F.when((10 * cumw >= 9 * tw) & (10 * (cumw - wt) < 9 * tw), v)
         ).alias("p90"),
     )
+
+
+# --- Matthews correlation / Cohen's kappa ----------------------------------
+
+_CONF_ORACLE_CTE = """
+    WITH scored AS (
+      SELECT len(string_split(text, ' ')) >= 40 AS pred,
+             lang = 'en' AS label
+      FROM documents
+    ),
+    c AS (
+      SELECT
+        SUM(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS tp,
+        SUM(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS fp,
+        SUM(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS fn,
+        SUM(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END) AS tn
+      FROM scored
+    )
+"""
+
+
+def _conf_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select(
+        (F.size(F.split("text", " ")) >= 40).alias("pred"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    p, l = F.col("pred"), F.col("label")
+    return d.agg(
+        F.sum(F.when(p & l, 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(p & ~l, 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~p & l, 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~p & ~l, 1).otherwise(0)).alias("tn"),
+    )
+
+
+@query(
+    "ml_mcc",
+    oracle=_CONF_ORACLE_CTE
+    + """
+    SELECT tp, fp, fn, tn,
+           tp * tn - fp * fn AS mcc_num,
+           CAST(tp * tn - fp * fn AS DOUBLE)
+             / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                    * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE))
+             AS mcc
+    FROM c
+    """,
+    note="Matthews correlation coefficient of the frozen length "
+    "classifier vs the language label — the single balanced-quality "
+    "number precision/recall can't give on skewed classes "
+    "(ml_confusion_metrics' companion). Numerator stays an exact "
+    "integer; the denominator's four marginals are cast to DOUBLE "
+    "before multiplying (their product overflows BIGINT at corpus "
+    "scale) and sqrt is IEEE correctly-rounded in both engines, so "
+    "the whole expression is bit-stable. One conditional-count "
+    "aggregate pass; scale-free.",
+)
+def ml_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _conf_counts(spark, sf_dir)
+    tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
+    num = tp * tn - fp * fn
+    den = F.sqrt(
+        (tp + fp).cast("double")
+        * (tp + fn).cast("double")
+        * (tn + fp).cast("double")
+        * (tn + fn).cast("double")
+    )
+    return c.select(
+        "tp", "fp", "fn", "tn",
+        num.alias("mcc_num"),
+        (num.cast("double") / den).alias("mcc"),
+    )
+
+
+@query(
+    "ml_cohen_kappa",
+    oracle=_CONF_ORACLE_CTE
+    + """
+    SELECT tp, fp, fn, tn,
+           (tp + fp + fn + tn) * (tp + tn)
+             - ((tp + fp) * (tp + fn) + (tn + fp) * (tn + fn))
+             AS kappa_num,
+           (tp + fp + fn + tn) * (tp + fp + fn + tn)
+             - ((tp + fp) * (tp + fn) + (tn + fp) * (tn + fn))
+             AS kappa_den,
+           CAST((tp + fp + fn + tn) * (tp + tn)
+                - ((tp + fp) * (tp + fn) + (tn + fp) * (tn + fn)) AS DOUBLE)
+             / ((tp + fp + fn + tn) * (tp + fp + fn + tn)
+                - ((tp + fp) * (tp + fn) + (tn + fp) * (tn + fn)))
+             AS kappa
+    FROM c
+    """,
+    note="Cohen's kappa (chance-corrected agreement) between the "
+    "length classifier and the language label: kappa = (po - pe)/(1 - "
+    "pe) cross-multiplied by N^2 so numerator and denominator are "
+    "EXACT integers (N*(tp+tn) - sum of marginal products) — one final "
+    "division, no float accumulation anywhere. Same one-pass "
+    "conditional-count shape as ml_mcc.",
+)
+def ml_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _conf_counts(spark, sf_dir)
+    tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
+    n = tp + fp + fn + tn
+    pe_scaled = (tp + fp) * (tp + fn) + (tn + fp) * (tn + fn)
+    num = n * (tp + tn) - pe_scaled
+    den = n * n - pe_scaled
+    return c.select(
+        "tp", "fp", "fn", "tn",
+        num.alias("kappa_num"),
+        den.alias("kappa_den"),
+        (num.cast("double") / den).alias("kappa"),
+    )

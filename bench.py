@@ -208,6 +208,7 @@ HEADLINE = [
     "ml_pr_auc",                # average precision from global ranks
     "a_trimmed_mean",           # exact-rank 5% trimmed mean
     "a_weighted_percentiles_global",  # exact weighted p10/p50/p90 at fact grain
+    "ml_mcc",                   # balanced-quality MCC from one count pass
 ]
 
 
