@@ -75,21 +75,39 @@ def _sort_cols(parsed: list[tuple[str, bool]]) -> list[Column]:
     return [F.col(c).asc() if asc else F.col(c).desc() for c, asc in parsed]
 
 
+def _count_tree(v: Column, cuts: list[float], strict: bool) -> Column:
+    """#{cuts < v} (strict) or #{cuts <= v} as a balanced comparison
+    tree: ~log2(n) comparisons per row instead of n (the array-filter
+    form costs 2n comparisons per row — measurably the dominant term of
+    the whole decomposition on a 64-bucket spec)."""
+
+    def go(lo: int, hi: int) -> Column:
+        if lo >= hi:
+            return F.lit(lo)
+        m = (lo + hi) // 2
+        cond = v <= F.lit(cuts[m]) if strict else v < F.lit(cuts[m])
+        return F.when(cond, go(lo, m)).otherwise(go(m + 1, hi))
+
+    return go(0, len(cuts))
+
+
+def _le_count(v: Column, cuts: list[float]) -> Column:
+    return _count_tree(v, cuts, strict=False)
+
+
 def _bucket_expr(col: Column, bounds: list[float]) -> Column:
     """Monotone bucket id: strict + non-strict boundary counts.
 
     Interior values get even ids, each distinct boundary value gets its
     own odd id (a singleton bucket) — which is what lets a hot value be
-    sub-split later.  NULL (none in the suite's sort keys) falls into
-    bucket 0 with the smallest values, matching Spark's NULLS FIRST.
+    sub-split later.  NULL (none in the suite's sort keys) maps to -1,
+    matching ASC NULLS FIRST (and, negated, DESC NULLS LAST).
     """
     if not bounds:
         return F.lit(0)
-    arr = F.array(*[F.lit(float(b)) for b in bounds])
     v = col.cast("double")
-    s = F.size(F.filter(arr, lambda x: x < v))
-    t = F.size(F.filter(arr, lambda x: x <= v))
-    return s + t
+    tree = _count_tree(v, bounds, strict=True) + _count_tree(v, bounds, strict=False)
+    return F.when(v.isNull(), F.lit(-1)).otherwise(tree)
 
 
 @dataclass
@@ -184,8 +202,7 @@ def bucketize(
             for r in sub_rows:
                 sbounds = sorted({x for x in r["_gosb"] if x is not None})
                 if sbounds:
-                    arr = F.array(*[F.lit(float(x)) for x in sbounds])
-                    sid = F.size(F.filter(arr, lambda x: x <= F.col(c2).cast("double")))
+                    sid = _le_count(F.col(c2).cast("double"), sbounds)
                     sub = F.when(
                         F.col(c1).cast("double") == r["_goval"], sid
                     ).otherwise(sub)
@@ -387,3 +404,157 @@ def global_ordinals(
     if ntile and not row_number:
         drop.append("_gorn")
     return out.drop(*drop)
+
+
+def multi_ordinals(
+    df: DataFrame,
+    specs: Sequence[dict],
+    spark=None,
+    *,
+    n_buckets: int = 64,
+    rel_err: float = 1e-2,
+    skew_split: bool = True,
+) -> DataFrame:
+    """Several independent global orderings over the SAME frame in one
+    sampling pass — the multi-dimension scoring shape (RFM is the
+    canonical case: three NTILE(5)s over three orders).
+
+    ``specs``: list of ``{"order": [...], "row_number": name?,
+    "ntile": (n, name)?}``.  Compared to chaining ``global_ordinals``
+    k times (k sampling + k sub-split + k directory jobs, each
+    recomputing a longer chain), this runs THREE bounded driver jobs
+    total: one multi-column ``approxQuantile``, one stacked
+    percentile_approx over every dimension's hot values, and one
+    exploded (dim, bucket) directory count.  The final plan is k
+    broadcast joins + k partitioned windows over the original frame —
+    same shape, none of the chained re-sampling.
+    """
+    if spark is None:
+        spark = df.sparkSession
+    parsed_all = [_parse_order(s["order"]) for s in specs]
+    k = len(specs)
+    dtypes = dict(df.dtypes)
+    for p in parsed_all:
+        c1t = dtypes.get(p[0][0], "")
+        if c1t.startswith(("string", "binary", "array", "struct", "map")):
+            raise TypeError(f"multi_ordinals: non-numeric leading column {p[0][0]}")
+    leads = [p[0][0] for p in parsed_all]
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    keyed = df.select(
+        "*", *[F.col(c).cast("double").alias(f"_gv{i}") for i, c in enumerate(leads)]
+    )
+    # job 1: every dimension's cut points in one sampled pass
+    raws = keyed.approxQuantile([f"_gv{i}" for i in range(k)], probs, rel_err)
+
+    hots: list[list[float]] = []
+    for raw in raws:
+        hot, seen = [], set()
+        for i, q in enumerate(raw):
+            if i + 1 < len(raw) and raw[i + 1] == q and q not in seen:
+                hot.append(q)
+                seen.add(q)
+        hots.append(hot)
+
+    # job 2 (only if any hot): stacked per-(dim, value) secondary cuts
+    sub_cuts: dict[tuple[int, float], list[float]] = {}
+    if skew_split:
+        stack = []
+        kmax = 2
+        for i, (parsed, hot) in enumerate(zip(parsed_all, hots)):
+            if not hot or len(parsed) < 2:
+                continue
+            c2 = parsed[1][0]
+            if dtypes.get(c2, "").startswith(("string", "binary", "array", "struct")):
+                continue
+            kmax = max(
+                kmax, 2 + max(sum(1 for q in raws[i] if q == v) for v in hot)
+            )
+            stack.append(
+                keyed.filter(F.col(f"_gv{i}").isin(hot)).select(
+                    F.lit(i).alias("_gd"),
+                    F.col(f"_gv{i}").alias("_gval"),
+                    F.col(c2).cast("double").alias("_gsv"),
+                )
+            )
+        if stack:
+            frame = stack[0]
+            for s in stack[1:]:
+                frame = frame.unionByName(s)
+            sprobs = F.array(*[F.lit(i / kmax) for i in range(1, kmax)])
+            for r in (
+                frame.groupBy("_gd", "_gval")
+                .agg(F.percentile_approx("_gsv", sprobs, 1000).alias("_gsb"))
+                .collect()
+            ):
+                cuts = sorted({x for x in r["_gsb"] if x is not None})
+                if cuts:
+                    sub_cuts[(r["_gd"], r["_gval"])] = cuts
+
+    # bucket expressions per dimension
+    bcols, scols = [], []
+    for i, parsed in enumerate(parsed_all):
+        c1 = parsed[0][0]
+        bounds = sorted(set(raws[i]))
+        bcols.append(_bucket_expr(F.col(c1), bounds).alias(f"_gb{i}"))
+        sub = F.lit(0)
+        for (dim, v), cuts in sub_cuts.items():
+            if dim != i:
+                continue
+            c2 = parsed[1][0]
+            sid = _le_count(F.col(c2).cast("double"), cuts)
+            sub = F.when(F.col(c1).cast("double") == v, sid).otherwise(sub)
+        scols.append(sub.alias(f"_gs{i}"))
+    bucketed = df.select("*", *bcols, *scols)
+
+    # job 3: one exploded directory count for every dimension
+    stacked = bucketed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"),
+                        F.col(f"_gb{i}").alias("b"),
+                        F.col(f"_gs{i}").alias("s"),
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("z")
+    ).groupBy("z.d", "z.b", "z.s").agg(F.count(F.lit(1)).alias("c"))
+    rows = stacked.collect()
+
+    # each dimension's ≤(2n+1)·ksub-row offset directory becomes a
+    # LITERAL map keyed by b*2^16+s — no join at all, so k dimensions
+    # stack as k partitioned windows over one projection (and the
+    # sequential same-frame join pattern that trips Spark's analyzer
+    # never appears)
+    out = bucketed
+    for i, (spec, parsed) in enumerate(zip(specs, parsed_all)):
+        asc1 = parsed[0][1]
+        asc2 = parsed[1][1] if len(parsed) > 1 else True
+        dim_rows = [r for r in rows if r["d"] == i]
+        dim_rows.sort(
+            key=lambda r: (r["b"] if asc1 else -r["b"], r["s"] if asc2 else -r["s"])
+        )
+        run, pairs = 0, []
+        for r in dim_rows:
+            pairs += [F.lit(r["b"] * 65536 + r["s"]), F.lit(run)]
+            run += r["c"]
+        total = run
+        code = F.col(f"_gb{i}") * 65536 + F.col(f"_gs{i}")
+        off_col = (
+            F.element_at(F.create_map(*pairs), code).cast("long")
+            if pairs
+            else F.lit(0).cast("long")
+        )
+        w = Window.partitionBy(f"_gb{i}", f"_gs{i}").orderBy(*_sort_cols(parsed))
+        rn_name = spec.get("row_number") or f"_grn{i}"
+        out = out.withColumn(rn_name, off_col + F.row_number().over(w))
+        if spec.get("ntile"):
+            n, tname = spec["ntile"]
+            out = out.withColumn(tname, ntile_expr(F.col(rn_name), total, n))
+        drop = [f"_gb{i}", f"_gs{i}"]
+        if not spec.get("row_number"):
+            drop.append(rn_name)
+        out = out.drop(*drop)
+    return out

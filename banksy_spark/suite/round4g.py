@@ -528,7 +528,7 @@ def a_dow_hour_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the customer aggregate across the three bucketings).",
 )
 def a_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from banksy_spark.operators.ordinals import global_ordinals
+    from banksy_spark.operators.ordinals import multi_ordinals
 
     o = T(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
@@ -539,18 +539,17 @@ def a_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
     )
-    # the three chained bucketings each sample + count their input:
-    # materialize the customer aggregate once (the cluster-scale move is
-    # the same — persist the dimension-grain frame, not re-agg orders 9×)
+    # one shared sampling/directory pass scores all three dimensions;
+    # materialize the customer aggregate once so the three bounded
+    # driver jobs don't re-aggregate orders
     cust = cust.localCheckpoint(eager=False)
-    scored = global_ordinals(
-        cust, ["recency_days", "o_custkey"], ntile=(5, "r_score")
-    )
-    scored = global_ordinals(
-        scored, ["-frequency", "o_custkey"], ntile=(5, "f_score")
-    )
-    scored = global_ordinals(
-        scored, ["-monetary", "o_custkey"], ntile=(5, "m_score")
+    scored = multi_ordinals(
+        cust,
+        [
+            {"order": ["recency_days", "o_custkey"], "ntile": (5, "r_score")},
+            {"order": ["-frequency", "o_custkey"], "ntile": (5, "f_score")},
+            {"order": ["-monetary", "o_custkey"], "ntile": (5, "m_score")},
+        ],
     ).select("r_score", "f_score", "m_score")
     seg = (
         F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")

@@ -165,3 +165,48 @@ def test_string_leading_column_rejected(spark):
 
     with pytest.raises(TypeError, match="monotone prefix"):
         global_ordinals(df, ["s", "k"], row_number="rn")
+
+
+def test_multi_ordinals_matches_naive_three_dims(spark):
+    o = _orders(spark).withColumn(
+        "bucket_key", (F.col("o_orderkey") % 37).cast("int")
+    )
+    got = global_ordinals.__wrapped__ if False else None  # noqa: F841
+    from banksy_spark.operators.ordinals import multi_ordinals
+
+    m = multi_ordinals(
+        o,
+        [
+            {"order": ["price", "o_orderkey"], "ntile": (5, "t1"), "row_number": "r1"},
+            {"order": ["-bucket_key", "o_orderkey"], "ntile": (4, "t2")},
+            {"order": ["o_custkey", "o_orderkey"], "row_number": "r3"},
+        ],
+        n_buckets=16,
+    ).select("o_orderkey", "t1", "r1", "t2", "r3")
+    w1 = Window.orderBy("price", "o_orderkey")
+    w2 = Window.orderBy(F.col("bucket_key").desc(), "o_orderkey")
+    w3 = Window.orderBy("o_custkey", "o_orderkey")
+    want = o.select(
+        "o_orderkey",
+        F.ntile(5).over(w1).alias("t1"),
+        F.row_number().over(w1).alias("r1"),
+        F.ntile(4).over(w2).alias("t2"),
+        F.row_number().over(w3).alias("r3"),
+    )
+    assert m.exceptAll(want).count() == 0 and want.exceptAll(m).count() == 0
+
+
+def test_multi_ordinals_plan_partitioned(spark):
+    from banksy_spark.operators.ordinals import multi_ordinals
+
+    o = _orders(spark)
+    m = multi_ordinals(
+        o,
+        [
+            {"order": ["price", "o_orderkey"], "ntile": (5, "t1")},
+            {"order": ["-price", "o_orderkey"], "ntile": (5, "t2")},
+        ],
+        n_buckets=16,
+    )
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
