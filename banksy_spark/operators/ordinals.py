@@ -110,6 +110,72 @@ def _bucket_expr(col: Column, bounds: list[float]) -> Column:
     return F.when(v.isNull(), F.lit(-1)).otherwise(tree)
 
 
+
+def _bucket_cols(
+    df: DataFrame,
+    parsed: list[tuple[str, bool]],
+    *,
+    n_buckets: int,
+    rel_err: float,
+    skew_split: bool,
+) -> tuple[Column, Column]:
+    """(bucket, sub-bucket) expressions for a parsed order spec.
+
+    One sampled ``approxQuantile`` pass; plus, only when a hot value
+    exists, ONE grouped ``percentile_approx`` pass computing every hot
+    value's secondary cut points (a per-value filter+quantile loop
+    would cost a driver job per hot value — integer-valued keys easily
+    have dozens)."""
+    c1, asc1 = parsed[0]
+    c1t = dict(df.dtypes).get(c1, "")
+    if c1t.startswith(("string", "binary", "array", "struct", "map")):
+        raise TypeError(
+            f"bucketize: leading sort column {c1} has type {c1t}, which "
+            "does not cast monotonically to double — prepend a numeric "
+            "monotone prefix instead (e.g. conv(substring(hex, 1, 4), "
+            "16, 10); see o_global_ntile)"
+        )
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    keyed = df.withColumn("_goval", F.col(c1).cast("double"))
+    raw = keyed.approxQuantile("_goval", probs, rel_err)
+    # repeated quantiles ⇒ that exact value holds ≥1/n of the rows
+    hot: list[float] = []
+    seen: set[float] = set()
+    for i, q in enumerate(raw):
+        if i + 1 < len(raw) and raw[i + 1] == q and q not in seen:
+            hot.append(q)
+            seen.add(q)
+    bounds = sorted(set(raw))
+    b = _bucket_expr(F.col(c1), bounds)
+
+    sub = F.lit(0)
+    if skew_split and hot and len(parsed) > 1:
+        c2, asc2 = parsed[1]
+        c2t = dict(df.dtypes).get(c2, "")
+        splittable = not c2t.startswith(("string", "binary", "array", "struct"))
+        if splittable:
+            kmax = 2 + max(sum(1 for q in raw if q == v) for v in hot)
+            sprobs = F.array(*[F.lit(i / kmax) for i in range(1, kmax)])
+            sub_rows = (
+                keyed.filter(F.col("_goval").isin(hot))
+                .groupBy("_goval")
+                .agg(
+                    F.percentile_approx(
+                        F.col(c2).cast("double"), sprobs, 1000
+                    ).alias("_gosb")
+                )
+                .collect()
+            )
+            for r in sub_rows:
+                sbounds = sorted({x for x in r["_gosb"] if x is not None})
+                if sbounds:
+                    sid = _le_count(F.col(c2).cast("double"), sbounds)
+                    sub = F.when(
+                        F.col(c1).cast("double") == r["_goval"], sid
+                    ).otherwise(sub)
+    return b, sub
+
+
 @dataclass
 class Bucketing:
     """A range-bucketed frame plus its driver-side bucket directory."""
@@ -155,59 +221,11 @@ def bucketize(
     single-partition window from the downstream plan.
     """
     parsed = _parse_order(order)
-    c1, asc1 = parsed[0]
-    c1t = dict(df.dtypes).get(c1, "")
-    if c1t.startswith(("string", "binary", "array", "struct", "map")):
-        raise TypeError(
-            f"bucketize: leading sort column {c1} has type {c1t}, which "
-            "does not cast monotonically to double — prepend a numeric "
-            "monotone prefix instead (e.g. conv(substring(hex, 1, 4), "
-            "16, 10); see o_global_ntile)"
-        )
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    keyed = df.withColumn("_goval", F.col(c1).cast("double"))
-    raw = keyed.approxQuantile("_goval", probs, rel_err)
-    # repeated quantiles ⇒ that exact value holds ≥1/n of the rows
-    hot: list[float] = []
-    seen: set[float] = set()
-    for i, q in enumerate(raw):
-        if i + 1 < len(raw) and raw[i + 1] == q and q not in seen:
-            hot.append(q)
-            seen.add(q)
-    bounds = sorted(set(raw))
-    b = _bucket_expr(F.col(c1), bounds)
-
-    sub = F.lit(0)
-    if skew_split and hot and len(parsed) > 1:
-        c2, asc2 = parsed[1]
-        c2t = dict(df.dtypes).get(c2, "")
-        splittable = not c2t.startswith(("string", "binary", "array", "struct"))
-        if splittable:
-            # ONE job for every hot value's secondary cut points: a
-            # grouped percentile_approx over the hot slice (a per-value
-            # filter+quantile loop would cost a driver job per hot
-            # value — integer-valued keys easily have dozens)
-            kmax = 2 + max(sum(1 for q in raw if q == v) for v in hot)
-            sprobs = F.array(*[F.lit(i / kmax) for i in range(1, kmax)])
-            sub_rows = (
-                keyed.filter(F.col("_goval").isin(hot))
-                .groupBy("_goval")
-                .agg(
-                    F.percentile_approx(
-                        F.col(c2).cast("double"), sprobs, 1000
-                    ).alias("_gosb")
-                )
-                .collect()
-            )
-            for r in sub_rows:
-                sbounds = sorted({x for x in r["_gosb"] if x is not None})
-                if sbounds:
-                    sid = _le_count(F.col(c2).cast("double"), sbounds)
-                    sub = F.when(
-                        F.col(c1).cast("double") == r["_goval"], sid
-                    ).otherwise(sub)
-
-    bucketed = df.withColumn(_B, b).withColumn(_S, sub)
+    bexpr, sexpr = _bucket_cols(
+        df, parsed, n_buckets=n_buckets, rel_err=rel_err, skew_split=skew_split
+    )
+    bucketed = df.withColumn(_B, bexpr).withColumn(_S, sexpr)
+    asc1 = parsed[0][1]
     aggs = aggs or {}
     agg_exprs = [F.count(F.lit(1)).alias("_gocnt")] + [
         e.alias(n) for n, e in aggs.items()
@@ -324,6 +342,38 @@ def ntile_expr(rn: Column, total: int, n: int) -> Column:
     return F.when(rn <= cut, lo).otherwise(hi)
 
 
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact floor division of non-negative longs without DIV-parsing:
+    (a - a mod b) is an exact multiple of b, and IEEE division of two
+    exact longs with an integer quotient is exact below 2^53."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def ntile_expr_col(rn: Column, total: Column, n: int) -> Column:
+    """Standard NTILE with the grand total as a COLUMN (in-plan form of
+    ``ntile_expr``): first total%n tiles take total//n + 1 rows. The
+    divide-by-zero branch of q==0 is unreachable (rn <= cut covers every
+    row) and CASE WHEN evaluates lazily, so no guard is needed."""
+    q = _idiv(total, F.lit(n))
+    r = F.pmod(total, F.lit(n))
+    cut = (q + 1) * r
+    lo = _idiv(rn - 1, q + 1) + 1
+    hi = r + _idiv(rn - 1 - cut, q) + 1
+    return F.when(rn <= cut, lo).otherwise(hi).cast("int")
+
+
+def _earlier_cond(parsed: list[tuple[str, bool]]) -> Column:
+    """b's bucket strictly precedes a's bucket in the GLOBAL order."""
+    asc1 = parsed[0][1]
+    asc2 = parsed[1][1] if len(parsed) > 1 else True
+    ab, bb = F.col(f"a.{_B}"), F.col(f"b.{_B}")
+    as_, bs = F.col(f"a.{_S}"), F.col(f"b.{_S}")
+    first = (bb < ab) if asc1 else (bb > ab)
+    second = (bs < as_) if asc2 else (bs > as_)
+    return first | ((bb == ab) & second)
+
+
 def global_ordinals(
     df: DataFrame,
     order: Sequence[str],
@@ -362,45 +412,72 @@ def global_ordinals(
                 "per-bucket regrouping would drift ulps vs a sequential "
                 "oracle — cast to DECIMAL first"
             )
-    aggs = {f"_gosum_{vc}": F.sum(vc) for vc in {v for v, _ in cumsum + totals}}
-    bk = bucketize(
-        df, order, aggs=aggs, n_buckets=n_buckets, rel_err=rel_err,
-        skew_split=skew_split,
+    parsed = _parse_order(order)
+    bexpr, sexpr = _bucket_cols(
+        df, parsed, n_buckets=n_buckets, rel_err=rel_err, skew_split=skew_split
+    )
+    bucketed = df.withColumn(_B, bexpr).withColumn(_S, sexpr)
+    # Pin the bucket exchange at the configured parallelism: AQE would
+    # coalesce this small-bytes shuffle to a couple of partitions and
+    # serialize the per-bucket sorts (locally measurable; at cluster
+    # data volumes the coalesce never triggers). The same exchange then
+    # serves BOTH the directory aggregate and the ordinal window.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    bucketed = bucketed.repartition(n_part, _B, _S)
+
+    # Everything below is IN-PLAN: the per-bucket directory is a tiny
+    # aggregate, its exclusive prefix comes from a broadcast triangular
+    # join (≤(2n+1)^2 pairs), and grand totals ride a 1-row broadcast —
+    # the sampling pass above stays the only extra driver action.
+    sum_cols = sorted({v for v, _ in cumsum + totals})
+    counts = bucketed.groupBy(_B, _S).agg(
+        F.count(F.lit(1)).alias("_gocnt"),
+        *[F.sum(vc).alias(f"_gosum_{vc}") for vc in sum_cols],
     )
     need_rn = row_number or ntile
-    off = offsets_table(
-        bk,
-        spark,
-        count_offset="_gooff" if need_rn else None,
-        sum_offsets={f"_gosum_{vc}": f"_gooffs_{vc}" for vc, _ in cumsum},
+    a, b = counts.alias("a"), counts.alias("b")
+    offs = (
+        a.join(F.broadcast(b), _earlier_cond(parsed), "left")
+        .groupBy(F.col(f"a.{_B}").alias(_B), F.col(f"a.{_S}").alias(_S))
+        .agg(
+            F.coalesce(F.sum(F.col("b._gocnt")), F.lit(0)).alias("_gooff"),
+            *[
+                F.sum(F.col(f"b._gosum_{vc}")).alias(f"_gooffs_{vc}")
+                for vc, _ in cumsum
+            ],
+        )
     )
-    out = bk.df.join(off, [_B, _S])
-    w = bk.local_window()
+    out = bucketed.join(F.broadcast(offs), [_B, _S])
+    need_tot = total_count or totals or ntile
+    if need_tot:
+        tot = counts.agg(
+            F.sum("_gocnt").alias("_gotot"),
+            *[F.sum(f"_gosum_{vc}").alias(f"_gotots_{vc}") for vc, _ in totals],
+        )
+        out = out.crossJoin(F.broadcast(tot))
+
+    w = Window.partitionBy(_B, _S).orderBy(*_sort_cols(parsed))
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rn_name = row_number or ("_gorn" if ntile else None)
     if rn_name:
         out = out.withColumn(rn_name, F.col("_gooff") + F.row_number().over(w))
     if ntile:
         n, tname = ntile
-        out = out.withColumn(tname, ntile_expr(F.col(rn_name), bk.total_count, n))
+        out = out.withColumn(
+            tname, ntile_expr_col(F.col(rn_name), F.col("_gotot"), n)
+        )
     for vc, oname in cumsum:
         out = out.withColumn(
-            oname, F.col(f"_gooffs_{vc}") + F.sum(vc).over(wrun)
+            oname,
+            F.coalesce(F.col(f"_gooffs_{vc}"), F.lit(0)) + F.sum(vc).over(wrun),
         )
     if total_count:
-        out = out.withColumn(total_count, F.lit(bk.total_count))
+        out = out.withColumn(total_count, F.col("_gotot"))
     for vc, oname in totals:
-        tot = bk.agg_total(f"_gosum_{vc}")
-        lit = F.lit(tot)
-        if isinstance(tot, Decimal):
-            # pin the literal's scale to the input sum's scale so the
-            # string form (and thus the VARCHAR→DOUBLE parity route)
-            # matches the oracle's SUM() OVER () rendering
-            scale = dict(df.dtypes)[vc]
-            s = int(scale.split(",")[1].rstrip(")")) if "," in scale else 0
-            lit = F.lit(str(tot)).cast(f"decimal(38,{s})")
-        out = out.withColumn(oname, lit)
-    drop = [_B, _S] + [c for c in out.columns if c.startswith("_goo")]
+        out = out.withColumn(oname, F.col(f"_gotots_{vc}"))
+    drop = [_B, _S] + [
+        c for c in out.columns if c.startswith(("_goo", "_gotot"))
+    ]
     if ntile and not row_number:
         drop.append("_gorn")
     return out.drop(*drop)
