@@ -626,6 +626,10 @@ def multi_ordinals(
         )
         w = Window.partitionBy(f"_gb{i}", f"_gs{i}").orderBy(*_sort_cols(parsed))
         rn_name = spec.get("row_number") or f"_grn{i}"
+        # pin each dimension's window exchange (same AQE-coalesce
+        # rationale as global_ordinals)
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        out = out.repartition(n_part, f"_gb{i}", f"_gs{i}")
         out = out.withColumn(rn_name, off_col + F.row_number().over(w))
         if spec.get("ntile"):
             n, tname = spec["ntile"]
