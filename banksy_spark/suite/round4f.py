@@ -346,21 +346,36 @@ def a_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-document padding waste — the standard trick that cuts padded-token "
     "waste in training/inference dataloaders (vs global batching, where "
     "every batch pads to the corpus max). All-integer arithmetic: band, "
-    "rank, batch id, waste. Scale: the rank window partitions by bucket "
-    "(bounded cardinality, balanced by construction); at 100 TB the "
-    "in-bucket ordering swaps to the suite's bucketed global row-number "
-    "machinery (o_global_rownum) to avoid per-bucket single sorts — same "
-    "semantics, noted not substituted.",
+    "rank, batch id, waste. Scale (round 6, substituted): the in-band "
+    "rank rides operators/ordinals.py — ONE global ordinal over "
+    "(bucket, n_chars, doc_id) makes bands contiguous, a HOT band is "
+    "detected as a repeated quantile and sub-split by n_chars (a plain "
+    "PARTITION BY bucket window gives one task per band — bands are "
+    "few, rows per band are billions at 100 TB), and the in-band rank "
+    "is global_rn minus the band's start offset from a broadcast "
+    "triangular join over the tiny band-count table.",
 )
 def llm_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents")
-    bucket = F.expr("n_chars DIV 256")
-    wr = Window.partitionBy(bucket).orderBy("n_chars", "doc_id")
-    b = d.select(
+    from banksy_spark.operators.ordinals import global_ordinals
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.expr("n_chars DIV 256").alias("bucket")
+    )
+    r = global_ordinals(
+        d, ["bucket", "n_chars", "doc_id"], row_number="_grn"
+    )
+    bc = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+    a, bb = bc.alias("a"), bc.alias("b")
+    boff = (
+        a.join(F.broadcast(bb), F.col("b.bucket") < F.col("a.bucket"), "left")
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(F.coalesce(F.sum("b._bn"), F.lit(0)).alias("_boff"))
+    )
+    b = r.join(F.broadcast(boff), "bucket").select(
         "doc_id",
         "n_chars",
-        bucket.alias("bucket"),
-        F.row_number().over(wr).alias("rn"),
+        "bucket",
+        (F.col("_grn") - F.col("_boff")).alias("rn"),
     )
     batched = b.select(
         "doc_id", "n_chars", "bucket", F.expr("(rn - 1) DIV 8").alias("batch_id")
