@@ -217,3 +217,47 @@ def test_multi_ordinals_plan_partitioned(spark):
     )
     plan = m._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
+
+
+def test_partition_invariance(spark):
+    # the decomposition's results are a pure function of the DATA —
+    # identical under any input partitioning
+    o = _orders(spark)
+    outs = []
+    for parts in (3, 17):
+        got = global_ordinals(
+            o.repartition(parts),
+            ["price", "o_orderkey"],
+            row_number="rn",
+            ntile=(7, "t"),
+            cumsum=[("price", "cum")],
+            n_buckets=16,
+        ).select("o_orderkey", "rn", "t", "cum")
+        outs.append({r["o_orderkey"]: (r["rn"], r["t"], str(r["cum"])) for r in got.collect()})
+    assert outs[0] == outs[1]
+
+
+def test_ntile_col_form_matches_literal_form(spark):
+    # in-plan (column-total) NTILE vs the literal-total formula vs Spark
+    from banksy_spark.operators.ordinals import ntile_expr_col
+
+    import itertools
+
+    for total, n in [(10, 3), (7, 7), (100, 9), (5, 10), (64, 64), (1, 5)]:
+        df = spark.range(1, total + 1).select(
+            F.col("id").alias("rn"), F.lit(total).cast("long").alias("tot")
+        )
+        got = [
+            r["t"]
+            for r in df.select(
+                "rn", ntile_expr_col(F.col("rn"), F.col("tot"), n).alias("t")
+            )
+            .orderBy("rn")
+            .collect()
+        ]
+        q, r_ = divmod(total, n)
+        sizes = [(q + 1 if i < r_ else q) for i in range(n)]
+        expect = list(
+            itertools.chain.from_iterable([i + 1] * s for i, s in enumerate(sizes))
+        )
+        assert got == expect, (total, n)
