@@ -21,14 +21,18 @@ naive-form oracle, suite/round4.py):
     can be further **sub-split by the secondary sort key** without
     breaking global monotonicity (see ``tools/bench_skew.py`` for the
     measured zipfian behaviour).
- 2. **Per-bucket prefix aggregates** (counts, exact sums, maxima) are
-    collected to the driver — a bounded ≤ ``2·n_buckets+1``-row table,
-    the same driver-side scale class as the quantile call itself — and
-    rebroadcast as a literal offsets table.
+ 2. **Per-bucket prefix aggregates** (counts, exact sums) fold
+    IN-PLAN: a tiny directory aggregate, its exclusive prefix from a
+    broadcast non-equi self-join over the ≤``2·n_buckets+1``-row
+    directory, grand totals from a 1-row broadcast — the sampling pass
+    stays the only extra driver action.  (``bucketize``/
+    ``offsets_table`` keep a driver-folded literal-directory variant
+    for prefix-max consumers like the skyline.)
  3. Each ordinal is then ``bucket_offset + intra-bucket window`` where
     the window is ``PARTITION BY bucket`` — bounded partitions, no
-    single-partition exchange anywhere in the plan
-    (tests/test_ordinals.py asserts this on the physical plan).
+    single-partition WINDOW anywhere in the plan (tests/
+    test_ordinals.py asserts this on the physical plan; the grand
+    total's scalar aggregate is map-side-combined and scale-free).
 
 Exactness rules (registry.py docstring): running sums are only offered
 for DECIMAL / integral inputs, where per-bucket partial sums are
