@@ -180,6 +180,25 @@ def _bucket_cols(
     return b, sub
 
 
+def bucket_frame(
+    df: DataFrame,
+    order: Sequence[str],
+    *,
+    n_buckets: int = 64,
+    rel_err: float = 1e-2,
+    skew_split: bool = True,
+) -> tuple[DataFrame, list[tuple[str, bool]]]:
+    """Attach the (bucket, sub-bucket) columns WITHOUT collecting a
+    directory — the entry point for consumers that fold their own
+    in-plan prefix over the directory aggregate (see j_skyline_pareto's
+    prefix-max). Returns (bucketed frame, parsed order spec)."""
+    parsed = _parse_order(order)
+    bexpr, sexpr = _bucket_cols(
+        df, parsed, n_buckets=n_buckets, rel_err=rel_err, skew_split=skew_split
+    )
+    return df.withColumn(_B, bexpr).withColumn(_S, sexpr), parsed
+
+
 @dataclass
 class Bucketing:
     """A range-bucketed frame plus its driver-side bucket directory."""

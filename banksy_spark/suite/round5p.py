@@ -59,8 +59,8 @@ from banksy_spark.suite.registry import T, query
 def j_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     from banksy_spark.operators.ordinals import (
         BUCKET_KEYS,
-        bucketize,
-        offsets_table,
+        _earlier_cond,
+        bucket_frame,
     )
 
     p = T(spark, sf_dir, "part").select(
@@ -73,12 +73,23 @@ def j_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket on cents ONLY (no tiebreak → no hot-value sub-split):
     # every bucket boundary then separates strictly-different prices,
     # so "max over strictly earlier buckets" == "max over some strictly
-    # cheaper parts" — the dominance carry stays exact
-    bk = bucketize(p, ["cents"], aggs={"maxsz": F.max("p_size")}, skew_split=False)
-    off = offsets_table(
-        bk, spark, count_offset=None, max_prefix={"maxsz": "pre_max"}
+    # cheaper parts" — the dominance carry stays exact. The prefix max
+    # folds IN-PLAN: tiny per-bucket max aggregate, broadcast non-equi
+    # self-join over the ≤129-row directory (no driver collect).
+    bked, parsed = bucket_frame(p, ["cents"], skew_split=False)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    bked = bked.repartition(n_part, *BUCKET_KEYS)
+    mx = bked.groupBy(*BUCKET_KEYS).agg(F.max("p_size").alias("mx"))
+    a, b = mx.alias("a"), mx.alias("b")
+    off = (
+        a.join(F.broadcast(b), _earlier_cond(parsed), "left")
+        .groupBy(
+            F.col(f"a.{BUCKET_KEYS[0]}").alias(BUCKET_KEYS[0]),
+            F.col(f"a.{BUCKET_KEYS[1]}").alias(BUCKET_KEYS[1]),
+        )
+        .agg(F.max("b.mx").alias("pre_max"))
     )
-    d = bk.df.join(off, BUCKET_KEYS)
+    d = bked.join(F.broadcast(off), BUCKET_KEYS)
     w_cheaper = (
         Window.partitionBy(*BUCKET_KEYS)
         .orderBy("cents")
