@@ -60,6 +60,13 @@ def table_digest(cols: list[str], rows) -> tuple[int, str, list[str]]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--resume",
+        metavar="LOG",
+        help="skip queries already recorded as PASS/rows in a previous "
+        "run's log (the sf0.1 sweep exceeds one timeout budget — "
+        "j_similarity_prefix_join's DuckDB oracle alone runs ~10 min)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -74,6 +81,18 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
 
     names = args.names or list(REGISTRY)
+    if args.resume:
+        import re as _re
+
+        done = set(
+            _re.findall(
+                r"(?:PASS|rows)\s+(\S+):", open(args.resume).read(), _re.M
+            )
+        )
+        skipped = [n for n in names if n in done]
+        names = [n for n in names if n not in done]
+        print(f"resume: {len(skipped)} already green in {args.resume}, "
+              f"{len(names)} to run")
     n_pass = n_fail = n_rows_only = 0
     for name in names:
         spec = REGISTRY[name]
