@@ -9,7 +9,9 @@ decomposition (the same one ``o_global_rownum`` proved against its
 naive-form oracle, suite/round4.py):
 
  1. **Range-bucket** rows by the leading sort key.  Cut points come
-    from ``approxQuantile`` (a sampled scan — exactly what Spark's own
+    from one ``approx_percentile`` + COUNT aggregate — the count
+    scales the bucket exchange to the data (a sampled scan — exactly
+    what Spark's own
     ``RangePartitioner``/``repartitionByRange`` does internally, but
     with the boundaries held as *literals* so the bucket id is a pure
     deterministic function of the value, never of a sampled shuffle;
@@ -62,6 +64,7 @@ from pyspark.sql import types as SQLT
 _B = "_gob"  # primary bucket column (monotone in the leading sort key)
 _S = "_gosub"  # sub-bucket within a hot singleton bucket
 BUCKET_KEYS = [_B, _S]  # join/partition keys a Bucketing consumer uses
+_RESERVED = "_go"  # internal column-name prefix (validated at entry)
 
 
 def _parse_order(order: Sequence[str]) -> list[tuple[str, bool]]:
@@ -79,40 +82,176 @@ def _sort_cols(parsed: list[tuple[str, bool]]) -> list[Column]:
     return [F.col(c).asc() if asc else F.col(c).desc() for c, asc in parsed]
 
 
-def _count_tree(v: Column, cuts: list[float], strict: bool) -> Column:
-    """#{cuts < v} (strict) or #{cuts <= v} as a balanced comparison
-    tree: ~log2(n) comparisons per row instead of n (the array-filter
-    form costs 2n comparisons per row — measurably the dominant term of
-    the whole decomposition on a 64-bucket spec)."""
+_REJECT_TYPES = ("string", "binary", "array", "struct", "map", "variant")
 
-    def go(lo: int, hi: int) -> Column:
+
+def _as_double(name: str, dtype: str) -> Column:
+    """Column form of ``_as_double_sql``."""
+    return F.expr(_as_double_sql(name, dtype))
+
+
+def _check_reserved(columns, outputs=(), reserved_exact=frozenset()):
+    """Reject input/output names that collide with the operator's
+    internal ``_go*`` columns (a user column named ``_good_flag`` would
+    otherwise be silently dropped by the cleanup projection)."""
+    bad = sorted(
+        {c for c in columns if c.startswith(_RESERVED) or c in reserved_exact}
+        | {
+            o
+            for o in outputs
+            if o and (o.startswith(_RESERVED) or o in reserved_exact)
+        }
+    )
+    if bad:
+        raise ValueError(
+            f"global ordinals: column/output name(s) {bad} collide with "
+            f"the reserved '{_RESERVED}' internal prefix — rename them "
+            "before calling"
+        )
+
+
+_ROWS_PER_TASK = 65536
+
+
+def _auto_parallelism(spark, n_rows: int) -> int:
+    """Scale the bucket exchange to the DATA: ~64k rows per sort task,
+    capped at the session shuffle parallelism.  A 15k-row post-agg
+    frame no longer pays a 200-task sort wave (the round-6 local
+    constant), while a 100 TB frame still saturates the configured cap;
+    the explicit repartition also keeps AQE from coalescing the
+    small-bytes exchange into serialized per-bucket sorts.  Floor 2:
+    ``repartition(1)`` would plan as the very ``Exchange
+    SinglePartition`` this operator exists to avoid (the plan audit
+    rejects it on sight, and a 2-task hash exchange costs nothing)."""
+    conf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(2, min(conf, (int(n_rows) + _ROWS_PER_TASK - 1) // _ROWS_PER_TASK))
+
+
+def _sketch(
+    keyed: DataFrame, cols: Sequence[str], probs: list[float], rel_err: float
+) -> tuple[int, list[list[float]]]:
+    """Cut points for every dimension AND the total row count in ONE
+    sampled aggregate job.  ``approx_percentile`` is the same
+    Greenwald-Khanna summary ``approxQuantile`` wraps, but as an
+    aggregate expression it shares the scan with COUNT — the count then
+    scales the bucket exchange to the data (``_auto_parallelism``)
+    with no extra driver action."""
+    acc = max(1, int(round(1.0 / rel_err)))
+    parr = F.array(*[F.lit(p) for p in probs])
+    row = keyed.agg(
+        F.count(F.lit(1)).alias("_gon"),
+        *[
+            F.percentile_approx(c, parr, acc).alias(f"_goq{i}")
+            for i, c in enumerate(cols)
+        ],
+    ).first()
+    raws: list[list[float]] = []
+    for i in range(len(cols)):
+        q = row[f"_goq{i}"]
+        raws.append([] if q is None else [x for x in q if x is not None])
+    return int(row["_gon"]), raws
+
+
+def _sql_double(v: float) -> str:
+    """Shortest round-trip double literal in Spark SQL text (the D
+    suffix pins DOUBLE — a bare ``5.0`` parses as DECIMAL)."""
+    import math
+
+    v = float(v)
+    if math.isnan(v):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(v):
+        return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+    return f"{v!r}D"
+
+
+def _count_tree_sql(v_sql: str, cuts: list[float], strict: bool) -> str:
+    """#{cuts < v} (strict) or #{cuts <= v} as a balanced comparison
+    tree, generated as ONE SQL string: ~log2(n) comparisons per row
+    (the array-filter form costs 2n per row — measurably the dominant
+    term on a 64-bucket spec at 40M rows), and one ``expr()`` call on
+    the driver (building the same tree from py4j Column ops costs
+    thousands of JVM round-trips — seconds of pure driver chatter,
+    round-7's dominant local overhead)."""
+
+    def go(lo: int, hi: int) -> str:
         if lo >= hi:
-            return F.lit(lo)
+            return str(lo)
         m = (lo + hi) // 2
-        cond = v <= F.lit(cuts[m]) if strict else v < F.lit(cuts[m])
-        return F.when(cond, go(lo, m)).otherwise(go(m + 1, hi))
+        op = "<=" if strict else "<"
+        return (
+            f"(CASE WHEN {v_sql} {op} {_sql_double(cuts[m])} "
+            f"THEN {go(lo, m)} ELSE {go(m + 1, hi)} END)"
+        )
 
     return go(0, len(cuts))
 
 
-def _le_count(v: Column, cuts: list[float]) -> Column:
-    return _count_tree(v, cuts, strict=False)
+def _le_count_sql(v_sql: str, cuts: list[float]) -> str:
+    return _count_tree_sql(v_sql, cuts, strict=False)
 
 
-def _bucket_expr(col: Column, bounds: list[float]) -> Column:
-    """Monotone bucket id: strict + non-strict boundary counts.
+def _bucket_sql(v_sql: str, bounds: list[float]) -> str:
+    """Monotone bucket id, as SQL text: strict + non-strict boundary
+    counts.
 
     Interior values get even ids, each distinct boundary value gets its
     own odd id (a singleton bucket) — which is what lets a hot value be
-    sub-split later.  NULL (none in the suite's sort keys) maps to -1,
-    matching ASC NULLS FIRST (and, negated, DESC NULLS LAST).
+    sub-split later.  NULL maps to -1, matching ASC NULLS FIRST (and,
+    negated, DESC NULLS LAST).
     """
     if not bounds:
-        return F.lit(0)
-    v = col.cast("double")
-    tree = _count_tree(v, bounds, strict=True) + _count_tree(v, bounds, strict=False)
-    return F.when(v.isNull(), F.lit(-1)).otherwise(tree)
+        return "0"
+    tree = (
+        f"({_count_tree_sql(v_sql, bounds, True)} + "
+        f"{_count_tree_sql(v_sql, bounds, False)})"
+    )
+    return f"(CASE WHEN {v_sql} IS NULL THEN -1 ELSE {tree} END)"
 
+
+def _ident(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _as_double_sql(name: str, dtype: str) -> str:
+    """Monotone double image of an orderable scalar column, SQL text.
+
+    Numerics cast directly; DATE has no double cast in Spark, so it
+    routes through ``unix_date`` (days since epoch — monotone);
+    timestamps cast to epoch seconds (TIMESTAMP_NTZ via the session-TZ
+    timestamp cast, monotone for any fixed zone)."""
+    q = _ident(name)
+    if dtype == "date":
+        return f"CAST(unix_date({q}) AS DOUBLE)"
+    if dtype.startswith("timestamp"):
+        return f"CAST(CAST({q} AS TIMESTAMP) AS DOUBLE)"
+    return f"CAST({q} AS DOUBLE)"
+
+
+
+def _subsample(raw: list[float], n_buckets: int, eff: int) -> list[float]:
+    """Every ~(n/eff)-th quantile of the full sketch: the cut points
+    for ``eff`` balanced buckets.  Correctness is boundary-placement-
+    invariant, so shrinking the bucket count for a small frame only
+    trims plan size/codegen — never a result."""
+    if eff >= n_buckets or not raw:
+        return raw
+    return [
+        raw[min(len(raw) - 1, max(0, round(i * n_buckets / eff) - 1))]
+        for i in range(1, eff)
+    ]
+
+
+def _hot_values(raw: list[float]) -> list[float]:
+    """Repeated adjacent quantiles ⇒ that exact value holds ≥1/n of
+    the rows."""
+    hot: list[float] = []
+    seen: set[float] = set()
+    for i, q in enumerate(raw):
+        if i + 1 < len(raw) and raw[i + 1] == q and q not in seen:
+            hot.append(q)
+            seen.add(q)
+    return hot
 
 
 def _bucket_cols(
@@ -122,41 +261,48 @@ def _bucket_cols(
     n_buckets: int,
     rel_err: float,
     skew_split: bool,
-) -> tuple[Column, Column]:
-    """(bucket, sub-bucket) expressions for a parsed order spec.
+    rows_per_bucket: int = _ROWS_PER_TASK,
+) -> tuple[Column, Column, int]:
+    """(bucket, sub-bucket) expressions + total row count for a parsed
+    order spec.
 
-    One sampled ``approxQuantile`` pass; plus, only when a hot value
-    exists, ONE grouped ``percentile_approx`` pass computing every hot
-    value's secondary cut points (a per-value filter+quantile loop
-    would cost a driver job per hot value — integer-valued keys easily
-    have dozens)."""
+    One sampled aggregate pass (quantiles + count, ``_sketch``).  The
+    EFFECTIVE bucket count scales to the measured rows (~one bucket
+    per ``rows_per_bucket``, capped at ``n_buckets``): a 15k-row
+    post-agg frame gets one bucket and a trivially small plan, a
+    100 TB frame keeps all ``n_buckets``.  Only when a hot value
+    exists at that granularity does ONE extra grouped
+    ``percentile_approx`` job compute every hot value's secondary cut
+    points (a per-value filter+quantile loop would cost a driver job
+    per hot value — integer-valued keys easily have dozens)."""
     c1, asc1 = parsed[0]
-    c1t = dict(df.dtypes).get(c1, "")
-    if c1t.startswith(("string", "binary", "array", "struct", "map")):
+    dtypes = dict(df.dtypes)
+    c1t = dtypes.get(c1, "")
+    if c1t.startswith(_REJECT_TYPES):
         raise TypeError(
             f"bucketize: leading sort column {c1} has type {c1t}, which "
             "does not cast monotonically to double — prepend a numeric "
             "monotone prefix instead (e.g. conv(substring(hex, 1, 4), "
             "16, 10); see o_global_ntile)"
         )
+    v1 = _as_double_sql(c1, c1t)
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    keyed = df.withColumn("_goval", F.col(c1).cast("double"))
-    raw = keyed.approxQuantile("_goval", probs, rel_err)
-    # repeated quantiles ⇒ that exact value holds ≥1/n of the rows
-    hot: list[float] = []
-    seen: set[float] = set()
-    for i, q in enumerate(raw):
-        if i + 1 < len(raw) and raw[i + 1] == q and q not in seen:
-            hot.append(q)
-            seen.add(q)
+    keyed = df.withColumn("_goval", F.expr(v1))
+    n_rows, (raw,) = _sketch(keyed, ["_goval"], probs, rel_err)
+    # floor 2: a single bucket would constant-fold the bucket keys and
+    # re-plan the exchange as SinglePartition — the exact shape this
+    # operator exists to avoid
+    eff = min(n_buckets, max(2, (n_rows + rows_per_bucket - 1) // rows_per_bucket))
+    raw = _subsample(raw, n_buckets, eff)
+    hot = _hot_values(raw)
     bounds = sorted(set(raw))
-    b = _bucket_expr(F.col(c1), bounds)
+    b = F.expr(_bucket_sql(v1, bounds))
 
     sub = F.lit(0)
     if skew_split and hot and len(parsed) > 1:
         c2, asc2 = parsed[1]
-        c2t = dict(df.dtypes).get(c2, "")
-        splittable = not c2t.startswith(("string", "binary", "array", "struct"))
+        c2t = dtypes.get(c2, "")
+        splittable = not c2t.startswith(_REJECT_TYPES)
         if splittable:
             kmax = 2 + max(sum(1 for q in raw if q == v) for v in hot)
             sprobs = F.array(*[F.lit(i / kmax) for i in range(1, kmax)])
@@ -165,19 +311,31 @@ def _bucket_cols(
                 .groupBy("_goval")
                 .agg(
                     F.percentile_approx(
-                        F.col(c2).cast("double"), sprobs, 1000
+                        F.expr(_as_double_sql(c2, c2t)), sprobs, 1000
                     ).alias("_gosb")
                 )
                 .collect()
             )
+            v2 = _as_double_sql(c2, c2t)
+            branches = []
             for r in sub_rows:
                 sbounds = sorted({x for x in r["_gosb"] if x is not None})
                 if sbounds:
-                    sid = _le_count(F.col(c2).cast("double"), sbounds)
-                    sub = F.when(
-                        F.col(c1).cast("double") == r["_goval"], sid
-                    ).otherwise(sub)
-    return b, sub
+                    # NULL secondary values sort NULLS FIRST under asc /
+                    # NULLS LAST under desc in the intra-bucket window;
+                    # sub-bucket -1 matches BOTH (the directory order
+                    # negates sub ids for desc), mirroring the leading
+                    # key's -1 NULL bucket.
+                    sid = (
+                        f"(CASE WHEN {_ident(c2)} IS NULL THEN -1 "
+                        f"ELSE {_le_count_sql(v2, sbounds)} END)"
+                    )
+                    branches.append(
+                        f"WHEN {v1} = {_sql_double(r['_goval'])} THEN {sid}"
+                    )
+            if branches:
+                sub = F.expr("CASE " + " ".join(branches) + " ELSE 0 END")
+    return b, sub, n_rows
 
 
 def bucket_frame(
@@ -187,16 +345,27 @@ def bucket_frame(
     n_buckets: int = 64,
     rel_err: float = 1e-2,
     skew_split: bool = True,
+    parallelism: int | None = None,
+    rows_per_bucket: int = _ROWS_PER_TASK,
 ) -> tuple[DataFrame, list[tuple[str, bool]]]:
     """Attach the (bucket, sub-bucket) columns WITHOUT collecting a
     directory — the entry point for consumers that fold their own
     in-plan prefix over the directory aggregate (see j_skyline_pareto's
-    prefix-max). Returns (bucketed frame, parsed order spec)."""
+    prefix-max). The frame comes back repartitioned on the bucket keys
+    (data-scaled unless ``parallelism`` pins it), ready for the
+    consumer's per-bucket aggregate + window to share one exchange.
+    Returns (bucketed frame, parsed order spec)."""
     parsed = _parse_order(order)
-    bexpr, sexpr = _bucket_cols(
-        df, parsed, n_buckets=n_buckets, rel_err=rel_err, skew_split=skew_split
+    _check_reserved(df.columns)
+    bexpr, sexpr, n_rows = _bucket_cols(
+        df, parsed, n_buckets=n_buckets, rel_err=rel_err,
+        skew_split=skew_split, rows_per_bucket=rows_per_bucket,
     )
-    return df.withColumn(_B, bexpr).withColumn(_S, sexpr), parsed
+    n_part = parallelism or _auto_parallelism(df.sparkSession, n_rows)
+    bucketed = (
+        df.withColumn(_B, bexpr).withColumn(_S, sexpr).repartition(n_part, _B, _S)
+    )
+    return bucketed, parsed
 
 
 @dataclass
@@ -232,6 +401,7 @@ def bucketize(
     n_buckets: int = 64,
     rel_err: float = 1e-2,
     skew_split: bool = True,
+    rows_per_bucket: int = _ROWS_PER_TASK,
 ) -> Bucketing:
     """Range-bucket ``df`` by the leading column of ``order``.
 
@@ -244,8 +414,10 @@ def bucketize(
     single-partition window from the downstream plan.
     """
     parsed = _parse_order(order)
-    bexpr, sexpr = _bucket_cols(
-        df, parsed, n_buckets=n_buckets, rel_err=rel_err, skew_split=skew_split
+    _check_reserved(df.columns, aggs or ())
+    bexpr, sexpr, _ = _bucket_cols(
+        df, parsed, n_buckets=n_buckets, rel_err=rel_err,
+        skew_split=skew_split, rows_per_bucket=rows_per_bucket,
     )
     bucketed = df.withColumn(_B, bexpr).withColumn(_S, sexpr)
     asc1 = parsed[0][1]
@@ -410,23 +582,35 @@ def global_ordinals(
     n_buckets: int = 64,
     rel_err: float = 1e-2,
     skew_split: bool = True,
+    parallelism: int | None = None,
+    rows_per_bucket: int = _ROWS_PER_TASK,
 ) -> DataFrame:
     """Attach globally-ordered measures, every window partitioned.
 
     - ``order``: sort spec, ``"-col"`` for DESC; the leading column
       drives the range bucketing and must cast monotonically to double
-      (numeric / date / timestamp).
+      (numeric / date / timestamp — dates route through ``unix_date``).
     - ``row_number``: output column for the global 1-based row number.
     - ``ntile=(n, out)``: global NTILE(n) on the same order.
     - ``cumsum=[(value_col, out), ...]``: inclusive running sum; the
       value column must be DECIMAL or integral (exactness rule above).
+      NULL semantics match the naive running window: the output is NULL
+      only while ALL values so far (this bucket's prefix AND every
+      earlier bucket) are NULL.
     - ``total_count`` / ``totals=[(value_col, out), ...]``: grand count
       / grand sums attached as literals (no ``OVER ()`` window).
+    - ``parallelism``: pin the bucket-exchange task count; default
+      scales to the measured row count (``_auto_parallelism``).
     """
     if spark is None:
         spark = df.sparkSession
     cumsum = list(cumsum)
     totals = list(totals)
+    _check_reserved(
+        df.columns,
+        [row_number, total_count, ntile[1] if ntile else None]
+        + [o for _, o in cumsum + totals],
+    )
     for vc, _ in list(cumsum) + list(totals):
         t = dict(df.dtypes)[vc]
         if not (t.startswith("decimal") or t in ("int", "bigint", "smallint", "tinyint")):
@@ -436,16 +620,17 @@ def global_ordinals(
                 "oracle — cast to DECIMAL first"
             )
     parsed = _parse_order(order)
-    bexpr, sexpr = _bucket_cols(
-        df, parsed, n_buckets=n_buckets, rel_err=rel_err, skew_split=skew_split
+    bexpr, sexpr, n_rows = _bucket_cols(
+        df, parsed, n_buckets=n_buckets, rel_err=rel_err,
+        skew_split=skew_split, rows_per_bucket=rows_per_bucket,
     )
     bucketed = df.withColumn(_B, bexpr).withColumn(_S, sexpr)
-    # Pin the bucket exchange at the configured parallelism: AQE would
-    # coalesce this small-bytes shuffle to a couple of partitions and
-    # serialize the per-bucket sorts (locally measurable; at cluster
-    # data volumes the coalesce never triggers). The same exchange then
-    # serves BOTH the directory aggregate and the ordinal window.
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # Pin the bucket exchange, scaled to the data: AQE would coalesce
+    # this small-bytes shuffle to a couple of partitions and serialize
+    # the per-bucket sorts, while the session default (200) makes a
+    # 15k-row post-agg frame pay a 200-task sort wave. The same
+    # exchange serves BOTH the directory aggregate and the window.
+    n_part = parallelism or _auto_parallelism(spark, n_rows)
     bucketed = bucketed.repartition(n_part, _B, _S)
 
     # Everything below is IN-PLAN: the per-bucket directory is a tiny
@@ -490,9 +675,18 @@ def global_ordinals(
             tname, ntile_expr_col(F.col(rn_name), F.col("_gotot"), n)
         )
     for vc, oname in cumsum:
+        # naive-window NULL parity: SUM ... ROWS UNBOUNDED PRECEDING is
+        # NULL only while EVERY preceding value is NULL — the bucket
+        # offset (non-null iff some earlier bucket held a value) and
+        # the intra-bucket running sum must therefore coalesce jointly,
+        # not per-term.
+        off = F.col(f"_gooffs_{vc}")
+        run = F.sum(vc).over(wrun)
         out = out.withColumn(
             oname,
-            F.coalesce(F.col(f"_gooffs_{vc}"), F.lit(0)) + F.sum(vc).over(wrun),
+            F.when(off.isNull() & run.isNull(), F.lit(None)).otherwise(
+                F.coalesce(off, F.lit(0)) + F.coalesce(run, F.lit(0))
+            ),
         )
     if total_count:
         out = out.withColumn(total_count, F.col("_gotot"))
@@ -514,6 +708,8 @@ def multi_ordinals(
     n_buckets: int = 64,
     rel_err: float = 1e-2,
     skew_split: bool = True,
+    parallelism: int | None = None,
+    rows_per_bucket: int = _ROWS_PER_TASK,
 ) -> DataFrame:
     """Several independent global orderings over the SAME frame in one
     sampling pass — the multi-dimension scoring shape (RFM is the
@@ -523,7 +719,7 @@ def multi_ordinals(
     "ntile": (n, name)?}``.  Compared to chaining ``global_ordinals``
     k times (k sampling + k sub-split + k directory jobs, each
     recomputing a longer chain), this runs THREE bounded driver jobs
-    total: one multi-column ``approxQuantile``, one stacked
+    total: one stacked quantile+count aggregate, one stacked
     percentile_approx over every dimension's hot values, and one
     exploded (dim, bucket) directory count.  The final plan is k
     broadcast joins + k partitioned windows over the original frame —
@@ -533,27 +729,38 @@ def multi_ordinals(
         spark = df.sparkSession
     parsed_all = [_parse_order(s["order"]) for s in specs]
     k = len(specs)
+    internal = {"_gd", "_gval", "_gsv", "_gsb"} | {
+        f"_g{p}{i}" for i in range(k) for p in ("v", "b", "s", "rn")
+    }
+    _check_reserved(
+        df.columns,
+        [s.get("row_number") for s in specs]
+        + [s["ntile"][1] for s in specs if s.get("ntile")],
+        reserved_exact=internal,
+    )
     dtypes = dict(df.dtypes)
     for p in parsed_all:
         c1t = dtypes.get(p[0][0], "")
-        if c1t.startswith(("string", "binary", "array", "struct", "map")):
+        if c1t.startswith(_REJECT_TYPES):
             raise TypeError(f"multi_ordinals: non-numeric leading column {p[0][0]}")
     leads = [p[0][0] for p in parsed_all]
     probs = [i / n_buckets for i in range(1, n_buckets)]
     keyed = df.select(
-        "*", *[F.col(c).cast("double").alias(f"_gv{i}") for i, c in enumerate(leads)]
+        "*",
+        *[
+            _as_double(c, dtypes.get(c, "")).alias(f"_gv{i}")
+            for i, c in enumerate(leads)
+        ],
     )
-    # job 1: every dimension's cut points in one sampled pass
-    raws = keyed.approxQuantile([f"_gv{i}" for i in range(k)], probs, rel_err)
-
-    hots: list[list[float]] = []
-    for raw in raws:
-        hot, seen = [], set()
-        for i, q in enumerate(raw):
-            if i + 1 < len(raw) and raw[i + 1] == q and q not in seen:
-                hot.append(q)
-                seen.add(q)
-        hots.append(hot)
+    # job 1: every dimension's cut points + the row count in ONE
+    # sampled aggregate pass (scales the window exchanges to the data)
+    n_rows, raws = _sketch(keyed, [f"_gv{i}" for i in range(k)], probs, rel_err)
+    # floor 2: a single bucket would constant-fold the bucket keys and
+    # re-plan the exchange as SinglePartition — the exact shape this
+    # operator exists to avoid
+    eff = min(n_buckets, max(2, (n_rows + rows_per_bucket - 1) // rows_per_bucket))
+    raws = [_subsample(raw, n_buckets, eff) for raw in raws]
+    hots = [_hot_values(raw) for raw in raws]
 
     # job 2 (only if any hot): stacked per-(dim, value) secondary cuts
     sub_cuts: dict[tuple[int, float], list[float]] = {}
@@ -573,7 +780,7 @@ def multi_ordinals(
                 keyed.filter(F.col(f"_gv{i}").isin(hot)).select(
                     F.lit(i).alias("_gd"),
                     F.col(f"_gv{i}").alias("_gval"),
-                    F.col(c2).cast("double").alias("_gsv"),
+                    _as_double(c2, dtypes.get(c2, "")).alias("_gsv"),
                 )
             )
         if stack:
@@ -590,19 +797,32 @@ def multi_ordinals(
                 if cuts:
                     sub_cuts[(r["_gd"], r["_gval"])] = cuts
 
-    # bucket expressions per dimension
+    # bucket expressions per dimension (SQL text — one expr() call per
+    # column instead of thousands of py4j Column-op round-trips)
     bcols, scols = [], []
     for i, parsed in enumerate(parsed_all):
         c1 = parsed[0][0]
+        v1 = _as_double_sql(c1, dtypes.get(c1, ""))
         bounds = sorted(set(raws[i]))
-        bcols.append(_bucket_expr(F.col(c1), bounds).alias(f"_gb{i}"))
-        sub = F.lit(0)
+        bcols.append(F.expr(_bucket_sql(v1, bounds)).alias(f"_gb{i}"))
+        branches = []
         for (dim, v), cuts in sub_cuts.items():
             if dim != i:
                 continue
             c2 = parsed[1][0]
-            sid = _le_count(F.col(c2).cast("double"), cuts)
-            sub = F.when(F.col(c1).cast("double") == v, sid).otherwise(sub)
+            # NULL secondary → sub-bucket -1 (NULLS FIRST asc / LAST
+            # desc parity, same rationale as _bucket_cols)
+            v2 = _as_double_sql(c2, dtypes.get(c2, ""))
+            sid = (
+                f"(CASE WHEN {_ident(c2)} IS NULL THEN -1 "
+                f"ELSE {_le_count_sql(v2, cuts)} END)"
+            )
+            branches.append(f"WHEN {v1} = {_sql_double(v)} THEN {sid}")
+        sub = (
+            F.expr("CASE " + " ".join(branches) + " ELSE 0 END")
+            if branches
+            else F.lit(0)
+        )
         scols.append(sub.alias(f"_gs{i}"))
     bucketed = df.select("*", *bcols, *scols)
 
@@ -638,20 +858,24 @@ def multi_ordinals(
         )
         run, pairs = 0, []
         for r in dim_rows:
-            pairs += [F.lit(r["b"] * 65536 + r["s"]), F.lit(run)]
+            pairs.append(f"{r['b'] * 65536 + r['s']},{run}L")
             run += r["c"]
         total = run
-        code = F.col(f"_gb{i}") * 65536 + F.col(f"_gs{i}")
+        # literal map as ONE SQL string (a create_map of 2·|directory|
+        # F.lit calls costs ~1s of py4j chatter on a 379-row directory)
         off_col = (
-            F.element_at(F.create_map(*pairs), code).cast("long")
+            F.expr(
+                f"CAST(element_at(map({','.join(pairs)}), "
+                f"`_gb{i}` * 65536 + `_gs{i}`) AS BIGINT)"
+            )
             if pairs
             else F.lit(0).cast("long")
         )
         w = Window.partitionBy(f"_gb{i}", f"_gs{i}").orderBy(*_sort_cols(parsed))
         rn_name = spec.get("row_number") or f"_grn{i}"
-        # pin each dimension's window exchange (same AQE-coalesce
-        # rationale as global_ordinals)
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        # pin each dimension's window exchange, data-scaled (same
+        # AQE-coalesce rationale as global_ordinals)
+        n_part = parallelism or _auto_parallelism(spark, n_rows)
         out = out.repartition(n_part, f"_gb{i}", f"_gs{i}")
         out = out.withColumn(rn_name, off_col + F.row_number().over(w))
         if spec.get("ntile"):
@@ -662,3 +886,102 @@ def multi_ordinals(
             drop.append(rn_name)
         out = out.drop(*drop)
     return out
+
+
+def grouped_row_number(
+    df: DataFrame,
+    group_col: str,
+    order_within: Sequence[str],
+    out: str,
+    *,
+    n_buckets: int = 64,
+    rel_err: float = 1e-2,
+    parallelism: int | None = None,
+    rows_per_bucket: int = _ROWS_PER_TASK,
+) -> DataFrame:
+    """``ROW_NUMBER() OVER (PARTITION BY group ORDER BY …)`` when the
+    groups are FEW and HUGE — without one-task-per-group windows.
+
+    A plain partitioned window is the right plan when groups are many
+    (users, orders); when the partition key has low cardinality (length
+    bands, shards, days), each group lands on ONE task and a 100 TB
+    band sorts on a single core.  This decomposition range-buckets by
+    the numeric ``group_col`` (hot groups — detected as repeated
+    quantiles — sub-split by the first ``order_within`` column), sorts
+    each bounded bucket once, and repairs the per-group numbering from
+    a tiny (bucket, sub, group) directory:
+
+        rn = intra_bucket_rn - rows_of_earlier_groups_in_this_bucket
+                             + rows_of_this_group_in_earlier_buckets
+
+    Because the bucket id is a pure function of the group value, only
+    hot-group sub-splits ever contribute the third term.  The directory
+    aggregate shares the bucket exchange (grouping keys are a superset
+    of the partitioning keys — no second shuffle) and both correction
+    terms come from one broadcast triangular join over the ≤(groups +
+    sub-splits)-row directory.
+
+    ``group_col`` must be numeric/date/timestamp and non-NULL (NULL
+    groups would need a NULL-safe triangular comparison; no suite query
+    has them — validated only by documentation, like the naive form's
+    NULL partition).  ``order_within`` uses the ordinal spec ("-col"
+    for DESC).  Consumer: llm_length_batching (suite/round4f.py).
+    """
+    full_order = [group_col] + list(order_within)
+    parsed = _parse_order(full_order)
+    if not parsed[0][1]:
+        raise ValueError("grouped_row_number: pass group_col without '-'")
+    _check_reserved(df.columns, [out])
+    bexpr, sexpr, n_rows = _bucket_cols(
+        df, parsed, n_buckets=n_buckets, rel_err=rel_err,
+        skew_split=True, rows_per_bucket=rows_per_bucket,
+    )
+    spark = df.sparkSession
+    n_part = parallelism or _auto_parallelism(spark, n_rows)
+    bucketed = (
+        df.withColumn(_B, bexpr).withColumn(_S, sexpr).repartition(n_part, _B, _S)
+    )
+    trip = bucketed.groupBy(_B, _S, group_col).agg(
+        F.count(F.lit(1)).alias("_gocnt")
+    )
+    a, b = trip.alias("a"), trip.alias("b")
+    ga, gb = F.col(f"a.{group_col}"), F.col(f"b.{group_col}")
+    same_bucket = (F.col(f"b.{_B}") == F.col(f"a.{_B}")) & (
+        F.col(f"b.{_S}") == F.col(f"a.{_S}")
+    )
+    cond = (same_bucket & (gb < ga)) | (_earlier_cond(parsed) & (gb == ga))
+    adj = (
+        a.join(F.broadcast(b), cond, "left")
+        .groupBy(
+            F.col(f"a.{_B}").alias(_B),
+            F.col(f"a.{_S}").alias(_S),
+            ga.alias("_gogrp"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.when(same_bucket, F.col("b._gocnt"))), F.lit(0)
+            ).alias("_gointra"),
+            F.coalesce(
+                F.sum(F.when(~same_bucket, F.col("b._gocnt"))), F.lit(0)
+            ).alias("_gocross"),
+        )
+    )
+    w = Window.partitionBy(_B, _S).orderBy(*_sort_cols(parsed))
+    bk, ad = bucketed.alias("l"), adj.alias("r")
+    joined = (
+        bk.join(
+            F.broadcast(ad),
+            (F.col(f"l.{_B}") == F.col(f"r.{_B}"))
+            & (F.col(f"l.{_S}") == F.col(f"r.{_S}"))
+            & (F.col(f"l.{group_col}") == F.col("r._gogrp")),
+        )
+        .drop(F.col(f"r.{_B}"))
+        .drop(F.col(f"r.{_S}"))
+    )
+    return (
+        joined.withColumn(
+            out,
+            F.row_number().over(w) - F.col("_gointra") + F.col("_gocross"),
+        )
+        .drop(_B, _S, "_gogrp", "_gointra", "_gocross")
+    )

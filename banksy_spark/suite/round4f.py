@@ -346,37 +346,22 @@ def a_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-document padding waste — the standard trick that cuts padded-token "
     "waste in training/inference dataloaders (vs global batching, where "
     "every batch pads to the corpus max). All-integer arithmetic: band, "
-    "rank, batch id, waste. Scale (round 6, substituted): the in-band "
-    "rank rides operators/ordinals.py — ONE global ordinal over "
-    "(bucket, n_chars, doc_id) makes bands contiguous, a HOT band is "
-    "detected as a repeated quantile and sub-split by n_chars (a plain "
-    "PARTITION BY bucket window gives one task per band — bands are "
-    "few, rows per band are billions at 100 TB), and the in-band rank "
-    "is global_rn minus the band's start offset from a broadcast "
-    "triangular join over the tiny band-count table.",
+    "rank, batch id, waste. Scale (round 7, substituted): the in-band "
+    "rank rides operators/ordinals.py grouped_row_number — bands are "
+    "FEW and HUGE at 100 TB (a plain PARTITION BY bucket window gives "
+    "one task per band), so rows range-bucket by band, a HOT band is "
+    "detected as a repeated quantile and sub-split by n_chars, and the "
+    "in-band rank is repaired from a tiny (bucket, sub, band) "
+    "directory that shares the bucket exchange — one scan, one "
+    "shuffle, no second aggregate over the table.",
 )
 def llm_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from banksy_spark.operators.ordinals import global_ordinals
+    from banksy_spark.operators.ordinals import grouped_row_number
 
     d = T(spark, sf_dir, "documents").select(
         "doc_id", "n_chars", F.expr("n_chars DIV 256").alias("bucket")
     )
-    r = global_ordinals(
-        d, ["bucket", "n_chars", "doc_id"], row_number="_grn"
-    )
-    bc = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
-    a, bb = bc.alias("a"), bc.alias("b")
-    boff = (
-        a.join(F.broadcast(bb), F.col("b.bucket") < F.col("a.bucket"), "left")
-        .groupBy(F.col("a.bucket").alias("bucket"))
-        .agg(F.coalesce(F.sum("b._bn"), F.lit(0)).alias("_boff"))
-    )
-    b = r.join(F.broadcast(boff), "bucket").select(
-        "doc_id",
-        "n_chars",
-        "bucket",
-        (F.col("_grn") - F.col("_boff")).alias("rn"),
-    )
+    b = grouped_row_number(d, "bucket", ["n_chars", "doc_id"], "rn")
     batched = b.select(
         "doc_id", "n_chars", "bucket", F.expr("(rn - 1) DIV 8").alias("batch_id")
     )

@@ -77,8 +77,6 @@ def j_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     # folds IN-PLAN: tiny per-bucket max aggregate, broadcast non-equi
     # self-join over the ≤129-row directory (no driver collect).
     bked, parsed = bucket_frame(p, ["cents"], skew_split=False)
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    bked = bked.repartition(n_part, *BUCKET_KEYS)
     mx = bked.groupBy(*BUCKET_KEYS).agg(F.max("p_size").alias("mx"))
     a, b = mx.alias("a"), mx.alias("b")
     off = (
@@ -95,7 +93,13 @@ def j_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cents")
         .rangeBetween(Window.unboundedPreceding, -1)
     )
-    w_same = Window.partitionBy("cents")
+    # equal prices always share a bucket (the bucket id is a pure
+    # function of cents), so the same-price peer max is a RANGE frame
+    # of width 0 on the SAME bucket window — no second exchange over
+    # the part table (round-6 had a full Window.partitionBy("cents")).
+    w_same = (
+        Window.partitionBy(*BUCKET_KEYS).orderBy("cents").rangeBetween(0, 0)
+    )
     fr = d.select(
         "p_partkey",
         "p_size",

@@ -104,15 +104,15 @@ def test_hot_value_sub_splits_buckets(spark):
     df = spark.createDataFrame(rows, "v double, k bigint").repartition(8)
     from banksy_spark.operators.ordinals import bucketize
 
-    bk = bucketize(df, ["v", "k"], n_buckets=16)
+    bk = bucketize(df, ["v", "k"], n_buckets=16, rows_per_bucket=256)
     hot_groups = [
         (gb, gs) for gb, gs, cnt, _ in bk.directory if cnt > 0
     ]
     hot_cnt_max = max(cnt for _, _, cnt, _ in bk.directory)
     assert hot_cnt_max < 6000, "hot value was not sub-split"
-    got = global_ordinals(df, ["v", "k"], row_number="rn", n_buckets=16).select(
-        "k", "rn"
-    )
+    got = global_ordinals(
+        df, ["v", "k"], row_number="rn", n_buckets=16, rows_per_bucket=256
+    ).select("k", "rn")
     w = Window.orderBy("v", "k")
     want = df.select("k", F.row_number().over(w).alias("rn"))
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
@@ -235,6 +235,118 @@ def test_partition_invariance(spark):
         ).select("o_orderkey", "rn", "t", "cum")
         outs.append({r["o_orderkey"]: (r["rn"], r["t"], str(r["cum"])) for r in got.collect()})
     assert outs[0] == outs[1]
+
+
+def test_cumsum_null_semantics_match_naive(spark):
+    # round-7 (ADVICE r6): SUM ... ROWS UNBOUNDED PRECEDING is NULL only
+    # while EVERY preceding value is NULL — including across buckets
+    rows = [(float(i), i, None if i < 40 or i % 7 == 0 else i) for i in range(200)]
+    df = spark.createDataFrame(rows, "v double, k bigint, x bigint")
+    got = global_ordinals(
+        df, ["v", "k"], cumsum=[("x", "c")], n_buckets=16
+    ).select("k", "c")
+    w = Window.orderBy("v", "k").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.select("k", F.sum("x").over(w).alias("c"))
+    g = {r["k"]: r["c"] for r in got.collect()}
+    for r in want.collect():
+        assert g[r["k"]] == r["c"], r["k"]
+
+
+def test_null_secondary_key_in_hot_bucket(spark):
+    # round-7 (ADVICE r6): a hot leading value whose secondary sort key
+    # is NULL must land in the sub-bucket matching NULLS FIRST (asc) /
+    # NULLS LAST (desc) — not the highest sub-bucket
+    rows = [(5.0, None if i % 3 == 0 else float(i), i) for i in range(6000)] + [
+        (float(i % 97), float(i), 10_000 + i) for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "v double, s double, k bigint").repartition(8)
+    got = global_ordinals(
+        df, ["v", "s", "k"], row_number="rn", n_buckets=16, rows_per_bucket=256
+    ).select("k", "rn")
+    w = Window.orderBy("v", "s", "k")
+    want = df.select("k", F.row_number().over(w).alias("rn"))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # desc secondary (NULLS LAST)
+    got_d = global_ordinals(
+        df, ["v", "-s", "k"], row_number="rn", n_buckets=16, rows_per_bucket=256
+    ).select("k", "rn")
+    w_d = Window.orderBy("v", F.col("s").desc(), "k")
+    want_d = df.select("k", F.row_number().over(w_d).alias("rn"))
+    assert got_d.exceptAll(want_d).count() == 0
+    assert want_d.exceptAll(got_d).count() == 0
+
+
+def test_date_leading_column(spark):
+    # round-7 (ADVICE r6): DATE has no double cast; the bucketer must
+    # route it through unix_date instead of dying in analysis
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 37).cast("int")).alias("d"),
+    )
+    got = global_ordinals(df, ["d", "k"], row_number="rn", n_buckets=8).select(
+        "k", "rn"
+    )
+    w = Window.orderBy("d", "k")
+    want = df.select("k", F.row_number().over(w).alias("rn"))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_reserved_names_rejected(spark):
+    # round-7 (ADVICE r6): '_go*' input columns / output names collide
+    # with internals and must raise instead of being silently dropped
+    import pytest
+
+    df = spark.createDataFrame([(1.0, 2)], "v double, _good_flag int")
+    with pytest.raises(ValueError, match="reserved"):
+        global_ordinals(df, ["v"], row_number="rn")
+    clean = spark.createDataFrame([(1.0, 2)], "v double, k int")
+    with pytest.raises(ValueError, match="reserved"):
+        global_ordinals(clean, ["v"], row_number="_gorownum")
+    from banksy_spark.operators.ordinals import multi_ordinals
+
+    with pytest.raises(ValueError, match="reserved"):
+        multi_ordinals(
+            clean.withColumnRenamed("k", "_gb0"), [{"order": ["v"], "row_number": "r"}]
+        )
+
+
+def test_grouped_row_number_matches_naive(spark):
+    from banksy_spark.operators.ordinals import grouped_row_number
+
+    # few huge groups incl. one hot group with 60% of rows (the shape a
+    # plain PARTITION BY window serializes onto one task)
+    rows = [(3, float(i % 113), i) for i in range(6000)] + [
+        (i % 7, float(i % 211), 10_000 + i) for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "g int, x double, k bigint").repartition(8)
+    got = grouped_row_number(
+        df, "g", ["x", "k"], "rn", n_buckets=16, rows_per_bucket=256
+    ).select("k", "rn")
+    w = Window.partitionBy("g").orderBy("x", "k")
+    want = df.select("k", F.row_number().over(w).alias("rn"))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_grouped_row_number_desc_and_plan(spark):
+    from banksy_spark.operators.ordinals import grouped_row_number
+
+    rows = [(i % 5, float(i % 211), i) for i in range(4000)]
+    df = spark.createDataFrame(rows, "g int, x double, k bigint").repartition(8)
+    got = grouped_row_number(df, "g", ["-x", "k"], "rn", n_buckets=16, rows_per_bucket=256)
+    w = Window.partitionBy("g").orderBy(F.col("x").desc(), "k")
+    want = df.select("k", F.row_number().over(w).alias("rn"))
+    assert got.select("k", "rn").exceptAll(want).count() == 0
+    assert want.exceptAll(got.select("k", "rn")).count() == 0
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    # the (bucket, sub, group) directory must SHARE the bucket exchange:
+    # every hash exchange in the plan partitions on the bucket keys
+    # (the identical subtree prints once per consumer pre-AQE; runtime
+    # reuse dedupes it), never on the group key or anything else
+    import re as _re
+
+    parts = _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert parts and all("_gob" in p and "_gosub" in p for p in parts), plan
 
 
 def test_ntile_col_form_matches_literal_form(spark):
