@@ -50,4 +50,45 @@ from banksy_spark.suite import round5r  # noqa: E402,F401
 from banksy_spark.suite import round5s  # noqa: E402,F401
 from banksy_spark.suite import round6  # noqa: E402,F401
 
+# Rotate the newest / highest-risk queries into the driver's ~50-query
+# verification window (it samples the FIRST 50 registry entries).  The
+# flagship odds family stays in front; the round-6/7 ordinal rewrites
+# (bucketed global windows — the code that changed most recently) come
+# next so the EXTERNAL oracle covers them, displacing long-stable
+# round-2/3 entries toward the tail.  Python dicts preserve insertion
+# order, so rebuilding the dict IS the rotation.
+_FRONT = [
+    "odds_arbitrage_core",
+    "odds_decimal_conversion",
+    "odds_stake_equalize",
+    "odds_sign_audit",
+    "odds_rate_limit",
+    "odds_message_build",
+    # the ordinal (bucketed global window) family, rewritten rounds 6-7
+    "a_rfm_segmentation",
+    "j_skyline_pareto",
+    "llm_length_batching",
+    "ml_lift_gains",
+    "ml_roc_auc",
+    "ml_calibration_bins",
+    "a_lorenz_curve_points",
+    "dq_skew_report",
+    "a_abc_classification",
+    "o_global_ntile",
+    "o_global_rownum",
+    "ml_pr_auc",
+    "ml_ks_statistic",
+    "a_trimmed_mean",
+    "a_weighted_percentiles_global",
+    "a_pareto_8020",
+    "a_gini_concentration",
+    "ml_quantile_binning",
+    "ml_winsorize",
+    "llm_stratified_split",
+]
+_rest = [n for n in REGISTRY if n not in set(_FRONT)]
+_reordered = {n: REGISTRY[n] for n in _FRONT + _rest}
+REGISTRY.clear()
+REGISTRY.update(_reordered)
+
 __all__ = ["REGISTRY", "query"]
