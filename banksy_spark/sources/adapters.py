@@ -9,8 +9,10 @@ instead (bovada_pull.py:14-42, arbitrage_scanner.py:493-502).
 
 from __future__ import annotations
 
+import re
 import time
 from collections.abc import Callable, Iterable
+from html import unescape
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -56,6 +58,97 @@ def rows_to_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame
     """S1/S5: parsed scrape rows → DataFrame (the HTML-table scrape's
     list-of-lists at arbitrage_scanner.py:44-58)."""
     return spark.createDataFrame(rows, schema)
+
+
+# --- S1: HTML <table> → rows (arbitrage_scanner.py:44-58) -------------------
+
+_TABLE_RE = re.compile(r"<table\b.*?</table\s*>", re.I | re.S)
+_TR_RE = re.compile(r"<tr\b.*?</tr\s*>", re.I | re.S)
+_CELL_RE = re.compile(r"<(th|td)\b[^>]*>(.*?)</\1\s*>", re.I | re.S)
+_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def _cell_text(fragment: str) -> str:
+    # BeautifulSoup's `col.text.strip()` analog: drop nested markup,
+    # decode entities, strip only the ends (:53)
+    return unescape(_TAG_RE.sub("", fragment)).strip()
+
+
+def parse_html_tables(html: str) -> list[list[list[str]]]:
+    """S1: every ``<table>`` on a page as a list of stripped-text rows
+    — the driver-side twin of the reference's BeautifulSoup loop
+    (arbitrage_scanner.py:48-55: find table, ``find_all('tr')``, cells
+    = ``find_all(['th','td'])``, ``.text.strip()``).  Regex-based on
+    purpose (no HTML lib in the engine's dependency set); nested
+    tables are out of scope, like the reference's flat odds pages.
+    Rows may be ragged — ``promote_header`` squares them the way
+    ``pd.DataFrame(data)`` does."""
+    tables = []
+    for t in _TABLE_RE.findall(html):
+        rows = []
+        for tr in _TR_RE.findall(t):
+            rows.append([_cell_text(m.group(2)) for m in _CELL_RE.finditer(tr)])
+        tables.append(rows)
+    return tables
+
+
+def first_table_rows(html: str) -> list[list[str]]:
+    """The reference scrapes ONLY the first table per page
+    (``soup.find('table')``, arbitrage_scanner.py:50)."""
+    tables = parse_html_tables(html)
+    return tables[0] if tables else []
+
+
+def promote_header(
+    rows: list[list[str]],
+) -> tuple[list[str], list[list[str | None]]]:
+    """The reference's scrape cleanup (arbitrage_scanner.py:61-66):
+    drop the banner row 0, drop rows with a blank first cell or a
+    missing second cell, promote the NEXT row to the header — the
+    header row is itself scraped data, not ``<th>`` metadata — and
+    delete mid-table repeats of that header (the rows the reference
+    removes per bookie column at :142-143).  Ragged data rows pad to
+    the header width with None (``pd.DataFrame``'s NaN fill)."""
+    body = [r for r in rows[1:] if r and r[0] != "" and len(r) >= 2]
+    if not body:
+        return [], []
+    header = body[0]
+    width = len(header)
+    data: list[list[str | None]] = []
+    for r in body[1:]:
+        if r == header:
+            continue
+        data.append((list(r) + [None] * width)[:width])
+    return header, data
+
+
+def scrape_tables_to_df(
+    spark: SparkSession,
+    pages: dict[str, str],
+    schema: str,
+    label_col: str = "Sport",
+) -> DataFrame:
+    """S1 end-to-end: one HTML page per label (the reference's
+    per-sport scrape loop, arbitrage_scanner.py:45-58) → first table →
+    header promotion → one labelled DataFrame.  ``schema`` names the
+    expected post-promotion columns plus the label column; pages whose
+    promoted header disagrees raise rather than silently misalign."""
+    want = [f.split()[0].strip("`") for f in schema.split(",")]
+    data_cols = [c for c in want if c != label_col]
+    out: list[tuple] = []
+    for label, html in pages.items():
+        header, data = promote_header(first_table_rows(html))
+        if header[: len(data_cols)] != data_cols:
+            raise ValueError(
+                f"scrape_tables_to_df: page {label!r} header {header} "
+                f"does not match expected columns {data_cols}"
+            )
+        for r in data:
+            vals = dict(zip(header, r))
+            out.append(
+                tuple(label if c == label_col else vals.get(c) for c in want)
+            )
+    return spark.createDataFrame(out, schema)
 
 
 def send_notifications(

@@ -49,6 +49,7 @@ from banksy_spark.suite import round5q  # noqa: E402,F401
 from banksy_spark.suite import round5r  # noqa: E402,F401
 from banksy_spark.suite import round5s  # noqa: E402,F401
 from banksy_spark.suite import round6  # noqa: E402,F401
+from banksy_spark.suite import pipe_scrape  # noqa: E402,F401
 
 # Rotate the newest / highest-risk queries into the driver's ~50-query
 # verification window (it samples the FIRST 50 registry entries).  The
@@ -85,6 +86,7 @@ _FRONT = [
     "ml_quantile_binning",
     "ml_winsorize",
     "llm_stratified_split",
+    "pipe_scrape_table",
 ]
 _rest = [n for n in REGISTRY if n not in set(_FRONT)]
 _reordered = {n: REGISTRY[n] for n in _FRONT + _rest}

@@ -356,6 +356,108 @@ def test_upsert_batch_version_col_picks_deterministic_winner(spark, tmp_path):
     assert not os.path.exists(p + "__staging__")
 
 
+def test_html_table_parse_matches_declared_rows():
+    """S1 (round 7): the regex <tr>/<td> extractor must emit exactly
+    the raw rows the oracle fixture declares — first table only,
+    nested markup dropped, entities decoded, ends stripped, ragged
+    rows left ragged (promote_header squares them)."""
+    from banksy_spark.sources.adapters import first_table_rows, parse_html_tables
+    from banksy_spark.suite.pipe_scrape import _RAW_TR_ROWS, PAGES
+
+    for sport, page in PAGES.items():
+        want = [
+            [c for c in r[2:] if c is not None]
+            for r in _RAW_TR_ROWS
+            if r[0] == sport
+        ]
+        got = first_table_rows(page)
+        assert got == want, (sport, got)
+    # the NFL page's second (footer) table exists but is not the first
+    assert len(parse_html_tables(PAGES["NFL"])) == 2
+    assert parse_html_tables("<p>no tables here</p>") == []
+
+
+def test_html_header_promotion_reference_semantics():
+    """promote_header mirrors arbitrage_scanner.py:61-66 + :142-143:
+    banner dropped, blank-first-cell rows dropped, header promoted
+    from DATA, mid-table repeated headers deleted, ragged rows padded
+    to header width with None."""
+    from banksy_spark.sources.adapters import first_table_rows, promote_header
+    from banksy_spark.suite.pipe_scrape import PAGES
+
+    header, data = promote_header(first_table_rows(PAGES["NFL"]))
+    assert header == ["Team", "Time", "DraftKings", "FanDuel", "Caesars"]
+    teams = [r[0] for r in data]
+    assert teams == ["3 Seattle Seahawks", "Cardinals", "Bills & co", "Jets"]
+    assert all(len(r) == 5 for r in data)
+    jets = data[teams.index("Jets")]
+    assert jets[4] is None  # ragged row padded like pd.DataFrame NaN
+    assert promote_header([]) == ([], [])
+    assert promote_header([["banner"]]) == ([], [])
+
+
+def test_upsert_batch_recovers_interrupted_swap(spark, tmp_path):
+    """Round-7 (ADVICE r6): a crash between delete(target) and
+    rename(staging, target) leaves the ONLY copy of the table in the
+    staging dir. The next call must complete the interrupted swap —
+    not treat the batch as the full state and erase the orphan."""
+    import shutil
+
+    from banksy_spark.io import upsert_batch
+
+    p = str(tmp_path / "crash_state")
+    b1 = spark.createDataFrame([(1, "x"), (2, "y")], "id int, v string")
+    upsert_batch(b1, p, ["id"])
+    # inject the crash window: target deleted, staging holds the table
+    shutil.move(p, p + "__staging__")
+    assert not __import__("os").path.exists(p)
+    # replay the NEXT batch — must merge against the recovered state
+    b2 = spark.createDataFrame([(3, "z")], "id int, v string")
+    upsert_batch(b2, p, ["id"])
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(p).collect()}
+    assert got == {(1, "x"), (2, "y"), (3, "z")}, "orphaned rows were lost"
+
+
+def test_upsert_versioned_pointer_commit(spark, tmp_path):
+    """Manifest-pointer sink: a reader resolving _CURRENT at any
+    instant sees a complete snapshot; an interrupted commit (snapshot
+    written, pointer never swung, pointer even deleted) recovers to
+    the newest complete snapshot and converges on replay."""
+    import os
+    import shutil
+
+    from banksy_spark.io import read_current, upsert_versioned
+
+    p = str(tmp_path / "vtable")
+    b1 = spark.createDataFrame([(1, "x"), (2, "y")], "id int, v string")
+    assert upsert_versioned(b1, p, ["id"]) == 1
+    b2 = spark.createDataFrame([(2, "y2"), (3, "z")], "id int, v string")
+    assert upsert_versioned(b2, p, ["id"]) == 2
+    want = {(1, "x"), (2, "y2"), (3, "z")}
+    got = {(r["id"], r["v"]) for r in read_current(spark, p).collect()}
+    assert got == want
+    # crash injection 1: pointer lost entirely (the pointer's own
+    # delete+rename window) — recovery scans for the newest _SUCCESS
+    os.remove(f"{p}/_CURRENT")
+    got = {(r["id"], r["v"]) for r in read_current(spark, p).collect()}
+    assert got == want
+    # and the next commit proceeds from the recovered snapshot
+    b3 = spark.createDataFrame([(4, "w")], "id int, v string")
+    v = upsert_versioned(b3, p, ["id"])
+    assert v == 3
+    got = {(r["id"], r["v"]) for r in read_current(spark, p).collect()}
+    assert got == want | {(4, "w")}
+    # crash injection 2: a fully-written orphan snapshot without a
+    # pointer swing — replaying the SAME batch converges (the orphan
+    # is simply overwritten-past)
+    shutil.copytree(f"{p}/v3", f"{p}/v4")
+    upsert_versioned(b3, p, ["id"])
+    got = {(r["id"], r["v"]) for r in read_current(spark, p).collect()}
+    assert got == want | {(4, "w")}
+    # old snapshots beyond keep_versions are gone
+    assert not os.path.exists(f"{p}/v1")
+
+
 def test_write_sorted_shards_range_disjoint_and_balanced(spark, tmp_path):
     """Sorted-shard export: exact NTILE fill contract (sizes differ by
     at most 1), shard key-ranges non-overlapping and ascending, and
