@@ -266,6 +266,12 @@ def _bucket_cols(
     """(bucket, sub-bucket) expressions + total row count for a parsed
     order spec.
 
+    An operator-internal localCheckpoint of small frames was measured
+    here in round 7 and REVERTED: at the sizes where it could help
+    (<262k rows) the materialization costs as much as the recompute it
+    saves; consumers whose upstream is an expensive aggregate already
+    checkpoint at the call site (a_abc_classification, dq_skew_report).
+
     One sampled aggregate pass (quantiles + count, ``_sketch``).  The
     EFFECTIVE bucket count scales to the measured rows (~one bucket
     per ``rows_per_bucket``, capped at ``n_buckets``): a 15k-row

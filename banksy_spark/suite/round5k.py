@@ -127,6 +127,12 @@ def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = scored.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
     )
+    # `per` is exactly 10 rows (the decile grain) by construction, so
+    # the unpartitioned running/total windows below are bounded and
+    # allowlisted in tools/plan_audit.py — the ~21 "WindowExec: No
+    # Partition Defined" warnings this query logs are EXPECTED noise
+    # from these 10-row frames, not a fact-scale global window (that
+    # one is the ordinal-decomposed NTILE above). Do not re-triage.
     w_cum = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
