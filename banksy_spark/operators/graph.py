@@ -9,9 +9,11 @@ Two forms:
   explicit edge-set fixed-point check, so the answer is exact for ANY
   graph shape — a chain of duplicates with diameter 1000 converges just
   as surely as a near-clique, in O(log^2 n) rounds (O(log n) observed).
-  Lineage is truncated with eager ``localCheckpoint`` every iteration
-  (the convergence test needs a materialization anyway), so the plan
-  never deepens and shuffle files are released as the loop proceeds.
+  Lineage is truncated with a lazy ``localCheckpoint`` every
+  iteration, materialized by the convergence probe itself — the probe
+  is ONE driver job per iteration (a left join folding the new edge
+  count and the novel-edge count into a single aggregate), so the
+  plan never deepens and each round costs exactly one job.
 
 - :func:`label_propagation_cc` — the bounded-depth lazy form (min-label
   propagation over the open neighborhood for a *fixed* number of
@@ -34,10 +36,10 @@ Algorithm (converged form), with edges canonically oriented big->small:
 
 Scale: each iteration is two groupBy-min + two joins keyed on node id
 over the EDGE list (for dedup: the LSH collision pairs, tiny relative
-to the corpus). The convergence check is one EXCEPT + two counts over
-the same edge list. State never exceeds one edge per non-root node
-after the first small-star, so iterations get *cheaper* as the loop
-proceeds.
+to the corpus). The convergence check is one left join + aggregate
+over the same edge list (new count and novel count in one pass).
+State never exceeds one edge per non-root node after the first
+small-star, so iterations get *cheaper* as the loop proceeds.
 """
 
 from __future__ import annotations
@@ -63,6 +65,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    driver_threshold: int = 500_000,
 ) -> DataFrame:
     """Label every node of the undirected graph given by ``pairs`` with
     its component's minimum node id — exact for any graph, via
@@ -74,15 +77,74 @@ def connected_components(
     loop raises rather than silently returning an under-merged answer
     if the fixed point is somehow not reached (the algorithm's bound is
     O(log^2 n) rounds, so 50 covers any graph that fits on a cluster).
+
+    ``driver_threshold``: when the canonical edge set has at most this
+    many edges (default 500k ≈ 8 MB of long pairs), the fixed point is
+    computed with a driver-side union-find (O(E·α)) and shipped back as
+    ONE broadcast join — zero loop iterations, no per-round shuffles.
+    This is the same bounded-driver-directory discipline as the ordinal
+    operator: dedup collision graphs are orders of magnitude smaller
+    than the corpus that produced them, so the common case pays a
+    single bounded collect instead of O(log n) shuffle rounds, while
+    graphs past the bound take the distributed loop unchanged. Pass
+    ``driver_threshold=0`` to force the distributed path.
     """
+    # One materialization of the pair list, shared by the node set and
+    # the edge set — without this the caller's (possibly expensive)
+    # lineage, e.g. a MinHash-LSH candidate generation, is computed
+    # twice: once for the edge checkpoint and once when the node frame
+    # materializes at the end.
+    p = pairs.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).localCheckpoint(eager=False)
     nodes = (
-        pairs.select(F.col(src).alias("node"))
-        .union(pairs.select(F.col(dst).alias("node")))
+        p.select(F.col("s").alias("node"))
+        .union(p.select(F.col("d").alias("node")))
         .distinct()
         .persist()
     )
-    e = _canonical_edges(pairs, src, dst).localCheckpoint(eager=True)
-    n_edges = e.count()
+    e = _canonical_edges(p, "s", "d").localCheckpoint(eager=False)
+    n_edges = e.count()  # materializes both lazy checkpoints
+    if 0 < n_edges <= driver_threshold:
+        # Bounded driver union-find: attach the larger root under the
+        # smaller, so every set's final root IS its minimum node id.
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        seen = set()
+        for row in e.collect():
+            a, b = row[0], row[1]
+            seen.add(a)
+            seen.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        from pyspark.sql import types as _T
+
+        ntype = e.schema["a"].dataType
+        lab_df = pairs.sparkSession.createDataFrame(
+            [(x, find(x)) for x in seen],
+            _T.StructType(
+                [
+                    _T.StructField("node", ntype),
+                    _T.StructField("lab", ntype),
+                ]
+            ),
+        )
+        labels = nodes.join(F.broadcast(lab_df), "node", "left").select(
+            "node", F.coalesce("lab", "node").alias("lab")
+        )
+        nodes.unpersist()
+        return labels
     if n_edges:
         for _ in range(max_iter):
             # --- large-star: v > u re-attaches to min(N(u) ∪ {u}) ----
@@ -109,11 +171,27 @@ def connected_components(
                 .union(mins2.select("a", F.col("m").alias("b")))
                 .filter(F.col("a") != F.col("b"))
                 .distinct()
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            # --- fixed point? ss ⊆ e and |ss| == |e| ⇒ ss == e -------
-            n_new = ss.count()
-            changed = n_new != n_edges or not ss.subtract(e).isEmpty()
+            # --- fixed point? |ss| == |e| and ss \ e == ∅ ⇒ ss == e --
+            # one driver job per iteration: the left join against the
+            # previous (distinct) edge set yields exactly |ss| rows, so
+            # COUNT(*) is the new edge count and the null-probe count is
+            # |ss \ e|; the same job materializes ss's lazy checkpoint.
+            stats = (
+                ss.join(
+                    e.select("a", "b", F.lit(1).alias("_ine")),
+                    ["a", "b"],
+                    "left",
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count(F.when(F.col("_ine").isNull(), 1)).alias("novel"),
+                )
+                .first()
+            )
+            n_new = stats["n"]
+            changed = n_new != n_edges or stats["novel"] != 0
             e, n_edges = ss, n_new
             if not changed:
                 break
@@ -208,7 +286,7 @@ def bfs_distances(
         # past ~8 rounds); a lineage cut every 3 rounds caps the fan-out
         # at 8 while keeping the 4-round suite query fully lazy
         if (i + 1) % 3 == 0 and i + 1 < rounds:
-            dist = dist.localCheckpoint(eager=True)
+            dist = dist.localCheckpoint(eager=False)
     probe = dist.unionByName(
         dist.join(edges, dist.node == edges.u).select(
             F.col("v").alias("node"), (F.col("dist") + 1).alias("dist")
@@ -262,7 +340,8 @@ def bfs_converged(
     """BFS distances iterated until the frontier is exhausted — the
     convergence-guaranteed sibling of :func:`bfs_distances`, same loop
     discipline as :func:`connected_components`: expand + MIN-regroup
-    per round, eager ``localCheckpoint`` to keep the plan flat, stop
+    per round, a lazy ``localCheckpoint`` (materialized by the round's
+    single convergence-count job) to keep the plan flat, stop
     when one more round would change nothing (the same test the
     bounded form exposes as its ``frontier_delta`` detector). Returns
     ``((node, dist), n_rounds)``; raises at ``max_iter`` rather than
@@ -273,7 +352,7 @@ def bfs_converged(
     dist = spark.range(1).select(
         F.lit(source).cast("bigint").alias("node"),
         F.lit(0).cast("bigint").alias("dist"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     n_rounds = 0
     for _ in range(max_iter):
         n_rounds += 1
@@ -285,7 +364,7 @@ def bfs_converged(
             )
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             nxt.join(dist.withColumnRenamed("dist", "old"), "node", "left")
@@ -319,7 +398,7 @@ def ancestors_converged(
         F.coalesce("parent", F.col("node")).alias("ptr"),
         F.when(F.col("parent").isNull(), 0).otherwise(1).cast("bigint").alias("d"),
         F.col("parent").isNull().alias("done"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # done=True ⇒ ptr IS the root and d the exact depth
     n_rounds = 0
     for _ in range(max_iter):
@@ -345,7 +424,7 @@ def ancestors_converged(
                 .alias("d"),
                 (F.col("done") | F.coalesce("p_done", F.lit(True))).alias("done"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     raise RuntimeError(
         f"ancestors_converged did not resolve in {max_iter} rounds — "
@@ -376,7 +455,7 @@ def weighted_rollup_converged(
         .cast("bigint")
         .alias("m"),
         F.col("parent").isNull().alias("done"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     n_rounds = 0
     for _ in range(max_iter):
         if state.filter(~F.col("done")).count() == 0:
@@ -405,7 +484,7 @@ def weighted_rollup_converged(
                 .alias("m"),
                 (F.col("done") | F.coalesce("p_done", F.lit(True))).alias("done"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     raise RuntimeError(
         f"weighted_rollup_converged did not resolve in {max_iter} rounds — "

@@ -17,14 +17,15 @@ replica, tests/test_scale_ops.py):
 
 Scale: per iteration, assignment is a broadcast of k centroids against
 a narrow scan (map-only) and the update is one (cell, pos) exchange
-with map-side combine; ``localCheckpoint`` truncates lineage per
-iteration (the stability count materializes anyway). Empty cells keep
+with map-side combine; a lazy ``localCheckpoint`` truncates lineage
+per iteration and the stability count is the ONE driver job that
+materializes it. Empty cells keep
 their previous centroid — no respawn heuristic, so runs are replayable.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
@@ -32,15 +33,33 @@ _NORM = "sqrt(aggregate(transform({v}, x -> x * x), 0D, (acc, v) -> acc + v))"
 
 
 def _assign(n: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid cell per vector: (vec_id, cell, v)."""
+    """Nearest-centroid cell per vector: (vec_id, cell, v).
+
+    Argmax by (similarity DESC, seed id ASC) as a hash aggregate —
+    ``max`` over a ``(sim, -cell)``-led struct picks exactly the row a
+    sort-window would, without sorting the n×k candidate rows (the agg
+    is map-side combinable, so at scale each executor reduces its own
+    candidates before the exchange). (sim, -cell) is unique per
+    (vec_id, cell), so the trailing payload fields never decide."""
     sim = F.expr(_DOT.format(a="v", b="cv")) / (F.col("nrm") * F.col("cnorm"))
-    wa = Window.partitionBy("vec_id").orderBy(F.col("_sim").desc(), "cell")
+    best = F.max(
+        F.struct(
+            F.col("_sim").alias("s"),
+            (-F.col("cell")).alias("nc"),
+            F.col("cell").alias("cell"),
+            F.col("v").alias("v"),
+        )
+    ).alias("best")
     return (
         n.crossJoin(F.broadcast(cents))
         .withColumn("_sim", sim)
-        .withColumn("rk", F.row_number().over(wa))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "cell", "v")
+        .groupBy("vec_id")
+        .agg(best)
+        .select(
+            "vec_id",
+            F.col("best.cell").alias("cell"),
+            F.col("best.v").alias("v"),
+        )
     )
 
 
@@ -78,9 +97,9 @@ def kmeans_train(
             F.col("v").alias("cv"),
             F.col("nrm").alias("cnorm"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    assigned = _assign(n, cents).localCheckpoint(eager=True)
+    assigned = _assign(n, cents).localCheckpoint(eager=False)
     n_iter, converged = 0, False
     for _ in range(max_iter):
         n_iter += 1
@@ -105,9 +124,9 @@ def kmeans_train(
             .join(means, "cell", "left")
             .select("cell", F.coalesce("cv", "prev").alias("cv"))
             .withColumn("cnorm", F.expr(_NORM.format(v="cv")))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        nxt = _assign(n, cents).localCheckpoint(eager=True)
+        nxt = _assign(n, cents).localCheckpoint(eager=False)
         moved = (
             nxt.select("vec_id", F.col("cell").alias("new_cell"))
             .join(assigned.select("vec_id", "cell"), "vec_id")

@@ -70,12 +70,14 @@ _EST_DUCK = " + ".join(
     """,
     note="Dedup resolution: connected components over the MinHash-LSH duplicate graph "
     "(band-collision pairs with estimated jaccard >= 0.5), each doc labeled with its "
-    "component's min doc_id; keep is_canonical. Spark side: alternating large-star/"
+    "component's min doc_id; keep is_canonical. Spark side: a bounded driver "
+    "union-find when the collision edge set is small (one collect + one broadcast "
+    "join — the ordinal-directory discipline), else alternating large-star/"
     "small-star (Kiveris et al.) iterated to a verified edge-set fixed point — exact "
     "for any graph diameter, O(log n) observed rounds, lineage truncated per round "
     "with localCheckpoint; oracle side: exact transitive closure via recursive CTE. "
     "At 100 TB the edge list is the (tiny) collision set, not the corpus, and each "
-    "round is two groupBy-min + two joins keyed on node id over that edge list.",
+    "distributed round is two groupBy-min + two joins keyed on node id over it.",
 )
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _lsh_sigs(spark, sf_dir, with_hs=False)

@@ -241,13 +241,25 @@ def ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("snrm"),
     )
     sim = F.expr(_DOT_SPARK.format(a="v", b="sv")) / (F.col("nrm") * F.col("snrm"))
-    wa = Window.partitionBy("vec_id").orderBy(F.col("_sim").desc(), "seed_id")
+    # argmax (sim DESC, seed_id ASC) as a map-side-combinable hash
+    # aggregate: max over a (sim, -seed_id)-led struct picks exactly
+    # the row the oracle's row_number() window picks, without sorting
+    # the n×k candidate rows. (sim, -seed_id) is unique per candidate,
+    # so the trailing payload fields never decide.
+    best = F.max(
+        F.struct(
+            F.col("_sim").alias("s"),
+            (-F.col("seed_id")).alias("ns"),
+            F.col("seed_id").alias("seed_id"),
+            F.col("v").alias("v"),
+        )
+    ).alias("best")
     assigned = (
         n.crossJoin(F.broadcast(seeds))
         .withColumn("_sim", sim)
-        .withColumn("rk", F.row_number().over(wa))
-        .filter(F.col("rk") == 1)
-        .select(F.col("seed_id").alias("cell"), "v")
+        .groupBy("vec_id")
+        .agg(best)
+        .select(F.col("best.seed_id").alias("cell"), F.col("best.v").alias("v"))
     )
     dims = assigned.select(
         "cell",
@@ -672,7 +684,7 @@ from banksy_spark.suite.round4d import _BFS_N  # noqa: E402  (shared fixture)
     note="Arbitrary-depth ancestry resolution: every part labeled with its "
     "hierarchy ROOT and exact depth via pointer jumping (path doubling, "
     "operators/graph.py:ancestors_converged) — ceil(log2 h)+1 driver-loop "
-    "rounds for depth h, NOT h rounds, with eager localCheckpoint per round "
+    "rounds for depth h, NOT h rounds, with a lazy localCheckpoint per round "
     "(the CC loop discipline). This is the convergence-guaranteed sibling "
     "of j_hierarchy_unroll: no depth budget to outrun, so the truncated "
     "flag that guards the unroll is structurally unnecessary here. Oracle: "

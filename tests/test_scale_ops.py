@@ -147,8 +147,43 @@ def test_cc_converges_where_fixed_budget_under_merges(spark):
         "fixture too easy: 6 rounds solved the chain — deepen it"
     )
 
+    # both execution paths: bounded driver union-find (default — 63
+    # edges is far under the threshold) and the distributed
+    # large-star/small-star loop (forced via driver_threshold=0)
     exact = {r.node: r.lab for r in connected_components(df).collect()}
     assert exact == {i: 0 for i in range(64)}
+    dist = {
+        r.node: r.lab
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert dist == exact
+
+
+def test_cc_driver_and_distributed_paths_agree(spark):
+    """The driver union-find fast path (bounded collect below
+    ``driver_threshold``) must produce bit-identical labels to the
+    distributed large-star/small-star loop on a graph mixing a long
+    chain, a clique, self-loops (node set membership without edges),
+    and a random sparse blob with several components."""
+    import random
+
+    from banksy_spark.operators.graph import connected_components
+
+    rng = random.Random(11)
+    edges = [(i + 1, i) for i in range(50)]
+    edges += [(100 + a, 100 + b) for a in range(6) for b in range(a)]
+    edges += [(999, 999), (7, 7)]
+    edges += [
+        (rng.randint(200, 260), rng.randint(200, 260)) for _ in range(80)
+    ]
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    drv = {r.node: r.lab for r in connected_components(df).collect()}
+    dist = {
+        r.node: r.lab
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert drv == dist
+    assert drv[50] == 0 and drv[105] == 100 and drv[999] == 999
 
 
 def test_ann_recall_floor_at_pinned_nprobe(spark):
