@@ -163,10 +163,15 @@ def send_notifications(
 
     The collect here is intentional and bounded: decide_alerts already
     reduced to the per-day rate-limited alert set; a sink that POSTs to
-    a phone is driver-side by nature. Returns the number of alert lines
-    sent (0 = below min_batch, nothing sent).
+    a phone is driver-side by nature. Lines are sorted before joining —
+    a bare collect()'s row order is partition order, which differs
+    between batch and foreachBatch contexts for the same alert set.
+    Returns the number of alert lines sent (0 = below min_batch,
+    nothing sent).
     """
-    lines: Iterable[str] = [r[message_col] for r in alerts.select(message_col).collect()]
+    lines: Iterable[str] = sorted(
+        r[message_col] for r in alerts.select(message_col).collect()
+    )
     lines = list(lines)
     if len(lines) < min_batch:
         return 0

@@ -53,9 +53,12 @@ class _NotifyStreamWriter(DataSourceStreamWriter):
         return _Lines(lines=[row[self._col] for row in iterator])
 
     def commit(self, messages, batchId: int) -> None:
-        lines = [
+        # sorted: partition-task completion order is nondeterministic,
+        # and the push content must not depend on it (same rule as
+        # adapters.send_notifications)
+        lines = sorted(
             ln for m in messages if m is not None for ln in m.lines
-        ]
+        )
         if len(lines) < self._min_batch:
             return  # reference's >1-row rule: below quota, no send
         os.makedirs(os.path.dirname(self._path) or ".", exist_ok=True)

@@ -488,25 +488,34 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = edges.select("src").distinct().groupBy().agg(F.count("*").alias("n"))
     # Integer floor-division (DIV) end-to-end: float "/" then cast would
     # truncate a rounded double, which diverges from the oracle's "//".
+    # The node count joins ONCE into the seed ranks and rides along as a
+    # column — re-crossJoining the broadcast 1-row aggregate inside the
+    # loop would replay its distinct+exchange subplan every iteration
+    # (plan-inspected: 5 copies before this carry).
     ranks = (
         edges.select("src").distinct()
         .crossJoin(F.broadcast(nn))
         .select(
             F.col("src").alias("node"),
             F.expr(f"CAST({_PR_S} AS BIGINT) DIV n").alias("r"),
+            "n",
         )
     )
     for _ in range(_PR_ITERS):
         contribs = (
             ed.join(ranks.withColumnRenamed("node", "_s"), F.col("src") == F.col("_s"))
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.expr("r DIV outdeg")).alias("c"))
+            .agg(
+                F.sum(F.expr("r DIV outdeg")).alias("c"),
+                F.min("n").alias("n"),
+            )
         )
-        ranks = contribs.crossJoin(F.broadcast(nn)).select(
+        ranks = contribs.select(
             "node",
             F.expr(
                 f"CAST({3 * _PR_S} AS BIGINT) DIV (20 * n) + (17 * c) DIV 20"
             ).alias("r"),
+            "n",
         )
     return ranks.select("node", F.col("r").cast("bigint").alias("rank_scaled"))
 
