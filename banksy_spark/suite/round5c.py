@@ -104,10 +104,17 @@ def j_similarity_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(_TAU_NUM) * F.col("n") + F.lit(_TAU_DEN - 1)) / F.lit(_TAU_DEN)
     ) + 1
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    # the candidate equi-join keys on xxhash64(tok), not the shingle
+    # string: 8-byte shuffle rows, and a hash collision can only ADD
+    # candidates (every survivor is re-verified with exact Jaccard, and
+    # any extra pair passing J >= tau is in the brute-force oracle by
+    # definition). The PREFIX ORDER stays on the real (df, tok) pair —
+    # completeness needs one total order consistent across docs, which
+    # a colliding hash tie-break would not guarantee.
     prefix = (
         ranked.withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= prefix_len)
-        .select("doc_id", "n", "tok")
+        .select("doc_id", "n", F.xxhash64("tok").alias("tok"))
     )
     cand = (
         prefix.alias("a")
@@ -161,10 +168,15 @@ def j_similarity_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "candidate set is an equi-join on generated keys — O(n·L) keyed rows "
     "instead of the oracle's O(n²) Levenshtein calls — then exact "
     "levenshtein == 1 verifies (deletions at different positions can "
-    "produce distance-2 collisions). Both engines use the classic DP "
-    "Levenshtein, so verification is integer-exact. Scale: the shuffle "
-    "keys on the deletion strings; key-group sizes are bounded by "
-    "alphabet size at the deleted position, never by corpus size.",
+    "produce distance-2 collisions). The join key is xxhash64 of the "
+    "deletion string (8-byte shuffle rows instead of L-char strings; a "
+    "hash collision can only ADD candidates, and every emitted pair is "
+    "re-verified, so correctness is collision-proof), and verification "
+    "uses the threshold form levenshtein(a, b, 1) — O(L·1) early-exit "
+    "DP instead of the full O(L²) table, same integer result as the "
+    "oracle's full DP at distance 1. Scale: the shuffle keys on hashed "
+    "deletion strings; key-group sizes are bounded by alphabet size at "
+    "the deleted position, never by corpus size.",
 )
 def j_fuzzy_edit1_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
@@ -189,20 +201,23 @@ def j_fuzzy_edit1_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("blk"),
     )
-    a = keys.select(
-        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"), "blk"
+    hashed = keys.select(
+        "c_custkey", "c_name", F.xxhash64("blk").alias("h")
     )
-    b = keys.select(
-        F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"), "blk"
+    a = hashed.select(
+        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"), "h"
+    )
+    b = hashed.select(
+        F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"), "h"
     )
     # verify BEFORE the distinct: levenshtein on an 18-char pair is
     # cheaper than shuffling duplicate candidates (a pair can collide on
     # up to L shared deletion keys), and the dedup then carries only the
     # surviving 2-int tuples
     return (
-        a.join(b, "blk")
+        a.join(b, "h")
         .filter(F.col("key_a") < F.col("key_b"))
-        .filter(F.levenshtein(F.col("name_a"), F.col("name_b")) == 1)
+        .filter(F.expr("levenshtein(name_a, name_b, 1) = 1"))
         .select("key_a", "key_b")
         .distinct()
     )
