@@ -87,6 +87,16 @@ _FRONT = [
     "ml_winsorize",
     "llm_stratified_split",
     "pipe_scrape_table",
+    # round-7 session 2: convergence-loop rework (CC driver union-find
+    # fast path, lazy checkpoints), PageRank n-carry, hash-agg k-means
+    # assignment, hashed similarity-join candidate keys
+    "llm_dedup_clusters",
+    "llm_dedup_canonical",
+    "llm_corpus_clean",
+    "graph_pagerank",
+    "ml_kmeans_step",
+    "j_fuzzy_edit1_join",
+    "j_similarity_prefix_join",
 ]
 _rest = [n for n in REGISTRY if n not in set(_FRONT)]
 _reordered = {n: REGISTRY[n] for n in _FRONT + _rest}
