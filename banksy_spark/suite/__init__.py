@@ -50,6 +50,7 @@ from banksy_spark.suite import round5r  # noqa: E402,F401
 from banksy_spark.suite import round5s  # noqa: E402,F401
 from banksy_spark.suite import round6  # noqa: E402,F401
 from banksy_spark.suite import pipe_scrape  # noqa: E402,F401
+from banksy_spark.suite import round7  # noqa: E402,F401
 
 # Rotate the newest / highest-risk queries into the driver's ~50-query
 # verification window (it samples the FIRST 50 registry entries).  The
@@ -97,6 +98,10 @@ _FRONT = [
     "ml_kmeans_step",
     "j_fuzzy_edit1_join",
     "j_similarity_prefix_join",
+    # round-7 session 3: corpus-lifecycle additions (new code → into
+    # the external-oracle window)
+    "llm_dedup_semantic",
+    "llm_shuffle_shards",
 ]
 _rest = [n for n in REGISTRY if n not in set(_FRONT)]
 _reordered = {n: REGISTRY[n] for n in _FRONT + _rest}

@@ -1,0 +1,169 @@
+"""Round-7 batch: training-corpus lifecycle operators.
+
+Three pipeline shapes a 100 TB pre-training corpus needs that the
+suite did not yet name as first-class queries:
+
+- llm_dedup_semantic — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+  cluster embeddings around a fixed centroid set, then drop any vector
+  that sits within cosine τ of a LOWER-id vector in the SAME cluster.
+  The cluster id is the candidate-blocking key — pairs are only formed
+  inside a cluster, never across the corpus, so the shuffle key is
+  `cluster` and per-cluster candidate sets stay bounded when K scales
+  with n (the paper uses ~0.1%·n clusters).
+- llm_shuffle_shards — the deterministic epoch shuffle: every doc gets
+  a pseudorandom position from a seeded affine transform of its
+  content hash, the global ordinal over that position is the epoch
+  order, and round-robin over the ordinal yields exactly-balanced
+  (±1 row) shard files. Rides operators/ordinals.global_ordinals, so
+  no single-partition sort exists at any size; a new seed is a new
+  epoch permutation.
+
+Parity rules as registry.py: identical IEEE expression trees in both
+engines (the dot/norm folds seed identically), exactly-representable
+thresholds (0.375 = 3/8), every computed column aliased identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from banksy_spark.operators.ordinals import global_ordinals
+from banksy_spark.suite.llm import _DOT_DUCK, _DOT_SPARK, _NORM_DUCK, _NORM_SPARK, _POLY_DUCK, _POLY_SPARK
+from banksy_spark.suite.registry import T, query
+
+# --- SemDeDup: cluster-blocked embedding dedup ------------------------------
+
+_SEM_K = 8  # centroid set: vec_id < K (fixed, reproducible)
+_SEM_TAU = 0.375  # exactly representable (3/8); drops ~23% at sf0.1
+
+
+@query(
+    "llm_dedup_semantic",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, {_NORM_DUCK.format(v='v')} AS nrm FROM e),
+    c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < {_SEM_K}),
+    sims AS (
+      SELECT vec_id, cid,
+             {_DOT_DUCK.format(a='v', b='cv')} / (nrm * cn) AS s
+      FROM n CROSS JOIN c
+    ),
+    asg AS (
+      SELECT vec_id, CAST(cid AS BIGINT) AS cluster
+      FROM (SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+            FROM sims)
+      WHERE rn = 1
+    ),
+    m AS (SELECT n.vec_id, cluster, v, nrm FROM asg JOIN n USING (vec_id)),
+    drp AS (
+      SELECT DISTINCT b.vec_id
+      FROM m a JOIN m b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       AND {_DOT_DUCK.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) >= {_SEM_TAU}
+    )
+    SELECT m.vec_id, cluster, (drp.vec_id IS NULL) AS is_kept
+    FROM m LEFT JOIN drp ON m.vec_id = drp.vec_id
+    """,
+    note="SemDeDup (arXiv:2303.09540): nearest-centroid cluster assignment "
+    "(broadcast K centroids, map-side-combinable argmax hash agg — nothing "
+    "sorts), then within-cluster cosine pruning keeping the lowest id. The "
+    "cluster id blocks the pair join; no cross-cluster pair ever forms, so "
+    "the quadratic term is bounded by cluster granularity, which the "
+    "operator scales with K.",
+)
+def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    n = e.withColumn("nrm", F.expr(_NORM_SPARK.format(v="v")))
+    cents = n.filter(F.col("vec_id") < _SEM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    sim = F.expr(_DOT_SPARK.format(a="v", b="cv")) / (F.col("nrm") * F.col("cn"))
+    # argmax(sim) with lowest-cid tie-break as a hash aggregate (the
+    # kmeans._assign pattern: max over a (sim, -cid) struct == the
+    # row_number()=1 row of the oracle's sort, without sorting n×K rows).
+    assigned = (
+        n.crossJoin(F.broadcast(cents))
+        .withColumn("_s", sim)
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("_s").alias("s"), (-F.col("cid")).alias("nc"))).alias("m"))
+        .select("vec_id", (-F.col("m.nc")).cast("bigint").alias("cluster"))
+    )
+    m = assigned.join(n, "vec_id")  # vec_id, cluster, v, nrm
+    a = m.select(
+        "cluster", F.col("vec_id").alias("a_id"), F.col("v").alias("av"), F.col("nrm").alias("an")
+    )
+    b = m.select(
+        "cluster", F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), F.col("nrm").alias("bn")
+    )
+    pair_cos = F.expr(_DOT_SPARK.format(a="av", b="bv")) / (F.col("an") * F.col("bn"))
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(pair_cos >= _SEM_TAU)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_d", F.lit(True))
+    )
+    return (
+        m.join(dropped, "vec_id", "left")
+        .select("vec_id", "cluster", F.col("_d").isNull().alias("is_kept"))
+    )
+
+
+# --- Deterministic epoch shuffle + exactly-balanced shards ------------------
+
+_SHUF_SEED = 17
+_SHUF_SHARDS = 8
+# affine scramble of the content hash: h*A + seed (mod P). A is odd and
+# P prime, so the map is a bijection on [0, P) — a reshuffle is a seed
+# change, not a new hash pass.
+_SHUF_A = 2654435761  # Knuth's multiplicative constant; h*A < 2^63
+
+
+@query(
+    "llm_shuffle_shards",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             (({_POLY_DUCK.format(s='text')} * {_SHUF_A}) + {_SHUF_SEED}) % 1000000007 AS pos
+      FROM documents
+    )
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (ORDER BY pos, doc_id) AS epoch_pos,
+           CAST((ROW_NUMBER() OVER (ORDER BY pos, doc_id) - 1) % {_SHUF_SHARDS} AS INT) AS shard,
+           CAST((ROW_NUMBER() OVER (ORDER BY pos, doc_id) - 1) // {_SHUF_SHARDS} AS BIGINT)
+             AS shard_pos
+    FROM d
+    """,
+    note="Deterministic epoch shuffle for SGD ingest: seeded affine scramble "
+    "of the content hash gives every doc a pseudorandom position; the global "
+    "ordinal over (pos, doc_id) is the epoch order; round-robin over the "
+    "ordinal yields exactly-balanced (±1) shards with a defined within-shard "
+    "order. The oracle is the naive global window; the engine rides the "
+    "bucketed ordinal operator — every window partitioned at any size. A new "
+    "seed permutes the corpus again without rehashing the payload.",
+)
+def llm_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_POLY_SPARK.format(s="text")).alias("h")
+    )
+    d = d.select(
+        "doc_id",
+        ((F.col("h") * F.lit(_SHUF_A) + F.lit(_SHUF_SEED)) % F.lit(1_000_000_007)).alias("pos"),
+    )
+    out = global_ordinals(d, ["pos", "doc_id"], row_number="epoch_pos")
+    rn0 = F.col("epoch_pos") - 1
+    return out.select(
+        "doc_id",
+        "pos",
+        "epoch_pos",
+        (rn0 % _SHUF_SHARDS).cast("int").alias("shard"),
+        F.floor(rn0 / _SHUF_SHARDS).cast("bigint").alias("shard_pos"),
+    )
