@@ -10,7 +10,9 @@ suite did not yet name as first-class queries:
   inside a cluster, never across the corpus, so the shuffle key is
   `cluster` and per-cluster candidate sets stay bounded when K scales
   with n (the paper uses ~0.1%·n clusters).
-- llm_shuffle_shards — the deterministic epoch shuffle: every doc gets
+- llm_shuffle_shards — the deterministic epoch shuffle in its
+  exact-balance form (llm_epoch_shuffle in round4.py is the
+  expected-balance hash-shard sibling): every doc gets
   a pseudorandom position from a seeded affine transform of its
   content hash, the global ordinal over that position is the epoch
   order, and round-robin over the ordinal yields exactly-balanced
@@ -142,13 +144,17 @@ _SHUF_A = 2654435761  # Knuth's multiplicative constant; h*A < 2^63
              AS shard_pos
     FROM d
     """,
-    note="Deterministic epoch shuffle for SGD ingest: seeded affine scramble "
-    "of the content hash gives every doc a pseudorandom position; the global "
-    "ordinal over (pos, doc_id) is the epoch order; round-robin over the "
-    "ordinal yields exactly-balanced (±1) shards with a defined within-shard "
-    "order. The oracle is the naive global window; the engine rides the "
-    "bucketed ordinal operator — every window partitioned at any size. A new "
-    "seed permutes the corpus again without rehashing the payload.",
+    note="Deterministic epoch shuffle, exact-balance form: seeded affine "
+    "scramble of the content hash gives every doc a pseudorandom position; "
+    "the global ordinal over (pos, doc_id) is the epoch order; round-robin "
+    "over the ordinal yields EXACTLY-balanced (±1) shards with a defined "
+    "within-shard order. Complements llm_epoch_shuffle (round4.py), whose "
+    "hash-mod shards are uniform only in expectation — this form pays one "
+    "ordinal pass to guarantee every shard file is the same size, the "
+    "contract data-parallel trainers want per step. The oracle is the naive "
+    "global window; the engine rides the bucketed ordinal operator — every "
+    "window partitioned at any size. A new seed is a new permutation "
+    "without rehashing the payload.",
 )
 def llm_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents").select(
