@@ -102,6 +102,7 @@ _FRONT = [
     # the external-oracle window)
     "llm_dedup_semantic",
     "llm_shuffle_shards",
+    "llm_chunk_fixed_overlap",
 ]
 _rest = [n for n in REGISTRY if n not in set(_FRONT)]
 _reordered = {n: REGISTRY[n] for n in _FRONT + _rest}

@@ -19,6 +19,10 @@ suite did not yet name as first-class queries:
   (±1 row) shard files. Rides operators/ordinals.global_ordinals, so
   no single-partition sort exists at any size; a new seed is a new
   epoch permutation.
+- llm_chunk_fixed_overlap — retrieval-ingestion chunking: fixed
+  windows with overlap, provenance columns, a content hash per chunk.
+  Entirely map-side (sequence+explode in the scan task, zero
+  shuffles) — runs at scan speed at any corpus size.
 
 Parity rules as registry.py: identical IEEE expression trees in both
 engines (the dot/norm folds seed identically), exactly-representable
@@ -172,4 +176,58 @@ def llm_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "epoch_pos",
         (rn0 % _SHUF_SHARDS).cast("int").alias("shard"),
         F.floor(rn0 / _SHUF_SHARDS).cast("bigint").alias("shard_pos"),
+    )
+
+
+# --- Fixed-window overlapping chunking (RAG / retrieval ingestion) ----------
+
+_CHUNK_W = 200  # chunk width, chars
+_CHUNK_S = 150  # stride -> 50-char overlap between neighbors
+
+
+@query(
+    "llm_chunk_fixed_overlap",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             unnest(range(0,
+               greatest((length(text) - {_CHUNK_W} + {_CHUNK_S - 1}) // {_CHUNK_S}, 0) + 1
+             )) AS k,
+             text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(k AS INT) AS chunk_id,
+           CAST(1 + k * {_CHUNK_S} AS INT) AS start,
+           length(substr(text, CAST(1 + k * {_CHUNK_S} AS INT), {_CHUNK_W})) AS chunk_len,
+           md5(substr(text, CAST(1 + k * {_CHUNK_S} AS INT), {_CHUNK_W})) AS chunk_hash
+    FROM c
+    """,
+    note="Retrieval-ingestion chunking: fixed 200-char windows at stride 150 "
+    "(50-char overlap so no boundary sentence is lost), every chunk carrying "
+    "provenance (doc_id, chunk_id, start) and a content hash for downstream "
+    "dedup (composes with llm_dedup_exact on chunk_hash). Entirely map-side "
+    "— sequence+explode inside the scan task, zero shuffles, so at 100 TB "
+    "it runs at scan speed with no exchange at all. The negative-operand "
+    "integer-division hazard (Spark DIV truncates toward zero, DuckDB // "
+    "floors) is fenced by greatest(0, ·), which maps both conventions to "
+    "the same chunk count for short docs.",
+)
+def llm_chunk_fixed_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    kmax = F.greatest(
+        F.lit(0),
+        F.expr(f"(length(text) - {_CHUNK_W} + {_CHUNK_S - 1}) DIV {_CHUNK_S}"),
+    )
+    chunks = d.select(
+        "doc_id", "text", F.explode(F.sequence(F.lit(0), kmax)).alias("k")
+    )
+    start = (F.lit(1) + F.col("k") * _CHUNK_S).cast("int")
+    chunk = F.expr(f"substr(text, CAST(1 + k * {_CHUNK_S} AS INT), {_CHUNK_W})")
+    return chunks.select(
+        "doc_id",
+        F.col("k").cast("int").alias("chunk_id"),
+        start.alias("start"),
+        F.length(chunk).alias("chunk_len"),
+        F.md5(chunk.cast("binary")).alias("chunk_hash"),
     )

@@ -209,6 +209,9 @@ HEADLINE = [
     "a_trimmed_mean",           # exact-rank 5% trimmed mean
     "a_weighted_percentiles_global",  # exact weighted p10/p50/p90 at fact grain
     "ml_mcc",                   # balanced-quality MCC from one count pass
+    "llm_dedup_semantic",       # SemDeDup: cluster-blocked cosine prune
+    "llm_shuffle_shards",       # exact-balance epoch shuffle shards
+    "llm_chunk_fixed_overlap",  # map-side overlapping RAG chunking
 ]
 
 
