@@ -101,7 +101,10 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.struct(F.col("_s").alias("s"), (-F.col("cid")).alias("nc"))).alias("m"))
         .select("vec_id", (-F.col("m.nc")).cast("bigint").alias("cluster"))
     )
-    m = assigned.join(n, "vec_id")  # vec_id, cluster, v, nrm
+    # membership feeds BOTH sides of the pair join AND the final
+    # output — persist so the scan + centroid fan-out + argmax agg run
+    # once, not three times (at 100 TB that's one corpus pass vs three)
+    m = assigned.join(n, "vec_id").persist()  # vec_id, cluster, v, nrm
     a = m.select(
         "cluster", F.col("vec_id").alias("a_id"), F.col("v").alias("av"), F.col("nrm").alias("an")
     )
