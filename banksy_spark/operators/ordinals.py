@@ -112,6 +112,60 @@ def _check_reserved(columns, outputs=(), reserved_exact=frozenset()):
 
 _ROWS_PER_TASK = 65536
 
+# ---------------------------------------------------------------------------
+# ANALYZE-style statistics cache.
+#
+# The only extra driver actions any ordinal operator runs are its two
+# bounded sampling jobs (the quantile+count sketch and, under skew, the
+# hot-value secondary-cut pass).  Both produce BUCKET BOUNDARIES, and
+# correctness is boundary-placement-invariant (module docstring): any
+# monotone cut points yield the same ordinals — sampling only balances
+# the buckets.  That makes the sampled results safe to memoize the same
+# way an engine memoizes ANALYZE TABLE statistics: a stale entry can
+# skew a bucket, never a result.  Keyed by the CANONICALIZED analyzed
+# plan of the sampled frame (Catalyst's own plan identity — expression
+# IDs normalized, so the same construction over the same inputs maps to
+# one key) plus the sampling parameters.  Assumes inputs are immutable
+# within a session, exactly like ``DataFrame.cache``; ``clear`` /
+# ``set_stats_cache(False)`` are the escape hatches, and the poisoning
+# test (tests/test_ordinals.py) proves bit-exact results under a
+# deliberately wrong cache entry.  At 100 TB this is the difference
+# between one sampling scan per query and one per table lifetime.
+_STATS_CACHE: dict[str, tuple] = {}
+_STATS_CACHE_MAX = 256
+_stats_cache_on = True
+
+
+def set_stats_cache(enabled: bool) -> None:
+    """Toggle sketch memoization (on by default)."""
+    global _stats_cache_on
+    _stats_cache_on = bool(enabled)
+
+
+def clear_stats_cache() -> None:
+    _STATS_CACHE.clear()
+
+
+def _memo_action(df: DataFrame, tag: str, compute):
+    """Run ``compute()`` (a bounded driver action over ``df``) once per
+    (canonical plan, tag); replay the collected result afterwards."""
+    if not _stats_cache_on:
+        return compute()
+    import hashlib
+
+    try:
+        canon = df._jdf.queryExecution().analyzed().canonicalized().toString()
+    except Exception:  # unexpected plan state: just run the job
+        return compute()
+    key = hashlib.sha256((tag + "\x00" + canon).encode()).hexdigest()
+    if key in _STATS_CACHE:
+        return _STATS_CACHE[key][0]
+    out = compute()
+    if len(_STATS_CACHE) >= _STATS_CACHE_MAX:
+        _STATS_CACHE.pop(next(iter(_STATS_CACHE)))
+    _STATS_CACHE[key] = (out,)
+    return out
+
 
 def _auto_parallelism(spark, n_rows: int) -> int:
     """Scale the bucket exchange to the DATA: ~64k rows per sort task,
@@ -135,21 +189,27 @@ def _sketch(
     Greenwald-Khanna summary ``approxQuantile`` wraps, but as an
     aggregate expression it shares the scan with COUNT — the count then
     scales the bucket exchange to the data (``_auto_parallelism``)
-    with no extra driver action."""
+    with no extra driver action.  Memoized per (plan, params) — see
+    the statistics-cache note above."""
     acc = max(1, int(round(1.0 / rel_err)))
-    parr = F.array(*[F.lit(p) for p in probs])
-    row = keyed.agg(
-        F.count(F.lit(1)).alias("_gon"),
-        *[
-            F.percentile_approx(c, parr, acc).alias(f"_goq{i}")
-            for i, c in enumerate(cols)
-        ],
-    ).first()
-    raws: list[list[float]] = []
-    for i in range(len(cols)):
-        q = row[f"_goq{i}"]
-        raws.append([] if q is None else [x for x in q if x is not None])
-    return int(row["_gon"]), raws
+
+    def compute():
+        parr = F.array(*[F.lit(p) for p in probs])
+        row = keyed.agg(
+            F.count(F.lit(1)).alias("_gon"),
+            *[
+                F.percentile_approx(c, parr, acc).alias(f"_goq{i}")
+                for i, c in enumerate(cols)
+            ],
+        ).first()
+        raws: list[list[float]] = []
+        for i in range(len(cols)):
+            q = row[f"_goq{i}"]
+            raws.append([] if q is None else [x for x in q if x is not None])
+        return int(row["_gon"]), raws
+
+    tag = f"sketch|{list(cols)!r}|{len(probs)}|{acc}"
+    return _memo_action(keyed, tag, compute)
 
 
 def _sql_double(v: float) -> str:
@@ -304,28 +364,43 @@ def _bucket_cols(
     bounds = sorted(set(raw))
     b = F.expr(_bucket_sql(v1, bounds))
 
-    sub = F.lit(0)
+    # The all-rows-zero sub-bucket must NOT be a foldable literal:
+    # Catalyst folds `lit(0)` out of the window/aggregate partition
+    # requirements while the explicit repartition keeps it, so the
+    # "shared exchange" breaks — Spark inserts a redundant full
+    # re-exchange of the fact before the window plus re-exchanges of
+    # every directory-aggregate branch (measured: +1 fact shuffle and
+    # +3 directory shuffles per call in the no-skew case).  `hash(v)%1`
+    # is a deterministic zero that stays an attribute.
+    sub = F.expr(f"(hash({v1}) % 1)")
     if skew_split and hot and len(parsed) > 1:
         c2, asc2 = parsed[1]
         c2t = dtypes.get(c2, "")
         splittable = not c2t.startswith(_REJECT_TYPES)
         if splittable:
             kmax = 2 + max(sum(1 for q in raw if q == v) for v in hot)
-            sprobs = F.array(*[F.lit(i / kmax) for i in range(1, kmax)])
-            sub_rows = (
-                keyed.filter(F.col("_goval").isin(hot))
-                .groupBy("_goval")
-                .agg(
-                    F.percentile_approx(
-                        F.expr(_as_double_sql(c2, c2t)), sprobs, 1000
-                    ).alias("_gosb")
-                )
-                .collect()
+
+            def compute_sub():
+                sprobs = F.array(*[F.lit(i / kmax) for i in range(1, kmax)])
+                return [
+                    (r["_goval"], list(r["_gosb"] or []))
+                    for r in keyed.filter(F.col("_goval").isin(hot))
+                    .groupBy("_goval")
+                    .agg(
+                        F.percentile_approx(
+                            F.expr(_as_double_sql(c2, c2t)), sprobs, 1000
+                        ).alias("_gosb")
+                    )
+                    .collect()
+                ]
+
+            sub_rows = _memo_action(
+                keyed, f"hotsub|{c2}|{kmax}|{sorted(hot)!r}", compute_sub
             )
             v2 = _as_double_sql(c2, c2t)
             branches = []
-            for r in sub_rows:
-                sbounds = sorted({x for x in r["_gosb"] if x is not None})
+            for hv, gosb in sub_rows:
+                sbounds = sorted({x for x in gosb if x is not None})
                 if sbounds:
                     # NULL secondary values sort NULLS FIRST under asc /
                     # NULLS LAST under desc in the intra-bucket window;
@@ -337,7 +412,7 @@ def _bucket_cols(
                         f"ELSE {_le_count_sql(v2, sbounds)} END)"
                     )
                     branches.append(
-                        f"WHEN {v1} = {_sql_double(r['_goval'])} THEN {sid}"
+                        f"WHEN {v1} = {_sql_double(hv)} THEN {sid}"
                     )
             if branches:
                 sub = F.expr("CASE " + " ".join(branches) + " ELSE 0 END")
@@ -793,15 +868,22 @@ def multi_ordinals(
             frame = stack[0]
             for s in stack[1:]:
                 frame = frame.unionByName(s)
-            sprobs = F.array(*[F.lit(i / kmax) for i in range(1, kmax)])
-            for r in (
-                frame.groupBy("_gd", "_gval")
-                .agg(F.percentile_approx("_gsv", sprobs, 1000).alias("_gsb"))
-                .collect()
+
+            def compute_stacked():
+                sprobs = F.array(*[F.lit(i / kmax) for i in range(1, kmax)])
+                return [
+                    (r["_gd"], r["_gval"], list(r["_gsb"] or []))
+                    for r in frame.groupBy("_gd", "_gval")
+                    .agg(F.percentile_approx("_gsv", sprobs, 1000).alias("_gsb"))
+                    .collect()
+                ]
+
+            for gd, gval, gsb in _memo_action(
+                frame, f"hotstack|{kmax}", compute_stacked
             ):
-                cuts = sorted({x for x in r["_gsb"] if x is not None})
+                cuts = sorted({x for x in gsb if x is not None})
                 if cuts:
-                    sub_cuts[(r["_gd"], r["_gval"])] = cuts
+                    sub_cuts[(gd, gval)] = cuts
 
     # bucket expressions per dimension (SQL text — one expr() call per
     # column instead of thousands of py4j Column-op round-trips)
@@ -827,7 +909,10 @@ def multi_ordinals(
         sub = (
             F.expr("CASE " + " ".join(branches) + " ELSE 0 END")
             if branches
-            else F.lit(0)
+            # non-foldable zero: a lit(0) sub key folds out of the
+            # window requirements but not the repartition, forcing a
+            # redundant re-exchange (see _bucket_cols)
+            else F.expr(f"(hash({v1}) % 1)")
         )
         scols.append(sub.alias(f"_gs{i}"))
     bucketed = df.select("*", *bcols, *scols)
@@ -991,3 +1076,150 @@ def grouped_row_number(
         )
         .drop(_B, _S, "_gogrp", "_gointra", "_gocross")
     )
+
+
+def grouped_ordinals(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order: Sequence[str],
+    *,
+    row_number: str | None = None,
+    group_count: str | None = None,
+    ntile: tuple[int, str] | None = None,
+    cumsum: Sequence[tuple[str, str]] = (),
+    group_totals: Sequence[tuple[str, str]] = (),
+    n_buckets: int = 64,
+    rel_err: float = 1e-2,
+    skew_split: bool = True,
+    parallelism: int | None = None,
+    rows_per_bucket: int = _ROWS_PER_TASK,
+) -> DataFrame:
+    """Per-group ordinals — ``ROW_NUMBER()/NTILE/SUM() OVER (PARTITION
+    BY group ORDER BY …)`` — when the partition key has LOW CARDINALITY
+    over a FACT-scale frame, the shape where the plain window puts a
+    100 TB group on one task (3 return flags over lineitem, 4 languages
+    over a corpus).
+
+    Unlike ``grouped_row_number`` (which range-buckets by a numeric
+    group value), this buckets by the leading ORDER column — so groups
+    can be ANY equality-comparable type (strings included), and every
+    window partition ``(group, bucket, sub)`` is bounded by the BUCKET
+    size regardless of how skewed the groups are:
+
+      1. one (memoized) sampled sketch of the order column buckets
+         every row monotonically; the frame repartitions ONCE on
+         ``(group…, bucket, sub)``;
+      2. the per-cell directory — count plus any exact sums — is a
+         grouped aggregate over those same keys (superset of the
+         partitioning: no second exchange);
+      3. per-cell exclusive prefixes WITHIN each group come from one
+         broadcast triangular join over the ≤|groups|·(2n+1)-row
+         directory; per-group grand totals from its re-aggregate;
+      4. each ordinal is ``cell_offset + intra-cell window`` with the
+         window partitioned by ``(group…, bucket, sub)``.
+
+    Outputs mirror ``global_ordinals``: ``row_number``, ``ntile=(n,
+    out)`` (per-group NTILE), ``cumsum=[(val, out)…]`` (per-group
+    running sums, DECIMAL/integral only — same exactness rule),
+    ``group_count`` / ``group_totals`` (per-group grand count / sums).
+    Group columns must be non-NULL (the directory joins use plain
+    equality; the naive form gives NULL its own partition — no suite
+    consumer has NULL groups, validated by documentation like the
+    naive form's own NULL-partition caveat).
+
+    Reference parity: the reference's per-sport/per-bet-type frame
+    ops are pandas groupby-rank one-liners (arbitrage_scanner.py); this
+    is the shape that survives when one group is most of the corpus.
+    """
+    group_cols = list(group_cols)
+    cumsum = list(cumsum)
+    group_totals = list(group_totals)
+    if not group_cols:
+        raise ValueError("grouped_ordinals: empty group_cols — use global_ordinals")
+    _check_reserved(
+        df.columns,
+        [row_number, group_count, ntile[1] if ntile else None]
+        + [o for _, o in cumsum + group_totals],
+    )
+    dtypes = dict(df.dtypes)
+    for vc, _ in cumsum + group_totals:
+        t = dtypes[vc]
+        if not (t.startswith("decimal") or t in ("int", "bigint", "smallint", "tinyint")):
+            raise TypeError(
+                f"grouped running/grand sum over non-exact type {t} ({vc}): "
+                "per-bucket regrouping would drift ulps vs a sequential "
+                "oracle — cast to DECIMAL first"
+            )
+    parsed = _parse_order(order)
+    bexpr, sexpr, n_rows = _bucket_cols(
+        df, parsed, n_buckets=n_buckets, rel_err=rel_err,
+        skew_split=skew_split, rows_per_bucket=rows_per_bucket,
+    )
+    spark = df.sparkSession
+    n_part = parallelism or _auto_parallelism(spark, n_rows)
+    bucketed = (
+        df.withColumn(_B, bexpr)
+        .withColumn(_S, sexpr)
+        .repartition(n_part, *group_cols, _B, _S)
+    )
+    sum_cols = sorted({v for v, _ in cumsum + group_totals})
+    counts = bucketed.groupBy(*group_cols, _B, _S).agg(
+        F.count(F.lit(1)).alias("_gocnt"),
+        *[F.sum(vc).alias(f"_gosum_{vc}") for vc in sum_cols],
+    )
+    a, b = counts.alias("a"), counts.alias("b")
+    same_group = F.lit(True)
+    for g in group_cols:
+        same_group = same_group & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    offs = (
+        a.join(F.broadcast(b), same_group & _earlier_cond(parsed), "left")
+        .groupBy(
+            *[F.col(f"a.{g}").alias(g) for g in group_cols],
+            F.col(f"a.{_B}").alias(_B),
+            F.col(f"a.{_S}").alias(_S),
+        )
+        .agg(
+            F.coalesce(F.sum(F.col("b._gocnt")), F.lit(0)).alias("_gooff"),
+            *[
+                F.sum(F.col(f"b._gosum_{vc}")).alias(f"_gooffs_{vc}")
+                for vc, _ in cumsum
+            ],
+        )
+    )
+    out = bucketed.join(F.broadcast(offs), group_cols + [_B, _S])
+    need_tot = group_count or group_totals or ntile
+    if need_tot:
+        tot = counts.groupBy(*group_cols).agg(
+            F.sum("_gocnt").alias("_gotot"),
+            *[F.sum(f"_gosum_{vc}").alias(f"_gotots_{vc}") for vc, _ in group_totals],
+        )
+        out = out.join(F.broadcast(tot), group_cols)
+
+    w = Window.partitionBy(*group_cols, _B, _S).orderBy(*_sort_cols(parsed))
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rn_name = row_number or ("_gorn" if ntile else None)
+    if rn_name:
+        out = out.withColumn(rn_name, F.col("_gooff") + F.row_number().over(w))
+    if ntile:
+        n, tname = ntile
+        out = out.withColumn(
+            tname, ntile_expr_col(F.col(rn_name), F.col("_gotot"), n)
+        )
+    for vc, oname in cumsum:
+        # same naive-window NULL parity as global_ordinals
+        off = F.col(f"_gooffs_{vc}")
+        run = F.sum(vc).over(wrun)
+        out = out.withColumn(
+            oname,
+            F.when(off.isNull() & run.isNull(), F.lit(None)).otherwise(
+                F.coalesce(off, F.lit(0)) + F.coalesce(run, F.lit(0))
+            ),
+        )
+    if group_count:
+        out = out.withColumn(group_count, F.col("_gotot"))
+    for vc, oname in group_totals:
+        out = out.withColumn(oname, F.col(f"_gotots_{vc}"))
+    drop = [_B, _S] + [c for c in out.columns if c.startswith(("_goo", "_gotot"))]
+    if ntile and not row_number:
+        drop.append("_gorn")
+    return out.drop(*drop)

@@ -373,3 +373,146 @@ def test_ntile_col_form_matches_literal_form(spark):
             itertools.chain.from_iterable([i + 1] * s for i, s in enumerate(sizes))
         )
         assert got == expect, (total, n)
+
+
+def test_stats_cache_hit_and_poison_invariance(spark):
+    """The sketch memo (ANALYZE-style stats cache) must (a) actually
+    replay on an identical call and (b) NEVER affect results, even when
+    the cached boundaries are garbage — correctness is boundary-
+    placement-invariant, so a deliberately poisoned cache entry still
+    yields bit-exact ordinals (only bucket balance suffers)."""
+    from banksy_spark.operators import ordinals as O
+
+    o = _orders(spark)
+    w = Window.orderBy("price", "o_orderkey")
+    want = o.select("o_orderkey", F.row_number().over(w).alias("rn"))
+
+    O.clear_stats_cache()
+    got1 = global_ordinals(
+        o, ["price", "o_orderkey"], row_number="rn", n_buckets=16
+    ).select("o_orderkey", "rn")
+    assert got1.exceptAll(want).count() == 0 and want.exceptAll(got1).count() == 0
+    n_entries = len(O._STATS_CACHE)
+    assert n_entries >= 1  # sketch memoized
+
+    # poison EVERY cached sketch with absurd boundaries + wrong count
+    for k, (val,) in list(O._STATS_CACHE.items()):
+        if isinstance(val, tuple) and len(val) == 2:  # (n_rows, raws)
+            n_rows, raws = val
+            O._STATS_CACHE[k] = ((7, [[-1e18, 0.0, 0.0, 1e18] for _ in raws]),)
+    got2 = global_ordinals(
+        o, ["price", "o_orderkey"], row_number="rn", n_buckets=16
+    ).select("o_orderkey", "rn")
+    assert got2.exceptAll(want).count() == 0 and want.exceptAll(got2).count() == 0
+    assert len(O._STATS_CACHE) == n_entries  # replayed, not recomputed
+
+    # escape hatch: disabling the cache bypasses the poisoned entry
+    O.set_stats_cache(False)
+    try:
+        got3 = global_ordinals(
+            o, ["price", "o_orderkey"], row_number="rn", n_buckets=16
+        ).select("o_orderkey", "rn")
+        assert got3.exceptAll(want).count() == 0
+    finally:
+        O.set_stats_cache(True)
+        O.clear_stats_cache()
+
+
+def _lineitem(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+
+
+def test_grouped_ordinals_matches_naive(spark):
+    from banksy_spark.operators.ordinals import grouped_ordinals
+
+    li = _lineitem(spark)
+    got = grouped_ordinals(
+        li,
+        ["flag"],
+        ["price", "l_orderkey", "l_linenumber"],
+        row_number="rn",
+        group_count="n",
+        ntile=(4, "tile"),
+        cumsum=[("price", "cum")],
+        group_totals=[("price", "tot")],
+        n_buckets=16,
+    ).select("l_orderkey", "l_linenumber", "rn", "n", "tile", "cum", "tot")
+    wo = Window.partitionBy("flag").orderBy("price", "l_orderkey", "l_linenumber")
+    wp = Window.partitionBy("flag")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+        F.ntile(4).over(wo).alias("tile"),
+        F.sum("price").over(wrun).alias("cum"),
+        F.sum("price").over(wp).alias("tot"),
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_grouped_ordinals_desc_and_multi_group(spark):
+    from banksy_spark.operators.ordinals import grouped_ordinals
+
+    li = _lineitem(spark).withColumn(
+        "parity", (F.col("l_orderkey") % 2).cast("int")
+    )
+    got = grouped_ordinals(
+        li,
+        ["flag", "parity"],
+        ["-price", "l_orderkey", "l_linenumber"],
+        row_number="rn",
+        n_buckets=16,
+    ).select("l_orderkey", "l_linenumber", "rn")
+    wo = Window.partitionBy("flag", "parity").orderBy(
+        F.col("price").desc(), "l_orderkey", "l_linenumber"
+    )
+    want = li.select(
+        "l_orderkey", "l_linenumber", F.row_number().over(wo).alias("rn")
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_grouped_ordinals_plan_partitioned(spark):
+    from banksy_spark.operators.ordinals import grouped_ordinals
+
+    li = _lineitem(spark)
+    got = grouped_ordinals(
+        li, ["flag"], ["price", "l_orderkey", "l_linenumber"], row_number="rn",
+        n_buckets=16,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    # every fact-side window partitions on (group, bucket, sub)
+    import re as _re
+
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    fact = [s for s in specs if "_gob" in s]
+    assert fact and all("flag" in s and "_gosub" in s for s in fact), plan
+
+
+def test_grouped_ordinals_string_order_via_prefix(spark):
+    # hash-ordered sampling (md5) through a numeric monotone prefix:
+    # order by (pfx, h, id) must equal the naive order by (h, id)
+    from banksy_spark.operators.ordinals import grouped_ordinals
+
+    d = spark.range(2000).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.md5(F.col("id").cast("string")).alias("h"),
+    ).withColumn(
+        "pfx", F.expr("CAST(conv(substring(h, 1, 13), 16, 10) AS DOUBLE)")
+    )
+    got = grouped_ordinals(
+        d, ["g"], ["pfx", "h", "id"], row_number="rn", n_buckets=8
+    ).select("id", "rn")
+    w = Window.partitionBy("g").orderBy("h", "id")
+    want = d.select("id", F.row_number().over(w).alias("rn"))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
