@@ -1005,17 +1005,21 @@ def a_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quantile_cont interpolate with engine-dependent float order, so this rank form "
     "is the cross-engine-verifiable shape; medians are absent from the reference, "
     "SURVEY §2.4 'not present'.) Values here are half-integers, so the 2-element "
-    "mean is exact.",
+    "mean is exact. Scale: the rank rides grouped_ordinals — 3 return flags over "
+    "all of lineitem is the few-huge-groups shape where a plain PARTITION BY "
+    "window sorts a third of the fact on ONE task; the decomposition bounds "
+    "every sort partition by the range-bucket size instead.",
 )
 def a_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.operators.ordinals import grouped_ordinals
+
     li = T(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy("l_quantity", "l_orderkey", "l_linenumber")
-    cw = Window.partitionBy("l_returnflag")
-    ranked = li.select(
-        "l_returnflag",
-        "l_quantity",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(cw).alias("cnt"),
+    ranked = grouped_ordinals(
+        li.select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber"),
+        ["l_returnflag"],
+        ["l_quantity", "l_orderkey", "l_linenumber"],
+        row_number="rn",
+        group_count="cnt",
     )
     mid = F.col("rn") * 2
     is_mid = mid.isin(F.col("cnt"), F.col("cnt") + 1, F.col("cnt") + 2)

@@ -578,14 +578,18 @@ def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Values are untouched source doubles — bit-identical by construction.",
 )
 def a_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.operators.ordinals import grouped_ordinals
+
     o = T(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    wn = Window.partitionBy("o_orderpriority")
-    ranked = o.select(
-        "o_orderpriority",
-        "o_totalprice",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
+    # 5 priorities over all of orders: few-huge-groups — the plain
+    # PARTITION BY window would sort a fifth of the fact on one task;
+    # grouped_ordinals bounds every sort partition by the range bucket.
+    ranked = grouped_ordinals(
+        o.select("o_orderpriority", "o_totalprice", "o_orderkey"),
+        ["o_orderpriority"],
+        ["o_totalprice", "o_orderkey"],
+        row_number="rn",
+        group_count="n",
     )
     pick = lambda p: F.max(  # noqa: E731
         F.when(F.expr(f"rn = (n * {p} + 99) DIV 100"), F.col("o_totalprice"))
@@ -653,11 +657,21 @@ def llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("quota"),
         )
     )
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    from banksy_spark.operators.ordinals import grouped_ordinals
+
+    # few huge strata over the corpus: hash-order rank via
+    # grouped_ordinals through a monotone numeric prefix of the hex
+    # hash (13 hex digits = 52 bits, exact in DOUBLE; hex-lex == numeric)
+    keyed = d.withColumn(
+        "h", F.md5(F.col("doc_id").cast("string").cast("binary"))
+    ).withColumn(
+        "pfx", F.expr("CAST(conv(substring(h, 1, 13), 16, 10) AS DOUBLE)")
+    )
+    ranked = grouped_ordinals(
+        keyed, ["lang"], ["pfx", "h", "doc_id"], row_number="samp_rank"
     )
     return (
-        d.withColumn("samp_rank", F.row_number().over(w).cast("bigint"))
+        ranked.withColumn("samp_rank", F.col("samp_rank").cast("bigint"))
         .join(F.broadcast(quota), "lang")
         .filter(F.col("samp_rank") <= F.col("quota"))
         .select("doc_id", "lang", "samp_rank", "quota")

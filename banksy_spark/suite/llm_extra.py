@@ -208,13 +208,24 @@ DOMAIN_QUOTAS = [("en", 60), ("de", 40), ("fr", 40), ("es", 30), ("zh", 30)]
     "stratum.",
 )
 def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.operators.ordinals import grouped_ordinals
+
     d = T(spark, sf_dir, "documents").select("doc_id", "lang")
     quota = spark.createDataFrame(DOMAIN_QUOTAS, "lang string, quota int")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    # the note's promised 100 TB two-pass form, made real: the stratum
+    # rank rides grouped_ordinals (bucket-bounded sorts; hex hash order
+    # through a monotone 13-hex-digit numeric prefix), so no task ever
+    # owns a stratum — the quota filter then broadcasts as before
+    keyed = d.withColumn(
+        "h", F.md5(F.col("doc_id").cast("string").cast("binary"))
+    ).withColumn(
+        "pfx", F.expr("CAST(conv(substring(h, 1, 13), 16, 10) AS DOUBLE)")
+    )
+    ranked = grouped_ordinals(
+        keyed, ["lang"], ["pfx", "h", "doc_id"], row_number="samp_rank"
     )
     return (
-        d.withColumn("samp_rank", F.row_number().over(w).cast("bigint"))
+        ranked.withColumn("samp_rank", F.col("samp_rank").cast("bigint"))
         .join(F.broadcast(quota), "lang")
         .filter(F.col("samp_rank") <= F.col("quota"))
         .select("doc_id", "lang", "samp_rank")

@@ -1202,16 +1202,22 @@ _QB_DUCK_BOUNDS = """
     "side.",
 )
 def ml_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.operators.ordinals import grouped_ordinals
+
     li = T(spark, sf_dir, "lineitem")
-    wr = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
-    )
-    wn = Window.partitionBy("l_returnflag")
-    ranked = li.select(
-        F.col("l_returnflag").alias("flag"),
-        F.col("l_extendedprice").alias("x"),
-        F.row_number().over(wr).alias("rk"),
-        F.count("*").over(wn).alias("n"),
+    # 3 flags over all of lineitem: grouped_ordinals keeps every sort
+    # partition bucket-bounded instead of one-task-per-flag.
+    ranked = grouped_ordinals(
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("x"),
+            "l_orderkey",
+            "l_linenumber",
+        ),
+        ["flag"],
+        ["x", "l_orderkey", "l_linenumber"],
+        row_number="rk",
+        group_count="n",
     )
     bounds = ranked.groupBy("flag").agg(
         F.min(F.when(F.col("rk") == F.expr("(n + 3) DIV 4"), F.col("x"))).alias("q1"),
@@ -1312,16 +1318,21 @@ def ml_zscore_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partition except the 2-number bounds row.",
 )
 def ml_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.operators.ordinals import grouped_ordinals
+
     li = T(spark, sf_dir, "lineitem")
-    wr = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
-    )
-    wn = Window.partitionBy("l_returnflag")
-    ranked = li.select(
-        F.col("l_returnflag").alias("flag"),
-        F.col("l_extendedprice").alias("x"),
-        F.row_number().over(wr).alias("rk"),
-        F.count("*").over(wn).alias("n"),
+    # few-huge-groups rank: bucket-bounded, not one-task-per-flag
+    ranked = grouped_ordinals(
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("x"),
+            "l_orderkey",
+            "l_linenumber",
+        ),
+        ["flag"],
+        ["x", "l_orderkey", "l_linenumber"],
+        row_number="rk",
+        group_count="n",
     )
     bounds = ranked.groupBy("flag").agg(
         F.min(F.when(F.col("rk") == F.expr("(n + 19) DIV 20"), F.col("x"))).alias("lo"),
@@ -1704,10 +1715,10 @@ def a_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "half the total — selection is pure BIGINT comparisons (2*cum >= total AND "
     "2*(cum - w) < total), the same interval-crossing arithmetic as PPS "
     "sampling, so the answer is exact and partitioning-immune; no floating "
-    "point anywhere. One rank window per stratum over a tie-broken total "
-    "order. Scale: strata bound the window partitions; the two-pass prefix-"
-    "offset rewrite documented for llm_sample_pps applies verbatim when a "
-    "stratum outgrows an executor.",
+    "point anywhere. Scale: the running weight rides grouped_ordinals' "
+    "exact per-group cumsum — bucket-bounded sorts with broadcast prefix "
+    "offsets — so a stratum that outgrows an executor still never lands "
+    "on one task.",
 )
 def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents").select(
@@ -1716,19 +1727,16 @@ def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("x"),
         (F.length("text") - F.col("n_chars") + 1).cast("bigint").alias("w"),
     )
-    wc = (
-        Window.partitionBy("lang")
-        .orderBy("x", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wt = Window.partitionBy("lang")
-    scored = d.select(
-        "lang",
-        "doc_id",
-        "x",
-        "w",
-        F.sum("w").over(wc).alias("cw"),
-        F.sum("w").over(wt).alias("tw"),
+    from banksy_spark.operators.ordinals import grouped_ordinals
+
+    # few huge strata: the per-stratum running weight rides
+    # grouped_ordinals' cumsum (exact BIGINT, bucket-bounded sorts)
+    scored = grouped_ordinals(
+        d,
+        ["lang"],
+        ["x", "doc_id"],
+        cumsum=[("w", "cw")],
+        group_totals=[("w", "tw")],
     )
     return scored.filter(
         (2 * F.col("cw") >= F.col("tw")) & (2 * (F.col("cw") - F.col("w")) < F.col("tw"))
@@ -1866,14 +1874,20 @@ def a_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exchange.",
 )
 def a_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.operators.ordinals import grouped_ordinals
+
     li = T(spark, sf_dir, "lineitem")
-    wr = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
-    )
-    ranked = li.select(
-        F.col("l_returnflag").alias("flag"),
-        F.col("l_extendedprice").alias("x"),
-        F.row_number().over(wr).alias("rk"),
+    # few-huge-groups rank: bucket-bounded, not one-task-per-flag
+    ranked = grouped_ordinals(
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("x"),
+            "l_orderkey",
+            "l_linenumber",
+        ),
+        ["flag"],
+        ["x", "l_orderkey", "l_linenumber"],
+        row_number="rk",
     )
     dec = F.col("x").cast("decimal(18,2)")
     agg = ranked.groupBy("flag").agg(
@@ -1926,15 +1940,20 @@ def a_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a_interpolated_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
-    wr = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
-    )
-    wn = Window.partitionBy("l_returnflag")
-    ranked = li.select(
-        F.col("l_returnflag").alias("flag"),
-        F.col("l_extendedprice").alias("x"),
-        F.row_number().over(wr).alias("rk"),
-        F.count("*").over(wn).alias("n"),
+    from banksy_spark.operators.ordinals import grouped_ordinals
+
+    # few-huge-groups rank: bucket-bounded, not one-task-per-flag
+    ranked = grouped_ordinals(
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("x"),
+            "l_orderkey",
+            "l_linenumber",
+        ),
+        ["flag"],
+        ["x", "l_orderkey", "l_linenumber"],
+        row_number="rk",
+        group_count="n",
     )
 
     # h = p(n-1) depends only on n, constant within the group

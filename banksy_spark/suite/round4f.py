@@ -153,13 +153,15 @@ def a_ship_latency_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
         ).alias("days"),
     )
-    wo = Window.partitionBy("priority").orderBy("days")
-    wp = Window.partitionBy("priority")
-    ranked = lat.select(
-        "priority",
-        "days",
-        F.row_number().over(wo).alias("rk"),
-        F.count(F.lit(1)).over(wp).alias("n"),
+    from banksy_spark.operators.ordinals import grouped_ordinals
+
+    # 5 priorities over the whole order-line join: few-huge-groups —
+    # grouped_ordinals keeps every sort partition bucket-bounded.
+    # Ties on days get arbitrary row numbers either way, but all rows
+    # at a rank position carry the same days value (equal values share
+    # a bucket), so the picked percentile stays deterministic.
+    ranked = grouped_ordinals(
+        lat, ["priority"], ["days"], row_number="rk", group_count="n"
     )
     p50 = F.expr("(n + 1) DIV 2")
     p95 = F.expr("(19 * n + 19) DIV 20")

@@ -287,11 +287,19 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decomposition instead (o_global_rownum).",
 )
 def llm_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.operators.ordinals import grouped_ordinals
+
     d = T(spark, sf_dir, "documents").select("doc_id", "lang")
-    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")))
-    wn = Window.partitionBy("lang")
-    ranked = d.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
+    # Few huge strata over the whole corpus: rank rides grouped_ordinals.
+    # The hash order key is a hex string, so bucketing goes through a
+    # monotone numeric prefix (first 13 hex digits = 52 bits, exactly
+    # representable as DOUBLE; hex-lexicographic == numeric order), with
+    # the full hash as the intra-bucket tie-break — same total order.
+    keyed = d.withColumn("h", F.md5(F.col("doc_id").cast("string"))).withColumn(
+        "pfx", F.expr("CAST(conv(substring(h, 1, 13), 16, 10) AS DOUBLE)")
+    )
+    ranked = grouped_ordinals(
+        keyed, ["lang"], ["pfx", "h", "doc_id"], row_number="rn", group_count="n"
     )
     return ranked.select(
         "doc_id",

@@ -115,12 +115,18 @@ def llm_e2e_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("canonical_id"))
         .select("doc_id", "lang", "quality")
     )
-    w_split = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string"))
+    from banksy_spark.operators.ordinals import grouped_ordinals
+
+    # split-stage rank over few huge strata: grouped_ordinals (the cap
+    # stage above keeps its plain window — rank<=K plans as
+    # WindowGroupLimit, bounded per map partition)
+    keyed = deduped.withColumn(
+        "h", F.md5(F.col("doc_id").cast("string"))
+    ).withColumn(
+        "pfx", F.expr("CAST(conv(substring(h, 1, 13), 16, 10) AS DOUBLE)")
     )
-    w_n = Window.partitionBy("lang")
-    ranked = deduped.withColumn("rn", F.row_number().over(w_split)).withColumn(
-        "n", F.count(F.lit(1)).over(w_n)
+    ranked = grouped_ordinals(
+        keyed, ["lang"], ["pfx", "h", "doc_id"], row_number="rn", group_count="n"
     )
     return ranked.select(
         "doc_id",
