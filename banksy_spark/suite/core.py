@@ -1145,17 +1145,52 @@ def o_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     "on integral quantity are legitimate and produce identical gaps in both engines.",
 )
 def w_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.operators.ordinals import grouped_ordinals
+
     li = T(spark, sf_dir, "lineitem")
-    w_price = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
-    )
-    w_qty = Window.partitionBy("l_returnflag").orderBy(F.col("l_quantity").cast("int"))
-    return li.select(
+    base = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("int").alias("q"),
         "l_orderkey",
         "l_linenumber",
-        F.ntile(4).over(w_price).cast("int").alias("quartile"),
-        F.rank().over(w_qty).cast("bigint").alias("qty_rank"),
-        F.dense_rank().over(w_qty).cast("bigint").alias("qty_dense_rank"),
+    )
+    # 3 flags over all of lineitem: the NTILE rides grouped_ordinals
+    # (bucket-bounded sorts, integer tile arithmetic from rn + count)
+    tiled = grouped_ordinals(
+        base,
+        ["l_returnflag"],
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        ntile=(4, "quartile"),
+    )
+    # rank/dense_rank on an integral key need no fact-side sort at all:
+    # rank = 1 + rows with smaller value, dense = 1 + distinct smaller
+    # values — both from the tiny (flag, value) count directory via a
+    # broadcast triangular join, then broadcast back over the fact.
+    vc = base.groupBy("l_returnflag", "q").agg(F.count("*").alias("c"))
+    a, b = vc.alias("a"), vc.alias("b")
+    ranks = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.l_returnflag") == F.col("b.l_returnflag"))
+            & (F.col("b.q") < F.col("a.q")),
+            "left",
+        )
+        .groupBy(
+            F.col("a.l_returnflag").alias("l_returnflag"),
+            F.col("a.q").alias("q"),
+        )
+        .agg(
+            (F.coalesce(F.sum("b.c"), F.lit(0)) + 1).alias("qty_rank"),
+            (F.count("b.q") + 1).alias("qty_dense_rank"),
+        )
+    )
+    return tiled.join(F.broadcast(ranks), ["l_returnflag", "q"]).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("quartile").cast("int").alias("quartile"),
+        F.col("qty_rank").cast("bigint").alias("qty_rank"),
+        F.col("qty_dense_rank").cast("bigint").alias("qty_dense_rank"),
     )
 
 

@@ -1281,30 +1281,38 @@ def a_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    pw = Window.partitionBy("flag")
-    ranked = li.select(
-        "flag",
-        "x",
-        F.row_number().over(pw.orderBy("x", "l_orderkey", "l_linenumber")).alias("rn"),
-        F.count("*").over(pw).alias("cnt"),
-    )
+    from banksy_spark.operators.ordinals import grouped_ordinals
+
+    # Two few-huge-group rank passes (value median, then deviation
+    # median), each bucket-bounded via grouped_ordinals; the per-flag
+    # median/MAD picks become 3-row broadcast aggregates instead of
+    # fact-wide windows.
     lower_mid = F.expr("(cnt + 1) DIV 2")
-    med_t = ranked.withColumn(
-        "med", F.max(F.when(F.col("rn") == lower_mid, F.col("x"))).over(pw)
+    ranked = grouped_ordinals(
+        li, ["flag"], ["x", "l_orderkey", "l_linenumber"],
+        row_number="rn", group_count="cnt",
     )
-    dev_t = med_t.select(
-        "flag",
-        "x",
-        "cnt",
-        "med",
-        F.abs(F.col("x") - F.col("med")).alias("dev"),
-        F.row_number()
-        .over(pw.orderBy(F.abs(F.col("x") - F.col("med")), "x", "rn"))
-        .alias("drn"),
+    med_by_flag = ranked.groupBy("flag").agg(
+        F.max(F.when(F.col("rn") == lower_mid, F.col("x"))).alias("med")
     )
-    mad_t = dev_t.withColumn(
-        "mad", F.max(F.when(F.col("drn") == lower_mid, F.col("dev"))).over(pw)
+    med_t = ranked.join(F.broadcast(med_by_flag), "flag")
+    dev_t = grouped_ordinals(
+        med_t.select(
+            "flag",
+            "x",
+            "cnt",
+            "med",
+            F.abs(F.col("x") - F.col("med")).alias("dev"),
+            "rn",
+        ),
+        ["flag"],
+        ["dev", "x", "rn"],
+        row_number="drn",
     )
+    mad_by_flag = dev_t.groupBy("flag").agg(
+        F.max(F.when(F.col("drn") == lower_mid, F.col("dev"))).alias("mad")
+    )
+    mad_t = dev_t.join(F.broadcast(mad_by_flag), "flag")
     return mad_t.groupBy("flag", "med", "mad").agg(
         F.count("*").cast("bigint").alias("n"),
         F.count(F.when(F.col("dev") > 3.0 * F.col("mad"), 1)).cast("bigint").alias(

@@ -655,18 +655,40 @@ def a_topn_others_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("seg", "c_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
     )
+    # The rank exists ONLY to pick the top 3 per segment, so phrase it
+    # as rank<=3 directly: Spark plans that as WindowGroupLimit (a
+    # per-map-partition top-K before the shuffle), bounding what any
+    # one task sorts even when a segment is most of the table. OTHERS
+    # is then exact-DECIMAL subtraction of the top-3 from the per-
+    # segment grand aggregate — no task ever ranks a whole segment.
     w = Window.partitionBy("seg").orderBy(F.col("rev").desc(), "c_custkey")
-    ranked = rev.withColumn("rk", F.row_number().over(w))
-    who = F.when(
-        F.col("rk") <= 3, F.col("c_custkey").cast("string")
-    ).otherwise("OTHERS")
-    return (
-        ranked.groupBy("seg", who.alias("who"))
-        .agg(
-            F.count(F.lit(1)).alias("n_custs"),
-            F.sum("rev").cast("string").cast("double").alias("revenue"),
+    top = rev.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+    top_out = top.select(
+        "seg",
+        F.col("c_custkey").cast("string").alias("who"),
+        F.lit(1).cast("bigint").alias("n_custs"),
+        F.col("rev").cast("string").cast("double").alias("revenue"),
+    )
+    top_agg = top.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("t_n"), F.sum("rev").alias("t_rev")
+    )
+    tot_agg = rev.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("rev").alias("rev_all")
+    )
+    others = (
+        tot_agg.join(F.broadcast(top_agg), "seg")
+        .filter(F.col("n_all") > F.col("t_n"))
+        .select(
+            "seg",
+            F.lit("OTHERS").alias("who"),
+            (F.col("n_all") - F.col("t_n")).cast("bigint").alias("n_custs"),
+            (F.col("rev_all") - F.col("t_rev"))
+            .cast("string")
+            .cast("double")
+            .alias("revenue"),
         )
     )
+    return top_out.unionByName(others)
 
 
 # --- Schema-evolution union ------------------------------------------------

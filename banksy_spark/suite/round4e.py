@@ -353,14 +353,19 @@ def a_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("seg", "c_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
     )
-    wo = Window.partitionBy("seg").orderBy(F.col("rev").desc(), "c_custkey")
-    wp = Window.partitionBy("seg")
-    ranked = rev.select(
-        "seg",
-        F.row_number().over(wo).alias("rk"),
-        F.sum("rev").over(wo).alias("cum"),
-        F.sum("rev").over(wp).alias("tot"),
-        F.count(F.lit(1)).over(wp).alias("n_cust"),
+    from banksy_spark.operators.ordinals import grouped_ordinals
+
+    # 5 segments over a customer-scale frame: rank + exact DECIMAL
+    # running revenue ride grouped_ordinals (bucket-bounded sorts; the
+    # unique custkey tie-break makes the naive RANGE frame == ROWS)
+    ranked = grouped_ordinals(
+        rev,
+        ["seg"],
+        ["-rev", "c_custkey"],
+        row_number="rk",
+        group_count="n_cust",
+        cumsum=[("rev", "cum")],
+        group_totals=[("rev", "tot")],
     )
     return (
         ranked.filter(F.col("cum") * 5 >= F.col("tot") * 4)
