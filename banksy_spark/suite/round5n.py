@@ -125,18 +125,14 @@ def llm_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ml_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
     y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
-    w = Window.partitionBy("o_orderpriority")
-    x = o.select(
-        "o_orderkey",
-        "o_orderpriority",
-        y.alias("y"),
-    ).select(
-        "o_orderkey",
-        "o_orderpriority",
-        "y",
-        F.sum("y").over(w).alias("grp_pos"),
-        F.count(F.lit(1)).over(w).alias("grp_n"),
+    # the note's 100 TB form, made real: the per-priority sums collapse
+    # to a 5-row broadcast aggregate joined back — a partition-only
+    # window over the fact would put a fifth of orders on one task
+    base = o.select("o_orderkey", "o_orderpriority", y.alias("y"))
+    grp = base.groupBy("o_orderpriority").agg(
+        F.sum("y").alias("grp_pos"), F.count(F.lit(1)).alias("grp_n")
     )
+    x = base.join(F.broadcast(grp), "o_orderpriority")
     return x.select(
         "o_orderkey",
         "o_orderpriority",

@@ -294,18 +294,20 @@ def llm_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents").select(
         "lang", "doc_id", F.col("n_chars").alias("weight"), F.md5(F.col("text").cast("binary")).alias("h")
     )
-    w_cum = (
-        Window.partitionBy("lang")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    from banksy_spark.operators.ordinals import grouped_ordinals
+
+    # few huge strata: the running weight rides grouped_ordinals'
+    # exact per-group cumsum; the hex hash orders through a monotone
+    # 13-hex-digit numeric prefix (52 bits, exact in DOUBLE)
+    keyed = d.withColumn(
+        "pfx", F.expr("CAST(conv(substring(h, 1, 13), 16, 10) AS DOUBLE)")
     )
-    w_tot = Window.partitionBy("lang")
-    scored = d.select(
-        "lang",
-        "doc_id",
-        "weight",
-        F.sum("weight").over(w_cum).alias("cum_w"),
-        F.sum("weight").over(w_tot).alias("tot_w"),
+    scored = grouped_ordinals(
+        keyed,
+        ["lang"],
+        ["pfx", "h", "doc_id"],
+        cumsum=[("weight", "cum_w")],
+        group_totals=[("weight", "tot_w")],
     )
     pick = F.expr(f"({_PPS_K} * cum_w) DIV tot_w")
     prev_pick = F.expr(f"({_PPS_K} * (cum_w - weight)) DIV tot_w")
