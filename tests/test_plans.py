@@ -126,13 +126,25 @@ def test_scd2_history_is_single_exchange(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
 
 
-def test_mad_and_funnel_are_single_exchange_no_join(spark):
-    # both chains claim: all windows + final agg share one partition key,
-    # so exactly one exchange and no self-joins
-    for q in ("a_mad_outliers", "stream_funnel_steps"):
-        plan = _plan(spark, q)
-        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, q
-        assert "Join" not in plan, q
+def test_funnel_is_single_exchange_no_join(spark):
+    # all windows + final agg share one partition key: exactly one
+    # exchange and no self-joins
+    plan = _plan(spark, "stream_funnel_steps")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_mad_outliers_bucket_bounded(spark):
+    # round-7 rewrite: both rank passes ride grouped_ordinals — every
+    # fact-side window partitions on (flag, bucket, sub), the per-flag
+    # median/MAD picks join back as broadcasts, and nothing plans a
+    # single-partition or flag-only window
+    plan = _plan(spark, "a_mad_outliers")
+    assert "Exchange SinglePartition" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("_gob" in s for s in specs), plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_argmin_supplier_is_single_exchange(spark):

@@ -42,6 +42,78 @@ def global_windows(plan: str) -> int:
     return len(GLOBAL_WINDOW_RE.findall(plan))
 
 
+# A Window partitioned ONLY by a fixed-low-cardinality key (3 return
+# flags, 5 priorities, a handful of languages/sources/segments) is the
+# gwin hazard divided by a small constant: at 100 TB each group still
+# lands on ONE task.  The audit flags every Window node whose partition
+# spec consists solely of these columns, EXCEPT windows Spark protects
+# with WindowGroupLimit (rank<=K pushdown: per-map-partition top-K
+# bounds what any task sorts).  Remaining hits must be allowlisted with
+# a bounded-grain reason.
+LOWCARD_COLS = {
+    "lang",
+    "source",
+    "l_returnflag",
+    "flag",
+    "o_orderpriority",
+    "pri",
+    "priority",
+    "seg",
+    "part",
+    "o_orderstatus",
+    "l_linestatus",
+    "split",
+}
+KEYED_WINDOW_ALLOWLIST: dict[str, str] = {
+    "a_histogram_quantiles": "cumulative window runs over the 64-bin "
+    "per-flag histogram (bounded by the bin constant, not the fact)",
+    "a_changepoint_binseg": "windows run over the per-(priority, day) "
+    "daily series — bounded by the calendar, not the event count",
+    "w_control_chart": "trailing 8-row window over the same calendar-"
+    "bounded daily series",
+    "w_bollinger_bands": "trailing k-row window over the daily series",
+    "w_cusum_changepoint": "ordered fold over the daily series",
+    "w_holt_linear": "ordered fold over the daily series",
+    "w_peak_detection": "lead/lag over the daily series",
+    "w_linear_interpolate": "gap interpolation over the daily series",
+    "w_rolling_median_7": "trailing 7-row window over the daily series",
+    "o_compaction_plan": "bin-packing cursor over the file MANIFEST "
+    "(~10^6 listing rows at 100 TB), not the data",
+    "stream_late_rows_audit": "per-source-partition watermark replay — "
+    "the sequential-by-construction semantics of a streaming source "
+    "partition; partition count scales with the source, not a constant",
+    "a_seasonal_anomaly": "windows over the per-(dow, hour) 168-cell "
+    "seasonal profile / daily series",
+    "w_gap_alerts": "lag over the daily series",
+    "a_runs_test": "median rank + lag over the per-(priority, day) "
+    "daily series — calendar-bounded",
+}
+
+
+def keyed_windows(plan: str) -> int:
+    """Window nodes whose partition spec is non-empty and entirely
+    low-cardinality columns, minus WindowGroupLimit-protected specs."""
+    protected: set[tuple[str, ...]] = set()
+    hits = []
+    for line in plan.split("\n"):
+        stripped = line.lstrip(" +-:*")
+        brackets = re.findall(r"\[([^\]]*)\]", line)
+        def names(spec: str) -> tuple[str, ...]:
+            out = []
+            for part in spec.split(","):
+                part = part.strip()
+                m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)#\d+", part)
+                out.append(m.group(1) if m else part or "<expr>")
+            return tuple(sorted(out))
+        if stripped.startswith("WindowGroupLimit") and brackets:
+            protected.add(names(brackets[0]))
+        elif stripped.startswith("Window ") and len(brackets) >= 2:
+            part_spec = names(brackets[1])
+            if part_spec and all(n in LOWCARD_COLS for n in part_spec):
+                hits.append(part_spec)
+    return sum(1 for h in hits if h not in protected)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -67,6 +139,7 @@ def main() -> None:
                 "scans": plan.count("FileScan parquet"),
                 "windows": plan.count("Window"),
                 "gwin": global_windows(plan),
+                "kwin": keyed_windows(plan),
                 "wsc": plan.count("WholeStageCodegen"),
             }
         )
@@ -79,15 +152,19 @@ def main() -> None:
         "parquet scans, window operators, single-partition global windows",
         "(gwin — Sort over Exchange SinglePartition under a Window; the",
         "100 TB scale-killer, must be 0 outside the audited bounded-input",
-        "allowlist below), whole-stage-codegen spans.",
+        "allowlist below), low-cardinality-keyed windows (kwin — Window",
+        "partitioned ONLY by a fixed-few-values key and not protected by",
+        "a WindowGroupLimit top-K pushdown: the same serialized-sort",
+        "hazard divided by a small constant; must be 0 outside its",
+        "bounded-grain allowlist), whole-stage-codegen spans.",
         "",
-        "| query | shuffles | BHJ | BNLJ | SMJ | cartesian | scans | windows | gwin | codegen |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "| query | shuffles | BHJ | BNLJ | SMJ | cartesian | scans | windows | gwin | kwin | codegen |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
             "| {name} | {exchanges} | {bhj} | {bnlj} | {smj} | {cartesian} | {scans} "
-            "| {windows} | {gwin} | {wsc} |".format(**r)
+            "| {windows} | {gwin} | {kwin} | {wsc} |".format(**r)
         )
     n_cart = sum(r["cartesian"] for r in rows)
     offenders = [
@@ -96,6 +173,12 @@ def main() -> None:
         if r["gwin"] > 0 and r["name"] not in GLOBAL_WINDOW_ALLOWLIST
     ]
     n_gwin = sum(r["gwin"] for r in rows)
+    k_offenders = [
+        r["name"]
+        for r in rows
+        if r["kwin"] > 0 and r["name"] not in KEYED_WINDOW_ALLOWLIST
+    ]
+    n_kwin = sum(r["kwin"] for r in rows)
     lines += [
         "",
         f"**Summary:** {len(rows)} queries; total cartesian products: {n_cart} "
@@ -111,14 +194,26 @@ def main() -> None:
     ]
     for q, why in sorted(GLOBAL_WINDOW_ALLOWLIST.items()):
         lines.append(f"- `{q}` — {why}")
+    lines += [
+        "",
+        f"**Low-cardinality-keyed windows:** {n_kwin} occurrences across "
+        f"{sum(1 for r in rows if r['kwin'])} queries; non-allowlisted "
+        f"offenders: {k_offenders or 'NONE'} (must be none; rank<=K "
+        "windows protected by WindowGroupLimit pushdown are excluded "
+        "structurally). Audited bounded-grain exceptions:",
+        "",
+    ]
+    for q, why in sorted(KEYED_WINDOW_ALLOWLIST.items()):
+        lines.append(f"- `{q}` — {why}")
     lines.append("")
     with open(args.out, "w") as f:
         f.write("\n".join(lines))
     print(
         f"wrote {args.out}: {len(rows)} queries, cartesian={n_cart}, "
-        f"global-window offenders={offenders}"
+        f"global-window offenders={offenders}, "
+        f"keyed-window offenders={k_offenders}"
     )
-    if offenders:
+    if offenders or k_offenders:
         sys.exit(1)
     spark.stop()
 
