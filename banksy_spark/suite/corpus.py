@@ -1295,16 +1295,23 @@ def a_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     med_by_flag = ranked.groupBy("flag").agg(
         F.max(F.when(F.col("rn") == lower_mid, F.col("x"))).alias("med")
     )
-    med_t = ranked.join(F.broadcast(med_by_flag), "flag")
-    dev_t = grouped_ordinals(
-        med_t.select(
+    # checkpoint between the passes: pass 2's sketch, directory and
+    # final plan all consume pass 1's window — without materialization
+    # the first rank lineage re-executes in every branch
+    med_t = (
+        ranked.join(F.broadcast(med_by_flag), "flag")
+        .select(
             "flag",
             "x",
             "cnt",
             "med",
             F.abs(F.col("x") - F.col("med")).alias("dev"),
             "rn",
-        ),
+        )
+        .localCheckpoint()
+    )
+    dev_t = grouped_ordinals(
+        med_t,
         ["flag"],
         ["dev", "x", "rn"],
         row_number="drn",
