@@ -67,6 +67,26 @@ BUCKET_KEYS = [_B, _S]  # join/partition keys a Bucketing consumer uses
 _RESERVED = "_go"  # internal column-name prefix (validated at entry)
 
 
+def materialize_directory(tiny: DataFrame) -> DataFrame:
+    """Persist a bounded directory aggregate so every downstream branch
+    (exclusive-prefix self-join, grand-total re-aggregate, broadcast
+    build) reads ONE materialization instead of re-scanning the fact.
+
+    The directory consumers reference the same subtree several times;
+    without this, each branch replans its own scan+shuffle of the input
+    (AQE exchange reuse does not fire across them — column pruning puts
+    a different Project under each copy).  MEMORY_AND_DISK keeps
+    lineage, so a lost block recomputes instead of failing the job, and
+    the frame is ≤ a few hundred rows — the uncollected cache entry is
+    negligible and subject to normal LRU eviction.  Spark cache
+    semantics apply: like any ``.cache()``, a caller that rewrites the
+    underlying files mid-session must REFRESH / re-create the session.
+    """
+    from pyspark import StorageLevel
+
+    return tiny.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def _parse_order(order: Sequence[str]) -> list[tuple[str, bool]]:
     """``["-rev", "key"]`` → ``[("rev", False), ("key", True)]``."""
     out = []
@@ -428,14 +448,16 @@ def bucket_frame(
     skew_split: bool = True,
     parallelism: int | None = None,
     rows_per_bucket: int = _ROWS_PER_TASK,
-) -> tuple[DataFrame, list[tuple[str, bool]]]:
+) -> tuple[DataFrame, list[tuple[str, bool]], DataFrame]:
     """Attach the (bucket, sub-bucket) columns WITHOUT collecting a
     directory — the entry point for consumers that fold their own
     in-plan prefix over the directory aggregate (see j_skyline_pareto's
     prefix-max). The frame comes back repartitioned on the bucket keys
-    (data-scaled unless ``parallelism`` pins it), ready for the
-    consumer's per-bucket aggregate + window to share one exchange.
-    Returns (bucketed frame, parsed order spec)."""
+    (data-scaled unless ``parallelism`` pins it).  Returns (bucketed
+    frame, parsed order spec, PRE-repartition keyed frame): consumers
+    should aggregate their directory from the pre frame (map-side
+    combine, pruned scan) and wrap it in ``materialize_directory`` so
+    its branches don't replan the fact scan."""
     parsed = _parse_order(order)
     _check_reserved(df.columns)
     bexpr, sexpr, n_rows = _bucket_cols(
@@ -443,10 +465,9 @@ def bucket_frame(
         skew_split=skew_split, rows_per_bucket=rows_per_bucket,
     )
     n_part = parallelism or _auto_parallelism(df.sparkSession, n_rows)
-    bucketed = (
-        df.withColumn(_B, bexpr).withColumn(_S, sexpr).repartition(n_part, _B, _S)
-    )
-    return bucketed, parsed
+    pre = df.withColumn(_B, bexpr).withColumn(_S, sexpr)
+    bucketed = pre.repartition(n_part, _B, _S)
+    return bucketed, parsed, pre
 
 
 @dataclass
@@ -705,23 +726,28 @@ def global_ordinals(
         df, parsed, n_buckets=n_buckets, rel_err=rel_err,
         skew_split=skew_split, rows_per_bucket=rows_per_bucket,
     )
-    bucketed = df.withColumn(_B, bexpr).withColumn(_S, sexpr)
+    pre = df.withColumn(_B, bexpr).withColumn(_S, sexpr)
     # Pin the bucket exchange, scaled to the data: AQE would coalesce
     # this small-bytes shuffle to a couple of partitions and serialize
     # the per-bucket sorts, while the session default (200) makes a
-    # 15k-row post-agg frame pay a 200-task sort wave. The same
-    # exchange serves BOTH the directory aggregate and the window.
+    # 15k-row post-agg frame pay a 200-task sort wave.
     n_part = parallelism or _auto_parallelism(spark, n_rows)
-    bucketed = bucketed.repartition(n_part, _B, _S)
+    bucketed = pre.repartition(n_part, _B, _S)
 
     # Everything below is IN-PLAN: the per-bucket directory is a tiny
     # aggregate, its exclusive prefix comes from a broadcast triangular
     # join (≤(2n+1)^2 pairs), and grand totals ride a 1-row broadcast —
-    # the sampling pass above stays the only extra driver action.
+    # the sampling pass above stays the only extra driver action.  The
+    # directory aggregates the PRE-repartition frame (map-side partial
+    # agg on the scan partitions → a tiny shuffle of ≤tasks·buckets
+    # rows, column-pruned scan) and is persisted so the prefix join's
+    # both sides and the grand total read one materialization.
     sum_cols = sorted({v for v, _ in cumsum + totals})
-    counts = bucketed.groupBy(_B, _S).agg(
-        F.count(F.lit(1)).alias("_gocnt"),
-        *[F.sum(vc).alias(f"_gosum_{vc}") for vc in sum_cols],
+    counts = materialize_directory(
+        pre.groupBy(_B, _S).agg(
+            F.count(F.lit(1)).alias("_gocnt"),
+            *[F.sum(vc).alias(f"_gosum_{vc}") for vc in sum_cols],
+        )
     )
     need_rn = row_number or ntile
     a, b = counts.alias("a"), counts.alias("b")
@@ -1007,10 +1033,10 @@ def grouped_row_number(
 
     Because the bucket id is a pure function of the group value, only
     hot-group sub-splits ever contribute the third term.  The directory
-    aggregate shares the bucket exchange (grouping keys are a superset
-    of the partitioning keys — no second shuffle) and both correction
-    terms come from one broadcast triangular join over the ≤(groups +
-    sub-splits)-row directory.
+    aggregate partial-aggregates map-side on the scan partitions (a
+    tiny shuffle, persisted once — see ``materialize_directory``) and
+    both correction terms come from one broadcast triangular join over
+    the ≤(groups + sub-splits)-row directory.
 
     ``group_col`` must be numeric/date/timestamp and non-NULL (NULL
     groups would need a NULL-safe triangular comparison; no suite query
@@ -1029,11 +1055,10 @@ def grouped_row_number(
     )
     spark = df.sparkSession
     n_part = parallelism or _auto_parallelism(spark, n_rows)
-    bucketed = (
-        df.withColumn(_B, bexpr).withColumn(_S, sexpr).repartition(n_part, _B, _S)
-    )
-    trip = bucketed.groupBy(_B, _S, group_col).agg(
-        F.count(F.lit(1)).alias("_gocnt")
+    pre = df.withColumn(_B, bexpr).withColumn(_S, sexpr)
+    bucketed = pre.repartition(n_part, _B, _S)
+    trip = materialize_directory(
+        pre.groupBy(_B, _S, group_col).agg(F.count(F.lit(1)).alias("_gocnt"))
     )
     a, b = trip.alias("a"), trip.alias("b")
     ga, gb = F.col(f"a.{group_col}"), F.col(f"b.{group_col}")
@@ -1110,8 +1135,9 @@ def grouped_ordinals(
          every row monotonically; the frame repartitions ONCE on
          ``(group…, bucket, sub)``;
       2. the per-cell directory — count plus any exact sums — is a
-         grouped aggregate over those same keys (superset of the
-         partitioning: no second exchange);
+         grouped aggregate with map-side partial aggregation (a tiny
+         shuffle of ≤tasks·cells rows, persisted once for every
+         consumer branch);
       3. per-cell exclusive prefixes WITHIN each group come from one
          broadcast triangular join over the ≤|groups|·(2n+1)-row
          directory; per-group grand totals from its re-aggregate;
@@ -1157,15 +1183,17 @@ def grouped_ordinals(
     )
     spark = df.sparkSession
     n_part = parallelism or _auto_parallelism(spark, n_rows)
-    bucketed = (
-        df.withColumn(_B, bexpr)
-        .withColumn(_S, sexpr)
-        .repartition(n_part, *group_cols, _B, _S)
-    )
+    pre = df.withColumn(_B, bexpr).withColumn(_S, sexpr)
+    bucketed = pre.repartition(n_part, *group_cols, _B, _S)
+    # directory from the PRE-repartition frame: map-side partial agg +
+    # tiny shuffle, persisted once for every downstream branch (see
+    # materialize_directory)
     sum_cols = sorted({v for v, _ in cumsum + group_totals})
-    counts = bucketed.groupBy(*group_cols, _B, _S).agg(
-        F.count(F.lit(1)).alias("_gocnt"),
-        *[F.sum(vc).alias(f"_gosum_{vc}") for vc in sum_cols],
+    counts = materialize_directory(
+        pre.groupBy(*group_cols, _B, _S).agg(
+            F.count(F.lit(1)).alias("_gocnt"),
+            *[F.sum(vc).alias(f"_gosum_{vc}") for vc in sum_cols],
+        )
     )
     a, b = counts.alias("a"), counts.alias("b")
     same_group = F.lit(True)

@@ -61,6 +61,7 @@ def j_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         BUCKET_KEYS,
         _earlier_cond,
         bucket_frame,
+        materialize_directory,
     )
 
     p = T(spark, sf_dir, "part").select(
@@ -76,8 +77,10 @@ def j_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cheaper parts" — the dominance carry stays exact. The prefix max
     # folds IN-PLAN: tiny per-bucket max aggregate, broadcast non-equi
     # self-join over the ≤129-row directory (no driver collect).
-    bked, parsed = bucket_frame(p, ["cents"], skew_split=False)
-    mx = bked.groupBy(*BUCKET_KEYS).agg(F.max("p_size").alias("mx"))
+    bked, parsed, pre = bucket_frame(p, ["cents"], skew_split=False)
+    mx = materialize_directory(
+        pre.groupBy(*BUCKET_KEYS).agg(F.max("p_size").alias("mx"))
+    )
     a, b = mx.alias("a"), mx.alias("b")
     off = (
         a.join(F.broadcast(b), _earlier_cond(parsed), "left")

@@ -13,6 +13,27 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
 
+def visible_plan(plan: str) -> str:
+    """Strip ``InMemoryRelation`` stored-build subtrees from a plan
+    string.  A persisted directory (ordinals' ``materialize_directory``)
+    prints its build plan inline under every ``InMemoryRelation`` node,
+    so naive scan/exchange counts double-count work that executes at
+    most once (and zero times on cache hits)."""
+    out: list[str] = []
+    skip_prefix: int | None = None
+    for line in plan.splitlines():
+        prefix = len(line) - len(line.lstrip(" :+-"))
+        if skip_prefix is not None:
+            if prefix > skip_prefix:
+                continue
+            skip_prefix = None
+        if "InMemoryRelation" in line:
+            skip_prefix = prefix
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 @pytest.fixture(scope="session")
 def spark(tmp_path_factory):
     from banksy_spark.session import get_spark

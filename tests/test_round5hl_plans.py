@@ -30,12 +30,13 @@ def test_gini_split_one_pass_over_orders(spark):
 
 
 def test_roc_auc_no_join(spark):
-    # round 6 (in-plan ordinals): the offsets directory aggregates
-    # in-plan, so the orders scan appears in up to 3 STATIC subtrees
-    # (main + the directory self-join's two sides) — but all three sit
-    # above the SAME bucket exchange, which AQE reuses at runtime
-    # (ReusedExchange below). No shuffle join, no single-partition
-    # window.
+    # round 7: the offsets directory is a persisted tiny aggregate
+    # (materialize_directory) computed from the pre-repartition frame —
+    # every directory branch reads the ONE InMemoryRelation instead of
+    # replanning its own scan+shuffle of orders (AQE exchange reuse
+    # proved fragile: column pruning differentiates the subtrees). The
+    # fact itself is scanned ≤2× (main + directory build). No shuffle
+    # join, no single-partition window.
     from banksy_spark.suite import REGISTRY
     from tests.conftest import SF_SMOKE
 
@@ -43,13 +44,20 @@ def test_roc_auc_no_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
-    assert len(re.findall(r"FileScan parquet [^\n]*orders", plan)) <= 3
+    assert "InMemoryRelation" in plan  # the persisted directory
+    # outside the persisted directory's stored build plan, the fact is
+    # scanned at most twice (main branch + the directory materialization)
+    from tests.conftest import visible_plan
+
+    outside = visible_plan(plan)
+    assert len(re.findall(r"FileScan parquet [^\n]*orders", outside)) <= 2
     assert not re.search(
         r"Window[^\n]*\n[^\n]*Sort[^\n]*\n[^\n]*Exchange SinglePartition", plan
     )
     df.collect()  # finalize the adaptive plan
     final = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in final  # one exchange feeds all branches
+    # every directory consumer branch reads the cache, not the fact
+    assert "TableCacheQueryStage" in final or "InMemoryTableScan" in final
 
 
 def test_changepoint_binseg_one_window_pass(spark):
@@ -68,13 +76,18 @@ def test_sequence_ab_collapses_before_pair_join(spark):
 
 
 def test_e2e_prepare_single_scan_three_keyed_exchanges(spark):
-    plan = _plan(spark, "llm_e2e_prepare")
+    from tests.conftest import visible_plan
+
+    plan = visible_plan(_plan(spark, "llm_e2e_prepare"))
     assert len(re.findall(r"FileScan parquet [^\n]*documents", plan)) == 1
-    # source-cap, content-hash, and lang-split windows: one hash
-    # exchange each, nothing more
+    # Fact-scale exchanges: source-cap, content-hash, and lang-split
+    # windows — one each.  The two extra hash exchanges both carry the
+    # ≤|groups|·(2n+1)-row persisted directory (its exclusive-prefix
+    # regroup and per-group total), not the corpus.
     n_exch = len(re.findall(r"Exchange hashpartitioning", plan))
-    assert n_exch == 3, f"expected 3 keyed exchanges, saw {n_exch}"
-    assert "Join" not in plan
+    assert n_exch <= 5, f"expected <=5 keyed exchanges, saw {n_exch}"
+    # the only join is the broadcast of the persisted directory offsets
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_ddsketch_single_scan_small_agg(spark):
