@@ -23,13 +23,16 @@ naive-form oracle, suite/round4.py):
     can be further **sub-split by the secondary sort key** without
     breaking global monotonicity (see ``tools/bench_skew.py`` for the
     measured zipfian behaviour).
- 2. **Per-bucket prefix aggregates** (counts, exact sums) fold
-    IN-PLAN: a tiny directory aggregate, its exclusive prefix from a
-    broadcast non-equi self-join over the ≤``2·n_buckets+1``-row
-    directory, grand totals from a 1-row broadcast — the sampling pass
-    stays the only extra driver action.  (``bucketize``/
-    ``offsets_table`` keep a driver-folded literal-directory variant
-    for prefix-max consumers like the skyline.)
+ 2. **Per-bucket prefix aggregates** (counts, exact sums) come from
+    ONE bounded driver collect of the ≤``2·n_buckets+1``-row directory
+    (map-side-combined, column-pruned — the same cost class as
+    ``repartitionByRange``'s sampling), folded into literal lookup
+    maps.  The main plan is then a single pipeline with no directory
+    joins or broadcast builds on the critical path.  The grouped
+    variants (string group keys) instead persist their directory and
+    broadcast-join it (``materialize_directory``); ``bucketize``/
+    ``offsets_table`` expose the driver-folded directory to prefix-max
+    consumers like the skyline.
  3. Each ordinal is then ``bucket_offset + intra-bucket window`` where
     the window is ``PARTITION BY bucket`` — bounded partitions, no
     single-partition WINDOW anywhere in the plan (tests/
@@ -516,7 +519,11 @@ def bucketize(
     single-partition window from the downstream plan.
     """
     parsed = _parse_order(order)
-    _check_reserved(df.columns, aggs or ())
+    # agg names live only in the driver directory (never in an output
+    # frame), so internal `_go*` names are fine — only _B/_S collide.
+    _check_reserved(df.columns)
+    if aggs and ({_B, _S} & set(aggs)):
+        raise ValueError(f"bucketize: agg name may not be {_B}/{_S}")
     bexpr, sexpr, _ = _bucket_cols(
         df, parsed, n_buckets=n_buckets, rel_err=rel_err,
         skew_split=skew_split, rows_per_bucket=rows_per_bucket,
@@ -721,73 +728,78 @@ def global_ordinals(
                 "per-bucket regrouping would drift ulps vs a sequential "
                 "oracle — cast to DECIMAL first"
             )
-    parsed = _parse_order(order)
-    bexpr, sexpr, n_rows = _bucket_cols(
-        df, parsed, n_buckets=n_buckets, rel_err=rel_err,
-        skew_split=skew_split, rows_per_bucket=rows_per_bucket,
+    # Directory as DRIVER LITERALS (the multi_ordinals design): one
+    # bounded collect of the ≤(2n+1)·ksub-row per-bucket aggregate
+    # (map-side combined, column-pruned scan), folded into literal
+    # lookup MAPS keyed by b·2^16+s.  The main plan is then a single
+    # pipeline — scan → project(map lookups) → one hash exchange →
+    # per-bucket sort+window — with NO directory joins, broadcast
+    # builds, or extra query stages on the critical path (measured ~2×
+    # faster than the in-plan triangular-join form at sf0.1; the same
+    # two-bounded-driver-jobs economics as repartitionByRange).
+    sum_cols = sorted({v for v, _ in cumsum + totals})
+    bk = bucketize(
+        df,
+        order,
+        aggs={f"_gosum_{vc}": F.sum(vc) for vc in sum_cols},
+        n_buckets=n_buckets,
+        rel_err=rel_err,
+        skew_split=skew_split,
+        rows_per_bucket=rows_per_bucket,
     )
-    pre = df.withColumn(_B, bexpr).withColumn(_S, sexpr)
+    parsed = bk.parsed
+    total = bk.total_count
     # Pin the bucket exchange, scaled to the data: AQE would coalesce
     # this small-bytes shuffle to a couple of partitions and serialize
     # the per-bucket sorts, while the session default (200) makes a
-    # 15k-row post-agg frame pay a 200-task sort wave.
-    n_part = parallelism or _auto_parallelism(spark, n_rows)
-    bucketed = pre.repartition(n_part, _B, _S)
+    # 15k-row post-agg frame pay a 200-task sort wave.  total_count is
+    # the directory's EXACT row count — no second sizing pass.
+    n_part = parallelism or _auto_parallelism(spark, total)
+    out = bk.df.repartition(n_part, _B, _S)
 
-    # Everything below is IN-PLAN: the per-bucket directory is a tiny
-    # aggregate, its exclusive prefix comes from a broadcast triangular
-    # join (≤(2n+1)^2 pairs), and grand totals ride a 1-row broadcast —
-    # the sampling pass above stays the only extra driver action.  The
-    # directory aggregates the PRE-repartition frame (map-side partial
-    # agg on the scan partitions → a tiny shuffle of ≤tasks·buckets
-    # rows, column-pruned scan) and is persisted so the prefix join's
-    # both sides and the grand total read one materialization.
-    sum_cols = sorted({v for v, _ in cumsum + totals})
-    counts = materialize_directory(
-        pre.groupBy(_B, _S).agg(
-            F.count(F.lit(1)).alias("_gocnt"),
-            *[F.sum(vc).alias(f"_gosum_{vc}") for vc in sum_cols],
-        )
-    )
-    need_rn = row_number or ntile
-    a, b = counts.alias("a"), counts.alias("b")
-    offs = (
-        a.join(F.broadcast(b), _earlier_cond(parsed), "left")
-        .groupBy(F.col(f"a.{_B}").alias(_B), F.col(f"a.{_S}").alias(_S))
-        .agg(
-            F.coalesce(F.sum(F.col("b._gocnt")), F.lit(0)).alias("_gooff"),
-            *[
-                F.sum(F.col(f"b._gosum_{vc}")).alias(f"_gooffs_{vc}")
-                for vc, _ in cumsum
-            ],
-        )
-    )
-    out = bucketed.join(F.broadcast(offs), [_B, _S])
-    need_tot = total_count or totals or ntile
-    if need_tot:
-        tot = counts.agg(
-            F.sum("_gocnt").alias("_gotot"),
-            *[F.sum(f"_gosum_{vc}").alias(f"_gotots_{vc}") for vc, _ in totals],
-        )
-        out = out.crossJoin(F.broadcast(tot))
+    def _lit_map(pairs: list[tuple[int, str]], empty_sql: str) -> Column:
+        """One literal SQL map (a create_map of 2·|directory| F.lit
+        calls costs ~1s of py4j chatter — same note as multi_ordinals)."""
+        if not pairs:
+            return F.expr(empty_sql)
+        body = ",".join(f"{k},{v}" for k, v in pairs)
+        return F.expr(f"element_at(map({body}), {_B} * 65536 + {_S})")
 
     w = Window.partitionBy(_B, _S).orderBy(*_sort_cols(parsed))
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rn_name = row_number or ("_gorn" if ntile else None)
     if rn_name:
-        out = out.withColumn(rn_name, F.col("_gooff") + F.row_number().over(w))
+        run_cnt, pairs = 0, []
+        for gb, gs, cnt, _ in bk.directory:
+            pairs.append((gb * 65536 + gs, f"{run_cnt}L"))
+            run_cnt += cnt
+        out = out.withColumn(
+            rn_name, _lit_map(pairs, "CAST(0 AS BIGINT)") + F.row_number().over(w)
+        )
     if ntile:
         n, tname = ntile
-        out = out.withColumn(
-            tname, ntile_expr_col(F.col(rn_name), F.col("_gotot"), n)
-        )
+        out = out.withColumn(tname, ntile_expr(F.col(rn_name), total, n))
+    by_name = {f.name: f for f in bk.agg_fields}
     for vc, oname in cumsum:
         # naive-window NULL parity: SUM ... ROWS UNBOUNDED PRECEDING is
-        # NULL only while EVERY preceding value is NULL — the bucket
-        # offset (non-null iff some earlier bucket held a value) and
-        # the intra-bucket running sum must therefore coalesce jointly,
-        # not per-term.
-        off = F.col(f"_gooffs_{vc}")
+        # NULL only while EVERY preceding value is NULL — the literal
+        # offset stays NULL until some earlier bucket held a value and
+        # coalesces JOINTLY with the intra-bucket running sum, not
+        # per-term.  Exactness: the values are DECIMAL/integral (the
+        # type guard above), so the string literals round-trip exact.
+        tsql = _widen(by_name[f"_gosum_{vc}"]).simpleString().upper()
+        run_sum, pairs = None, []
+        for gb, gs, _, avals in bk.directory:
+            lit = (
+                f"CAST(NULL AS {tsql})"
+                if run_sum is None
+                else f"CAST('{run_sum}' AS {tsql})"
+            )
+            pairs.append((gb * 65536 + gs, lit))
+            v = avals[f"_gosum_{vc}"]
+            if v is not None:
+                run_sum = v if run_sum is None else run_sum + v
+        off = _lit_map(pairs, f"CAST(NULL AS {tsql})")
         run = F.sum(vc).over(wrun)
         out = out.withColumn(
             oname,
@@ -796,12 +808,17 @@ def global_ordinals(
             ),
         )
     if total_count:
-        out = out.withColumn(total_count, F.col("_gotot"))
+        out = out.withColumn(total_count, F.lit(total).cast("long"))
     for vc, oname in totals:
-        out = out.withColumn(oname, F.col(f"_gotots_{vc}"))
-    drop = [_B, _S] + [
-        c for c in out.columns if c.startswith(("_goo", "_gotot"))
-    ]
+        tsql = _widen(by_name[f"_gosum_{vc}"]).simpleString().upper()
+        tv = bk.agg_total(f"_gosum_{vc}")
+        out = out.withColumn(
+            oname,
+            F.expr(f"CAST(NULL AS {tsql})")
+            if tv is None
+            else F.expr(f"CAST('{tv}' AS {tsql})"),
+        )
+    drop = [_B, _S]
     if ntile and not row_number:
         drop.append("_gorn")
     return out.drop(*drop)
@@ -1103,6 +1120,130 @@ def grouped_row_number(
     )
 
 
+def _grouped_ordinals_literal(
+    bucketed: DataFrame,
+    gc: str,
+    g_dtype: str,
+    parsed: list[tuple[str, bool]],
+    lit_rows: list,
+    dir_fields: dict,
+    *,
+    row_number: str | None,
+    group_count: str | None,
+    ntile: tuple[int, str] | None,
+    cumsum: list[tuple[str, str]],
+    group_totals: list[tuple[str, str]],
+) -> DataFrame:
+    """grouped_ordinals' literal-map fast path: the collected (group,
+    bucket, sub) directory folds into NESTED literal maps —
+    ``element_at(element_at(outer, group), b·2^16+s)`` — so every
+    per-group measure is a pure projection over the one bucket
+    exchange.  Lookup cost per row is a ≤|groups|-entry outer probe
+    plus a ≤(2n+1)-entry inner probe of int keys (the multi_ordinals
+    literal-map trade, nested)."""
+    asc1 = parsed[0][1]
+    asc2 = parsed[1][1] if len(parsed) > 1 else True
+    by_group: dict = {}
+    for r in lit_rows:
+        by_group.setdefault(r[gc], []).append(r)
+    for rs in by_group.values():
+        rs.sort(key=lambda r: (r[_B] if asc1 else -r[_B], r[_S] if asc2 else -r[_S]))
+
+    if g_dtype == "string":
+        def g_sql(v) -> str:
+            return "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+        g_expr = _ident(gc)
+    else:
+        def g_sql(v) -> str:
+            return f"{int(v)}L"
+
+        g_expr = f"CAST({_ident(gc)} AS BIGINT)"
+    ckey = f"{_B} * 65536 + {_S}"
+
+    def nested(per_group: dict, empty_sql: str) -> Column:
+        if not per_group:
+            return F.expr(empty_sql)
+        outer = ",".join(
+            f"{g_sql(g)},map({','.join(f'{k},{v}' for k, v in inner)})"
+            for g, inner in per_group.items()
+        )
+        return F.expr(f"element_at(element_at(map({outer}), {g_expr}), {ckey})")
+
+    def flat(per_group: dict, empty_sql: str) -> Column:
+        if not per_group:
+            return F.expr(empty_sql)
+        outer = ",".join(f"{g_sql(g)},{v}" for g, v in per_group.items())
+        return F.expr(f"element_at(map({outer}), {g_expr})")
+
+    out = bucketed
+    w = Window.partitionBy(gc, _B, _S).orderBy(*_sort_cols(parsed))
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rn_name = row_number or ("_gorn" if ntile else None)
+    if rn_name:
+        offs = {}
+        for g, rs in by_group.items():
+            run, inner = 0, []
+            for r in rs:
+                inner.append((r[_B] * 65536 + r[_S], f"{run}L"))
+                run += r["_gocnt"]
+            offs[g] = inner
+        out = out.withColumn(
+            rn_name, nested(offs, "CAST(0 AS BIGINT)") + F.row_number().over(w)
+        )
+    need_tot = group_count or ntile
+    if need_tot:
+        tots = {
+            g: f"{sum(r['_gocnt'] for r in rs)}L" for g, rs in by_group.items()
+        }
+        tot_col = flat(tots, "CAST(NULL AS BIGINT)")
+    if ntile:
+        n, tname = ntile
+        out = out.withColumn(tname, ntile_expr_col(F.col(rn_name), tot_col, n))
+    for vc, oname in cumsum:
+        # same naive-window NULL parity as global_ordinals, per group
+        tsql = _widen(dir_fields[f"_gosum_{vc}"]).simpleString().upper()
+        offs = {}
+        for g, rs in by_group.items():
+            run_sum, inner = None, []
+            for r in rs:
+                lit = (
+                    f"CAST(NULL AS {tsql})"
+                    if run_sum is None
+                    else f"CAST('{run_sum}' AS {tsql})"
+                )
+                inner.append((r[_B] * 65536 + r[_S], lit))
+                v = r[f"_gosum_{vc}"]
+                if v is not None:
+                    run_sum = v if run_sum is None else run_sum + v
+            offs[g] = inner
+        off = nested(offs, f"CAST(NULL AS {tsql})")
+        run = F.sum(vc).over(wrun)
+        out = out.withColumn(
+            oname,
+            F.when(off.isNull() & run.isNull(), F.lit(None)).otherwise(
+                F.coalesce(off, F.lit(0)) + F.coalesce(run, F.lit(0))
+            ),
+        )
+    if group_count:
+        out = out.withColumn(group_count, tot_col)
+    for vc, oname in group_totals:
+        tsql = _widen(dir_fields[f"_gosum_{vc}"]).simpleString().upper()
+        gtots = {}
+        for g, rs in by_group.items():
+            vals = [r[f"_gosum_{vc}"] for r in rs if r[f"_gosum_{vc}"] is not None]
+            gtots[g] = (
+                f"CAST(NULL AS {tsql})"
+                if not vals
+                else f"CAST('{sum(vals[1:], vals[0])}' AS {tsql})"
+            )
+        out = out.withColumn(oname, flat(gtots, f"CAST(NULL AS {tsql})"))
+    drop = [_B, _S]
+    if ntile and not row_number:
+        drop.append("_gorn")
+    return out.drop(*drop)
+
+
 def grouped_ordinals(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -1185,10 +1326,51 @@ def grouped_ordinals(
     n_part = parallelism or _auto_parallelism(spark, n_rows)
     pre = df.withColumn(_B, bexpr).withColumn(_S, sexpr)
     bucketed = pre.repartition(n_part, *group_cols, _B, _S)
-    # directory from the PRE-repartition frame: map-side partial agg +
-    # tiny shuffle, persisted once for every downstream branch (see
-    # materialize_directory)
     sum_cols = sorted({v for v, _ in cumsum + group_totals})
+
+    # FAST PATH — single group column of string/integral type (every
+    # suite consumer): collect the bounded (group, bucket, sub)
+    # directory and fold it into nested literal maps, exactly like
+    # global_ordinals — the main plan becomes scan → project(nested
+    # map lookups) → one hash exchange → per-cell sort+window, with no
+    # directory joins or broadcast builds.  A cap guards against
+    # misuse on high-cardinality groups (this operator is for FEW huge
+    # groups); over the cap — or for multi-column / exotic group key
+    # types — the general persisted-directory join design below runs.
+    lit_rows = None
+    if len(group_cols) == 1 and dtypes[group_cols[0]] in (
+        "string", "int", "bigint", "smallint", "tinyint",
+    ):
+        cap = 4096
+        dir_df = pre.groupBy(group_cols[0], _B, _S).agg(
+            F.count(F.lit(1)).alias("_gocnt"),
+            *[F.sum(vc).alias(f"_gosum_{vc}") for vc in sum_cols],
+        )
+        # plain collect, capped post-hoc: CollectLimitExec's incremental
+        # one-partition-first scheduling costs several extra job waves,
+        # while the legit directory is tiny by this operator's contract
+        got = dir_df.collect()
+        if len(got) <= cap and all(r[group_cols[0]] is not None for r in got):
+            lit_rows = got
+            dir_fields = {f.name: f for f in dir_df.schema.fields}
+    if lit_rows is not None:
+        return _grouped_ordinals_literal(
+            bucketed,
+            group_cols[0],
+            dtypes[group_cols[0]],
+            parsed,
+            lit_rows,
+            dir_fields,
+            row_number=row_number,
+            group_count=group_count,
+            ntile=ntile,
+            cumsum=cumsum,
+            group_totals=group_totals,
+        )
+
+    # GENERAL PATH — directory from the PRE-repartition frame (map-side
+    # partial agg + tiny shuffle), persisted once for every downstream
+    # branch (see materialize_directory)
     counts = materialize_directory(
         pre.groupBy(*group_cols, _B, _S).agg(
             F.count(F.lit(1)).alias("_gocnt"),

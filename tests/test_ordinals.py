@@ -131,16 +131,20 @@ def test_no_single_partition_exchange_in_plan(spark):
         n_buckets=16,
     )
     plan = got._jdf.queryExecution().executedPlan().toString()
-    # no WINDOW may sort through one partition; the only SinglePartition
-    # exchange allowed is the grand-total SCALAR aggregate (map-side
-    # partials over the 129-row directory — scale-safe by construction)
+    # no WINDOW may sort through one partition — and with the literal-
+    # map directory there is no join or extra exchange of ANY kind: the
+    # whole plan is scan → project(map lookups) → one hash exchange →
+    # per-bucket sort+window
     import re as _re
 
     assert not _re.search(
         r"Window[^\n]*\n[^\n]*Sort[^\n]*\n[^\n]*Exchange SinglePartition", plan
     )
     assert "Window" in plan  # the partitioned intra-bucket window
-    assert "BroadcastHashJoin" in plan  # offsets directory broadcast
+    assert "Join" not in plan  # offsets are literal maps, not a join
+    assert "Exchange SinglePartition" not in plan
+    n_exch = len(_re.findall(r"Exchange ", plan))
+    assert n_exch == 1, f"expected exactly one bucket exchange, saw {n_exch}"
 
 
 def test_empty_input(spark):

@@ -30,34 +30,20 @@ def test_gini_split_one_pass_over_orders(spark):
 
 
 def test_roc_auc_no_join(spark):
-    # round 7: the offsets directory is a persisted tiny aggregate
-    # (materialize_directory) computed from the pre-repartition frame —
-    # every directory branch reads the ONE InMemoryRelation instead of
-    # replanning its own scan+shuffle of orders (AQE exchange reuse
-    # proved fragile: column pruning differentiates the subtrees). The
-    # fact itself is scanned ≤2× (main + directory build). No shuffle
-    # join, no single-partition window.
+    # round 7 (literal-map ordinals): the offsets directory is one
+    # bounded driver collect folded into literal lookup maps, so the
+    # whole rank pass is a single pipeline — ONE orders scan, ONE hash
+    # exchange, no join of any kind, no single-partition window.
     from banksy_spark.suite import REGISTRY
     from tests.conftest import SF_SMOKE
 
     df = REGISTRY["ml_roc_auc"].fn(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" not in plan
-    assert "BroadcastHashJoin" in plan
-    assert "InMemoryRelation" in plan  # the persisted directory
-    # outside the persisted directory's stored build plan, the fact is
-    # scanned at most twice (main branch + the directory materialization)
-    from tests.conftest import visible_plan
-
-    outside = visible_plan(plan)
-    assert len(re.findall(r"FileScan parquet [^\n]*orders", outside)) <= 2
+    assert "Join" not in plan
+    assert len(re.findall(r"FileScan parquet [^\n]*orders", plan)) == 1
     assert not re.search(
         r"Window[^\n]*\n[^\n]*Sort[^\n]*\n[^\n]*Exchange SinglePartition", plan
     )
-    df.collect()  # finalize the adaptive plan
-    final = df._jdf.queryExecution().executedPlan().toString()
-    # every directory consumer branch reads the cache, not the fact
-    assert "TableCacheQueryStage" in final or "InMemoryTableScan" in final
 
 
 def test_changepoint_binseg_one_window_pass(spark):
