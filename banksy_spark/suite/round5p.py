@@ -52,16 +52,16 @@ from banksy_spark.suite.registry import T, query
     "range-partitioned (operators/ordinals.py bucketize on cents — "
     "equal prices always share a bucket), the intra-bucket running max "
     "runs PARTITION BY bucket, and the cross-bucket carry is each "
-    "bucket's max size prefix-folded on the driver and rebroadcast — "
-    "64 numbers exchanged, not rows, no single-partition stage "
-    "(plan-asserted; the angular-partition form is the d>2 extension).",
+    "bucket's max size prefix-folded on the driver into a literal "
+    "lookup map — 64 numbers collected, not rows; no join and no "
+    "single-partition stage anywhere in the plan (plan-asserted; the "
+    "angular-partition form is the d>2 extension).",
 )
 def j_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     from banksy_spark.operators.ordinals import (
         BUCKET_KEYS,
-        _earlier_cond,
-        bucket_frame,
-        materialize_directory,
+        _auto_parallelism,
+        bucketize,
     )
 
     p = T(spark, sf_dir, "part").select(
@@ -75,22 +75,30 @@ def j_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every bucket boundary then separates strictly-different prices,
     # so "max over strictly earlier buckets" == "max over some strictly
     # cheaper parts" — the dominance carry stays exact. The prefix max
-    # folds IN-PLAN: tiny per-bucket max aggregate, broadcast non-equi
-    # self-join over the ≤129-row directory (no driver collect).
-    bked, parsed, pre = bucket_frame(p, ["cents"], skew_split=False)
-    mx = materialize_directory(
-        pre.groupBy(*BUCKET_KEYS).agg(F.max("p_size").alias("mx"))
-    )
-    a, b = mx.alias("a"), mx.alias("b")
-    off = (
-        a.join(F.broadcast(b), _earlier_cond(parsed), "left")
-        .groupBy(
-            F.col(f"a.{BUCKET_KEYS[0]}").alias(BUCKET_KEYS[0]),
-            F.col(f"a.{BUCKET_KEYS[1]}").alias(BUCKET_KEYS[1]),
+    # is the ≤129-number bucket directory prefix-folded on the driver
+    # into ONE literal lookup map (the literal-map ordinal design):
+    # no join, no broadcast build, a single exchange in the whole plan.
+    bk = bucketize(p, ["cents"], aggs={"mx": F.max("p_size")}, skew_split=False)
+    run_max, pairs = None, []
+    for gb, gs, _, avals in bk.directory:
+        pairs.append(
+            (gb * 65536 + gs, "CAST(NULL AS INT)" if run_max is None else str(run_max))
         )
-        .agg(F.max("b.mx").alias("pre_max"))
+        v = avals["mx"]
+        if v is not None:
+            run_max = v if run_max is None else max(run_max, v)
+    _B, _S = BUCKET_KEYS
+    pre_max = (
+        F.expr(
+            "element_at(map("
+            + ",".join(f"{k},{v}" for k, v in pairs)
+            + f"), {_B} * 65536 + {_S})"
+        )
+        if pairs
+        else F.lit(None).cast("int")
     )
-    d = bked.join(F.broadcast(off), BUCKET_KEYS)
+    n_part = _auto_parallelism(spark, bk.total_count)
+    d = bk.df.repartition(n_part, *BUCKET_KEYS).withColumn("pre_max", pre_max)
     w_cheaper = (
         Window.partitionBy(*BUCKET_KEYS)
         .orderBy("cents")
