@@ -520,3 +520,72 @@ def test_grouped_ordinals_string_order_via_prefix(spark):
     w = Window.partitionBy("g").orderBy("h", "id")
     want = d.select("id", F.row_number().over(w).alias("rn"))
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_grouped_ordinals_literal_path_escaping_and_null_cumsum(spark):
+    # the literal-map fast path builds SQL text from collected group
+    # values: quotes/backslashes must escape, and the per-group cumsum
+    # NULL parity (NULL until the group's first non-null value) must
+    # survive the literal encoding
+    import decimal
+    import random
+
+    from banksy_spark.operators.ordinals import grouped_ordinals
+
+    random.seed(11)
+    rows = []
+    for i in range(3000):
+        g = random.choice(["plain", "qu'ote", "back\\slash"])
+        v = float(random.choice([7.0] * 5 + [random.uniform(0, 50)]))
+        x = (
+            None
+            if random.random() < 0.3
+            else decimal.Decimal(str(round(random.uniform(-9, 9), 2)))
+        )
+        rows.append((g, v, i, x))
+    df = spark.createDataFrame(
+        rows, "g string, v double, k bigint, x decimal(10,2)"
+    ).repartition(8)
+    got = grouped_ordinals(
+        df,
+        ["g"],
+        ["v", "k"],
+        row_number="rn",
+        cumsum=[("x", "c")],
+        group_totals=[("x", "tx")],
+        n_buckets=16,
+        rows_per_bucket=256,
+    ).select("g", "k", "rn", "c", "tx")
+    # plan proof the fast path was taken: no join anywhere
+    assert "Join" not in got._jdf.queryExecution().executedPlan().toString()
+    wo = Window.partitionBy("g").orderBy("v", "k")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wp = Window.partitionBy("g")
+    want = df.select(
+        "g",
+        "k",
+        F.row_number().over(wo).alias("rn"),
+        F.sum("x").over(wrun).alias("c"),
+        F.sum("x").over(wp).alias("tx"),
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_grouped_ordinals_cap_falls_back_to_join_design(spark):
+    # >4096 directory cells (many groups) must fall back to the
+    # persisted-directory broadcast-join design, bit-identically
+    from banksy_spark.operators.ordinals import grouped_ordinals
+
+    df = spark.range(24000).select(
+        (F.col("id") % 400).cast("string").alias("g"),
+        (F.hash("id") % 1000).cast("double").alias("v"),
+        F.col("id").alias("k"),
+    )
+    got = grouped_ordinals(
+        df, ["g"], ["v", "k"], row_number="rn", n_buckets=16, rows_per_bucket=256
+    ).select("g", "k", "rn")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan  # the general path's offsets broadcast join
+    wo = Window.partitionBy("g").orderBy("v", "k")
+    want = df.select("g", "k", F.row_number().over(wo).alias("rn"))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
