@@ -1167,7 +1167,13 @@ def w_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank = 1 + rows with smaller value, dense = 1 + distinct smaller
     # values — both from the tiny (flag, value) count directory via a
     # broadcast triangular join, then broadcast back over the fact.
-    vc = base.groupBy("l_returnflag", "q").agg(F.count("*").alias("c"))
+    # The directory persists so the self-join's two sides read one
+    # materialization instead of re-scanning lineitem each.
+    from banksy_spark.operators.ordinals import materialize_directory
+
+    vc = materialize_directory(
+        base.groupBy("l_returnflag", "q").agg(F.count("*").alias("c"))
+    )
     a, b = vc.alias("a"), vc.alias("b")
     ranks = (
         a.join(
