@@ -1074,6 +1074,57 @@ def grouped_row_number(
     n_part = parallelism or _auto_parallelism(spark, n_rows)
     pre = df.withColumn(_B, bexpr).withColumn(_S, sexpr)
     bucketed = pre.repartition(n_part, _B, _S)
+
+    # FAST PATH — integral group values (llm_length_batching's bands):
+    # collect the bounded (bucket, sub, group) directory and fold BOTH
+    # correction terms into one per-(group, cell) literal adjustment,
+    # ``rn = intra_cell_rn + adj``, where adj = rows of this group in
+    # earlier cells − rows of earlier groups in this cell.  Same shape
+    # as the other literal-map ordinals: single pipeline, no joins.
+    dtypes = dict(df.dtypes)
+    if dtypes.get(group_col) in ("int", "bigint", "smallint", "tinyint"):
+        rows = (
+            pre.groupBy(_B, _S, group_col)
+            .agg(F.count(F.lit(1)).alias("_gocnt"))
+            .collect()
+        )
+        if len(rows) <= 4096 and all(r[group_col] is not None for r in rows):
+            asc2 = parsed[1][1] if len(parsed) > 1 else True
+            cells: dict = {}
+            for r in rows:
+                cells.setdefault(
+                    (r[_B], r[_S]), []
+                ).append((int(r[group_col]), r["_gocnt"]))
+            running: dict = {}
+            per_group: dict = {}
+            for cell in sorted(cells, key=lambda c: (c[0], c[1] if asc2 else -c[1])):
+                glist = sorted(cells[cell])  # leading order is group ASC
+                intra = 0
+                for g, c in glist:
+                    adj_val = running.get(g, 0) - intra
+                    per_group.setdefault(g, []).append(
+                        (cell[0] * 65536 + cell[1], f"{adj_val}L")
+                    )
+                    intra += c
+                for g, c in glist:
+                    running[g] = running.get(g, 0) + c
+            if per_group:
+                outer = ",".join(
+                    f"{g}L,map({','.join(f'{k},{v}' for k, v in inner)})"
+                    for g, inner in per_group.items()
+                )
+                adj_col = F.expr(
+                    f"element_at(element_at(map({outer}), "
+                    f"CAST({_ident(group_col)} AS BIGINT)), {_B} * 65536 + {_S})"
+                )
+            else:
+                adj_col = F.lit(0).cast("long")
+            w_lit = Window.partitionBy(_B, _S).orderBy(*_sort_cols(parsed))
+            return bucketed.withColumn(
+                out, F.row_number().over(w_lit) + adj_col
+            ).drop(_B, _S)
+
+    # GENERAL PATH — persisted directory + broadcast triangular join
     trip = materialize_directory(
         pre.groupBy(_B, _S, group_col).agg(F.count(F.lit(1)).alias("_gocnt"))
     )

@@ -589,3 +589,20 @@ def test_grouped_ordinals_cap_falls_back_to_join_design(spark):
     wo = Window.partitionBy("g").orderBy("v", "k")
     want = df.select("g", "k", F.row_number().over(wo).alias("rn"))
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_grouped_row_number_double_group_falls_back(spark):
+    # non-integral group values can't become literal map keys exactly —
+    # must take the general persisted-directory join path, bit-identically
+    from banksy_spark.operators.ordinals import grouped_row_number
+
+    rows = [(float(i % 5) / 2.0, float(i % 211), i) for i in range(4000)]
+    df = spark.createDataFrame(rows, "g double, x double, k bigint").repartition(8)
+    got = grouped_row_number(
+        df, "g", ["x", "k"], "rn", n_buckets=16, rows_per_bucket=256
+    )
+    assert "Join" in got._jdf.queryExecution().executedPlan().toString()
+    w = Window.partitionBy("g").orderBy("x", "k")
+    want = df.select("k", F.row_number().over(w).alias("rn"))
+    assert got.select("k", "rn").exceptAll(want).count() == 0
+    assert want.exceptAll(got.select("k", "rn")).count() == 0
