@@ -353,9 +353,9 @@ def a_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     "FEW and HUGE at 100 TB (a plain PARTITION BY bucket window gives "
     "one task per band), so rows range-bucket by band, a HOT band is "
     "detected as a repeated quantile and sub-split by n_chars, and the "
-    "in-band rank is repaired from a tiny persisted (bucket, sub, band) "
-    "directory (map-side-combined aggregate) — one fact shuffle, no "
-    "fact-scale second aggregate.",
+    "in-band rank is repaired from the driver-collected (bucket, sub, "
+    "band) directory folded into one literal adjustment map — a single "
+    "pipeline: one fact shuffle, no joins.",
 )
 def llm_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     from banksy_spark.operators.ordinals import grouped_row_number
