@@ -352,7 +352,9 @@ def a_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("seg", "c_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
-    )
+    ).localCheckpoint(eager=False)  # |customers|-sized: the ordinal
+    # directory job and the rank pass read ONE materialization instead
+    # of re-running the orders join+aggregate each (the a_rfm pattern)
     from banksy_spark.operators.ordinals import grouped_ordinals
 
     # 5 segments over a customer-scale frame: rank + exact DECIMAL
