@@ -55,11 +55,12 @@ from banksy_spark.suite.registry import T, query
     "the Mann-Whitney U rank statistic: ties get the average rank, held "
     "as the INTEGER doubled form min_rank+max_rank over the tie group, "
     "so the whole statistic stays integer until the single final "
-    "division — exact parity, no float rank accumulation. The global "
-    "rank rides operators/ordinals.py (range-bucketed two-phase "
-    "decomposition: every window PARTITION BY bucket, no "
-    "single-partition exchange — plan-asserted in test_plans.py) and "
-    "the tie-group min/max are per-score partitioned windows. The "
+    "division — exact parity, no float rank accumulation. Tie groups "
+    "collapse FIRST (one map-side-combinable aggregate per distinct "
+    "score), so the fact never enters a window: the running count over "
+    "the distinct-score frame (operators/ordinals.py, every window "
+    "PARTITION BY bucket — plan-asserted in test_plans.py) yields each "
+    "group's rank span as min_rn = cum_n − n + 1, max_rn = cum_n. The "
     "evaluation primitive for every ranking model the suite trains "
     "(quality classifier, langid, DSIR weights).",
 )
@@ -70,17 +71,24 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("score"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
     )
-    w_tie = Window.partitionBy("score")
-    ranked = global_ordinals(scored, ["score", "y"], row_number="rn").select(
-        "y",
-        F.min("rn").over(w_tie).alias("min_rn"),
-        F.max("rn").over(w_tie).alias("max_rn"),
+    # Tie groups collapse BEFORE any sort: one map-side-combinable
+    # aggregate per distinct score (n rows, p positives), then the
+    # running count over the distinct-score frame gives every tie
+    # group's rank span directly — min_rn = cum_n − n + 1, max_rn =
+    # cum_n, so Σ_pos(min_rn + max_rn) = Σ p·(2·cum_n − n + 1).  The
+    # fact never enters a window: the only fact-scale exchange is the
+    # score aggregate's, and the ordinal pass runs over the (much
+    # smaller) distinct-score frame.
+    g = (
+        scored.groupBy("score")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("p"))
+        .localCheckpoint(eager=False)  # sampled + counted + ranked once
     )
-    y = F.col("y")
-    n_pos = F.sum(y)
-    n_all = F.count(F.lit(1))
-    s2 = F.sum(F.when(y == 1, F.col("min_rn") + F.col("max_rn")).otherwise(0))
-    return ranked.agg(
+    r = global_ordinals(g, ["score"], cumsum=[("n", "cum_n")])
+    n_pos = F.sum("p")
+    n_all = F.sum("n")
+    s2 = F.sum(F.col("p") * (2 * F.col("cum_n") - F.col("n") + 1))
+    return r.agg(
         n_pos.alias("n_pos"),
         (n_all - n_pos).alias("n_neg"),
         (
