@@ -54,56 +54,71 @@ from banksy_spark.suite import round7  # noqa: E402,F401
 from banksy_spark.suite import round7b  # noqa: E402,F401
 
 # Rotate the newest / highest-risk queries into the driver's ~50-query
-# verification window (it samples the FIRST 50 registry entries).  The
-# flagship odds family stays in front; the round-6/7 ordinal rewrites
-# (bucketed global windows — the code that changed most recently) come
-# next so the EXTERNAL oracle covers them, displacing long-stable
-# round-2/3 entries toward the tail.  Python dicts preserve insertion
-# order, so rebuilding the dict IS the rotation.
+# verification window (it samples the FIRST 50 registry entries).
+# Round 8: (a) the 28 oracles whose DuckDB HUGEINT outputs were cast to
+# BIGINT this round (6 hash-red in r07 + 22 latent — the external
+# oracle must confirm the fix class is extinct), then (b) 22 queries
+# that have NEVER been driver-checked, ordered by risk per the round-7
+# verdict: the round5d-5s window/ML families carry the most hand-rolled
+# arithmetic.  Long-stable rN-green entries (odds flagship, core)
+# rotate to the tail.  Python dicts preserve insertion order, so
+# rebuilding the dict IS the rotation.
 _FRONT = [
-    "odds_arbitrage_core",
-    "odds_decimal_conversion",
-    "odds_stake_equalize",
-    "odds_sign_audit",
-    "odds_rate_limit",
-    "odds_message_build",
-    # the ordinal (bucketed global window) family, rewritten rounds 6-7
-    "a_rfm_segmentation",
-    "j_skyline_pareto",
-    "llm_length_batching",
-    "ml_lift_gains",
+    # (a) the 6 r07 hash-red HUGEINT oracles, now CAST AS BIGINT
     "ml_roc_auc",
-    "ml_calibration_bins",
-    "a_lorenz_curve_points",
-    "dq_skew_report",
-    "a_abc_classification",
+    "ml_lift_gains",
     "o_global_ntile",
-    "o_global_rownum",
     "ml_pr_auc",
     "ml_ks_statistic",
-    "a_trimmed_mean",
     "a_weighted_percentiles_global",
-    "a_pareto_8020",
-    "a_gini_concentration",
-    "ml_quantile_binning",
-    "ml_winsorize",
-    "llm_stratified_split",
-    "pipe_scrape_table",
-    # round-7 session 2: convergence-loop rework (CC driver union-find
-    # fast path, lazy checkpoints), PageRank n-carry, hash-agg k-means
-    # assignment, hashed similarity-join candidate keys
-    "llm_dedup_clusters",
-    "llm_dedup_canonical",
-    "llm_corpus_clean",
-    "graph_pagerank",
-    "ml_kmeans_step",
-    "j_fuzzy_edit1_join",
-    "j_similarity_prefix_join",
-    # round-7 session 3: corpus-lifecycle additions (new code → into
-    # the external-oracle window)
-    "llm_dedup_semantic",
-    "llm_shuffle_shards",
-    "llm_chunk_fixed_overlap",
+    # (a) the 22 latent HUGEINT oracles (same fix, never driver-seen)
+    "dq_constraint_report",
+    "a_q12_late_shipments",
+    "w_max_concurrency",
+    "stream_rollup_cascade",
+    "a_new_vs_returning",
+    "stream_late_rows_audit",
+    "a_bounce_rate",
+    "w_max_drawdown",
+    "w_interval_merge",
+    "llm_dataset_card",
+    "a_ab_test_ztest",
+    "a_return_rate_brand",
+    "a_largest_remainder",
+    "a_survival_km",
+    "ml_gini_split",
+    "ml_confusion_metrics",
+    "a_ddsketch_log2",
+    "a_mann_kendall_trend",
+    "a_runs_test",
+    "a_wilson_ci",
+    "ml_mcc",
+    "ml_cohen_kappa",
+    # (b) never-driver-checked, highest-risk first (round5d-5q
+    # window/ML families: hand-rolled arithmetic, interpolation,
+    # pattern matching)
+    "w_linear_interpolate",
+    "w_sequence_pattern",
+    "w_holt_linear",
+    "j_asof_nearest",
+    "w_rolling_median_7",
+    "llm_domain_cap",
+    "w_capped_sessions",
+    "w_funnel_within",
+    "llm_keywords_tfidf",
+    "a_ltv_cumulative",
+    "llm_phrase_search",
+    "j_bom_rollup",
+    "w_control_chart",
+    "w_peak_detection",
+    "j_graph_2hop_recs",
+    "a_changepoint_binseg",
+    "a_sequence_ab",
+    "llm_preference_pairs",
+    "llm_fim_transform",
+    "ml_target_encoding_loo",
+    "w_bollinger_bands",
+    "a_price_index_laspeyres",
 ]
 _rest = [n for n in REGISTRY if n not in set(_FRONT)]
 _reordered = {n: REGISTRY[n] for n in _FRONT + _rest}

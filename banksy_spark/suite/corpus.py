@@ -261,7 +261,10 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(topk))
         .filter(F.col("rank") <= _TOPK)
-        .select("qid", "doc_id", "score", "rank")
+        .select(
+            "qid", "doc_id", "score",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
     )
 
 

@@ -809,7 +809,9 @@ def _packed_docs(spark: SparkSession, sf_dir: str, bin_tokens: int = 512):
     "no global order dependency, no constant parallelism cap.",
 )
 def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _packed_docs(spark, sf_dir).select("doc_id", "n_tok", "pack_id")
+    return _packed_docs(spark, sf_dir).select(
+        "doc_id", F.col("n_tok").cast("bigint").alias("n_tok"), "pack_id"
+    )
 
 
 @query(
@@ -1132,7 +1134,9 @@ def llm_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("mx") > 0)
     out = e.select("vec_id", "mx", F.posexplode("v").alias("dim", "x"))
     q = F.floor(F.col("x") / F.col("mx") * 127.0 + 0.5).cast("int")
-    return out.select("vec_id", "dim", q.alias("q"))
+    return out.select(
+        "vec_id", F.col("dim").cast("bigint").alias("dim"), q.alias("q")
+    )
 
 
 @query(

@@ -168,7 +168,8 @@ def odds_stake_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(100.0) * F.lag(d).over(w) / d
     )
     return odds.select(
-        "game_id", "l_linenumber", "am", parity.alias("parity"), stake.alias("stake")
+        "game_id", "l_linenumber", "am",
+        parity.cast("bigint").alias("parity"), stake.alias("stake")
     )
 
 

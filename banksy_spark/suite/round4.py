@@ -150,7 +150,10 @@ def llm_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("epoch", "shard_id").orderBy("sort_key", "doc_id")
     return keyed.select(
-        "epoch", "shard_id", "doc_id", F.row_number().over(w).alias("pos")
+        F.col("epoch").cast("bigint").alias("epoch"),
+        "shard_id",
+        "doc_id",
+        F.row_number().over(w).cast("bigint").alias("pos"),
     )
 
 
@@ -629,8 +632,8 @@ def llm_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cols = (F.col("width") / _PATCH).cast("bigint")
     return cells.select(
         "doc_id",
-        "width",
-        "height",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
         F.col("py").cast("bigint").alias("patch_row"),
         F.col("px").cast("bigint").alias("patch_col"),
         (F.col("py") * n_cols + F.col("px")).cast("bigint").alias("patch_id"),
@@ -789,8 +792,8 @@ def w_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
         F.percent_rank().over(w).cast("double").alias("prnk"),
         F.cume_dist().over(w).cast("double").alias("cdist"),
         F.nth_value("o_orderkey", 2).over(w_full).alias("second_key"),
@@ -820,7 +823,8 @@ def w_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
       WHERE o.o_orderkey IS NULL
     )
-    SELECT c.constraint_name, c.metric, c.metric = 0 AS passed
+    SELECT c.constraint_name, CAST(c.metric AS BIGINT) AS metric,
+           c.metric = 0 AS passed
     FROM m, orphan, LATERAL (
       SELECT * FROM (VALUES
         ('key_dupes', m.key_dupes),
@@ -1012,7 +1016,7 @@ def w_distinct_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
-        F.max(F.dense_rank().over(wr)).over(wa).alias("n_types"),
+        F.max(F.dense_rank().over(wr)).over(wa).cast("bigint").alias("n_types"),
     )
 
 
@@ -1150,7 +1154,7 @@ def llm_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return keys.select(
         "doc_id",
-        "fps",
+        F.col("fps").cast("bigint").alias("fps"),
         F.col("k").cast("bigint").alias("key_id"),
         (F.col("k") * F.col("fps")).cast("bigint").alias("frame_idx"),
         F.expr("(k * fps * 1000) DIV fps").cast("bigint").alias("ts_ms"),
@@ -1443,7 +1447,7 @@ def f_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNotNull().alias("not_null_flag"),
         (F.col("v") + 1).isNull().alias("arith_propagates"),
         F.coalesce("v", F.lit(-1.0)).alias("v_filled"),
-        F.row_number().over(w).alias("rn_nulls_last"),
+        F.row_number().over(w).cast("bigint").alias("rn_nulls_last"),
     )
 
 
@@ -1984,10 +1988,10 @@ def a_interpolated_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_q12_late_shipments",
     oracle="""
     SELECT l.l_linestatus,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) > 60
     GROUP BY l.l_linestatus

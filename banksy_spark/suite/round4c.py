@@ -316,7 +316,8 @@ _US_PER_DAY = 86_400_000_000
              SUM(d) OVER (PARTITION BY event_type ORDER BY t, d) AS conc
       FROM pts
     )
-    SELECT event_type, t // {_US_PER_DAY} AS day_idx, MAX(conc) AS max_conc
+    SELECT event_type, t // {_US_PER_DAY} AS day_idx,
+           CAST(MAX(conc) AS BIGINT) AS max_conc
     FROM run
     GROUP BY event_type, day_idx
     """,
@@ -439,7 +440,7 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     )
     SELECT event_type, CAST(date_trunc('day', hr) AS DATE) AS day,
-           SUM(ev_cnt) AS ev_cnt,
+           CAST(SUM(ev_cnt) AS BIGINT) AS ev_cnt,
            MAX(ev_cnt) AS peak_hour_cnt,
            CAST(CAST(SUM(val_sum) AS VARCHAR) AS DOUBLE) AS val_sum
     FROM hourly GROUP BY 1, 2

@@ -80,8 +80,10 @@ def a_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ud
     )
     SELECT day,
-           SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS new_users,
-           SUM(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS returning_users
+           CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN day <> first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users
     FROM flagged GROUP BY day
     """,
     note="Daily new-vs-returning split: a user is 'new' on their first "
@@ -294,8 +296,8 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT part,
-           SUM(CASE WHEN ts < wm - INTERVAL 1 HOUR THEN 1 ELSE 0 END)
-             AS late_rows,
+           CAST(SUM(CASE WHEN ts < wm - INTERVAL 1 HOUR THEN 1 ELSE 0 END)
+                AS BIGINT) AS late_rows,
            COUNT(*) AS total_rows
     FROM arr GROUP BY part
     """,
@@ -415,7 +417,8 @@ def a_chi2_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(date_trunc('day', start_ts) AS DATE) AS day,
            COUNT(*) AS sessions,
-           SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS bounces,
            CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*) AS bounce_rate
     FROM agg GROUP BY 1

@@ -136,7 +136,8 @@ def a_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      AND CURRENT ROW) AS run_peak
       FROM series
     )
-    SELECT user_id, MAX(run_peak - cum) AS max_drawdown_cents
+    SELECT user_id,
+           CAST(MAX(run_peak - cum) AS BIGINT) AS max_drawdown_cents
     FROM peaks
     GROUP BY user_id
     """,

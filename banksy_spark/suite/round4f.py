@@ -166,9 +166,11 @@ def a_ship_latency_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     p50 = F.expr("(n + 1) DIV 2")
     p95 = F.expr("(19 * n + 19) DIV 20")
     return ranked.groupBy("priority").agg(
-        F.max(F.when(F.col("rk") == p50, F.col("days"))).alias("p50_days"),
-        F.max(F.when(F.col("rk") == p95, F.col("days"))).alias("p95_days"),
-        F.max("days").alias("max_days"),
+        F.max(F.when(F.col("rk") == p50, F.col("days")))
+        .cast("bigint").alias("p50_days"),
+        F.max(F.when(F.col("rk") == p95, F.col("days")))
+        .cast("bigint").alias("p95_days"),
+        F.max("days").cast("bigint").alias("max_days"),
     )
 
 

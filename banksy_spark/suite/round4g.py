@@ -105,7 +105,8 @@ def a_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS island
       FROM flagged
     )
-    SELECT user_id, island, MIN(s) AS merged_start_us, MAX(e) AS merged_end_us,
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           MIN(s) AS merged_start_us, MAX(e) AS merged_end_us,
            COUNT(*) AS n_intervals
     FROM islands
     GROUP BY user_id, island
@@ -281,9 +282,10 @@ def dq_partition_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            COUNT(DISTINCT lang) AS n_langs,
-           SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en_docs,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                AS BIGINT) AS en_docs,
            COUNT(*) - COUNT(DISTINCT text) AS dup_docs,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM documents
@@ -374,10 +376,12 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id
     ), agg AS (
       SELECT
-        SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS n_a,
-        SUM(CASE WHEN cohort = 0 THEN converted ELSE 0 END) AS x_a,
-        SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS n_b,
-        SUM(CASE WHEN cohort = 1 THEN converted ELSE 0 END) AS x_b
+        CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN cohort = 0 THEN converted ELSE 0 END)
+             AS BIGINT) AS x_a,
+        CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN cohort = 1 THEN converted ELSE 0 END)
+             AS BIGINT) AS x_b
       FROM conv
     )
     SELECT n_a, x_a, n_b, x_b,
@@ -560,7 +564,13 @@ def a_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(F.count(F.lit(1)).alias("n_customers"))
-        .select("r_score", "f_score", "m_score", "n_customers", seg.alias("segment"))
+        .select(
+            F.col("r_score").cast("bigint").alias("r_score"),
+            F.col("f_score").cast("bigint").alias("f_score"),
+            F.col("m_score").cast("bigint").alias("m_score"),
+            "n_customers",
+            seg.alias("segment"),
+        )
     )
 
 
@@ -572,7 +582,8 @@ def a_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p.p_brand AS brand,
            COUNT(*) AS n_lines,
-           SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS returned,
            CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
                 AS DOUBLE) / COUNT(*) AS return_rate,
            CAST(CAST(SUM(CASE WHEN l.l_returnflag = 'R'

@@ -267,7 +267,7 @@ def a_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(
         "supp_nation",
         "cust_nation",
-        F.year(F.col("l_shipdate").cast("date")).alias("l_year"),
+        F.year(F.col("l_shipdate").cast("date")).cast("bigint").alias("l_year"),
     ).agg(F.sum(_rev_spark()).cast("string").cast("double").alias("revenue"))
 
 
@@ -335,7 +335,7 @@ def a_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, li.l_orderkey == F.col("o_orderkey"))
     )
     agg = j.groupBy(
-        F.year(F.col("o_orderdate").cast("date")).alias("o_year")
+        F.year(F.col("o_orderdate").cast("date")).cast("bigint").alias("o_year")
     ).agg(
         F.sum(
             F.when(F.col("supp_nation") == "NATION_6", _rev_spark()).otherwise(
@@ -403,7 +403,7 @@ def a_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = j.groupBy(
         F.col("n_name").alias("nation"),
-        F.year(F.col("l_shipdate").cast("date")).alias("o_year"),
+        F.year(F.col("l_shipdate").cast("date")).cast("bigint").alias("o_year"),
     ).agg(
         F.sum(_rev_spark()).alias("rev_d"),
         F.sum(cost).alias("cost_d"),

@@ -104,7 +104,10 @@ def llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.withColumn("keep_rank", F.row_number().over(w))
         .filter(F.col("keep_rank") <= _DOMAIN_CAP)
-        .select("doc_id", "source", "keep_rank")
+        .select(
+            "doc_id", "source",
+            F.col("keep_rank").cast("bigint").alias("keep_rank"),
+        )
     )
 
 
@@ -205,7 +208,7 @@ _CAP_US = 4 * 3600 * 1_000_000  # 4-hour max session length
                   THEN d.ts_us ELSE w.anchor_us END
       FROM walk w JOIN idx d ON d.user_id = w.user_id AND d.t = w.t + 1
     )
-    SELECT event_id, user_id, session_id
+    SELECT event_id, user_id, CAST(session_id AS BIGINT) AS session_id
     FROM walk
     """,
     note="Sessionization with BOTH a 30-min inactivity gap and a 4-hour "

@@ -51,7 +51,8 @@ _ALLOC_UNITS = 10_000
       FROM quotas
     )
     SELECT c_nationkey, n_cust,
-           base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
     FROM ranked
     """,
     note="Largest-remainder (Hamilton) allocation: prorate "

@@ -55,7 +55,7 @@ from banksy_spark.suite.round4d import _BFS_N
                AS fs
       FROM risk
     )
-    SELECT t, d, n_at_risk,
+    SELECT t, d, CAST(n_at_risk AS BIGINT) AS n_at_risk,
            list_reduce(list_prepend(CAST(1 AS DOUBLE), fs),
                        (acc, x) -> acc * x) AS survival
     FROM seq
@@ -124,7 +124,7 @@ _SPLIT_THRESHOLDS = [50_000, 100_000, 150_000, 200_000, 250_000,
              CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
       FROM orders
     ),
-    th AS (SELECT unnest({_SPLIT_THRESHOLDS}) AS thr),
+    th AS (SELECT CAST(unnest({_SPLIT_THRESHOLDS}) AS BIGINT) AS thr),
     split AS (
       SELECT t.thr,
              SUM(CASE WHEN l.x <= t.thr THEN 1 ELSE 0 END) AS n_l,
@@ -135,7 +135,7 @@ _SPLIT_THRESHOLDS = [50_000, 100_000, 150_000, 200_000, 250_000,
       FROM lab l CROSS JOIN th t
       GROUP BY 1
     )
-    SELECT thr, n_l, n_r,
+    SELECT thr, CAST(n_l AS BIGINT) AS n_l, CAST(n_r AS BIGINT) AS n_r,
            (n_l * (1e0 - (CAST(pos_l AS DOUBLE) / n_l)
                          * (CAST(pos_l AS DOUBLE) / n_l)
                        - (CAST(n_l - pos_l AS DOUBLE) / n_l)

@@ -44,8 +44,8 @@ from banksy_spark.suite.registry import T, query
              MAX(rn) OVER (PARTITION BY score) AS max_rn
       FROM rn_t
     )
-    SELECT SUM(y) AS n_pos,
-           COUNT(*) - SUM(y) AS n_neg,
+    SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg,
            CAST(SUM(CASE WHEN y = 1 THEN min_rn + max_rn ELSE 0 END)
                 - SUM(y) * (SUM(y) + 1) AS DOUBLE)
              / (2e0 * SUM(y) * (COUNT(*) - SUM(y))) AS auc
@@ -111,10 +111,14 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT
-      SUM(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS tp,
-      SUM(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS fp,
-      SUM(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS fn,
-      SUM(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END) AS tn,
+      CAST(SUM(CASE WHEN pred AND label THEN 1 ELSE 0 END)
+           AS BIGINT) AS tp,
+      CAST(SUM(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END)
+           AS BIGINT) AS fp,
+      CAST(SUM(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END)
+           AS BIGINT) AS fn,
+      CAST(SUM(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END)
+           AS BIGINT) AS tn,
       CAST(SUM(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS DOUBLE)
         / SUM(CASE WHEN pred THEN 1 ELSE 0 END) AS precision_,
       CAST(SUM(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS DOUBLE)

@@ -60,6 +60,7 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = global_ordinals(
         o, ["o_totalprice", "o_orderkey"], ntile=(10, "bin")
     )
+    scored = scored.withColumn("bin", F.col("bin").cast("bigint"))
     return scored.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
         (
@@ -83,11 +84,13 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     ),
     per AS (
-      SELECT decile, COUNT(*) AS n, SUM(y) AS pos FROM scored GROUP BY 1
+      SELECT decile, COUNT(*) AS n,
+             CAST(SUM(y) AS BIGINT) AS pos FROM scored GROUP BY 1
     )
     SELECT decile, n, pos,
-           SUM(pos) OVER (ORDER BY decile
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           CAST(SUM(pos) OVER (ORDER BY decile
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT)
              AS cum_pos,
            CAST(SUM(pos) OVER (ORDER BY decile
                                ROWS BETWEEN UNBOUNDED PRECEDING
@@ -141,7 +144,7 @@ def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     gain = cum_pos.cast("double") / F.sum("pos").over(w_all)
     frac = F.sum("n").over(w_cum).cast("double") / F.sum("n").over(w_all)
     return per.select(
-        "decile",
+        F.col("decile").cast("bigint").alias("decile"),
         "n",
         "pos",
         cum_pos.alias("cum_pos"),

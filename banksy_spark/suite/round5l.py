@@ -31,15 +31,17 @@ from banksy_spark.suite.registry import T, query
     sk AS (
       SELECT length(format('{:b}', c)) AS bucket,
              COUNT(*) AS n_full,
-             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_even,
-             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_odd
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_even,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_odd
       FROM cents GROUP BY 1
     )
     SELECT bucket, n_full, n_even, n_odd,
            n_even + n_odd = n_full AS merge_equals_rebuild,
-           SUM(n_full) OVER (ORDER BY bucket
-                             ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND CURRENT ROW) AS cum_n,
+           CAST(SUM(n_full) OVER (ORDER BY bucket
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS cum_n,
            1.5e0 * CAST(2 AS DOUBLE) ** (bucket - 1) / 100e0
              AS bucket_mid_dollars
     FROM sk

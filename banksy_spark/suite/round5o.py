@@ -44,7 +44,7 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily a JOIN daily b ON b.pri = a.pri AND b.day > a.day
     ),
     stat AS (
-      SELECT p.pri, SUM(p.sgn) AS s, MAX(c.n) AS n
+      SELECT p.pri, CAST(SUM(p.sgn) AS BIGINT) AS s, MAX(c.n) AS n
       FROM pairs p
       JOIN (SELECT pri, COUNT(*) AS n FROM daily GROUP BY 1) c
         ON c.pri = p.pri
@@ -192,10 +192,11 @@ def w_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     runs AS (
       SELECT pri,
-             SUM(CASE WHEN above IS DISTINCT FROM prev THEN 1 ELSE 0 END)
+             CAST(SUM(CASE WHEN above IS DISTINCT FROM prev
+                           THEN 1 ELSE 0 END) AS BIGINT)
                AS n_runs,
-             SUM(CASE WHEN above THEN 1 ELSE 0 END) AS n1,
-             SUM(CASE WHEN above THEN 0 ELSE 1 END) AS n2
+             CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT) AS n2
       FROM (
         SELECT pri, above,
                lag(above) OVER (PARTITION BY pri ORDER BY day) AS prev

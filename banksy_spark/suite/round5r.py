@@ -25,7 +25,8 @@ _Z = "1.96e0"
     WITH seg AS (
       SELECT c.c_mktsegment AS segment,
              COUNT(*) AS n,
-             SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS k
+             CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
       FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
       GROUP BY 1
     )

@@ -38,8 +38,9 @@ from banksy_spark.suite.registry import T, query
     SELECT doc_id,
            ROW_NUMBER() OVER (ORDER BY sk, doc_id) AS global_rn,
            NTILE(7) OVER (ORDER BY sk, doc_id) AS shard,
-           SUM(len) OVER (ORDER BY sk, doc_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           CAST(SUM(len) OVER (ORDER BY sk, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT)
              AS cum_len
     FROM d
     """,
@@ -70,7 +71,12 @@ def o_global_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ntile=(7, "shard"),
         cumsum=[("len", "cum_len")],
     )
-    return out.select("doc_id", "global_rn", "shard", "cum_len")
+    return out.select(
+        "doc_id",
+        "global_rn",
+        F.col("shard").cast("bigint").alias("shard"),
+        "cum_len",
+    )
 
 
 # --- two-sample Kolmogorov-Smirnov -----------------------------------------
@@ -98,8 +104,9 @@ def o_global_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(p) OVER () AS np, SUM(q) OVER () AS nq
       FROM g
     )
-    SELECT MAX(np) AS n_pos, MAX(nq) AS n_neg,
-           MAX(ABS(cp * nq - cq * np)) AS d_scaled,
+    SELECT CAST(MAX(np) AS BIGINT) AS n_pos,
+           CAST(MAX(nq) AS BIGINT) AS n_neg,
+           CAST(MAX(ABS(cp * nq - cq * np)) AS BIGINT) AS d_scaled,
            CAST(MAX(ABS(cp * nq - cq * np)) AS DOUBLE)
              / (CAST(MAX(np) AS DOUBLE) * MAX(nq)) AS ks_d
     FROM c
@@ -164,9 +171,9 @@ _AP_SCALE = 1_000_000_000_000  # 1e12: precision terms as exact integers
              SUM(y) OVER () AS np
       FROM s
     )
-    SELECT MAX(np) AS n_pos,
-           SUM(CASE WHEN y = 1 THEN (cum_pos * {_AP_SCALE}) // rn
-                    ELSE 0 END) AS ap_scaled,
+    SELECT CAST(MAX(np) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN y = 1 THEN (cum_pos * {_AP_SCALE}) // rn
+                         ELSE 0 END) AS BIGINT) AS ap_scaled,
            CAST(SUM(CASE WHEN y = 1 THEN (cum_pos * {_AP_SCALE}) // rn
                          ELSE 0 END) AS DOUBLE)
              / (CAST(MAX(np) AS DOUBLE) * {_AP_SCALE}) AS avg_precision
@@ -276,7 +283,7 @@ def a_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(wt) OVER () AS tw
       FROM w
     )
-    SELECT MAX(tw) AS total_weight,
+    SELECT CAST(MAX(tw) AS BIGINT) AS total_weight,
            MAX(CASE WHEN 10 * cumw >= tw AND 10 * (cumw - wt) < tw
                     THEN v END) AS p10,
            MAX(CASE WHEN 2 * cumw >= tw AND 2 * (cumw - wt) < tw
@@ -329,10 +336,14 @@ _CONF_ORACLE_CTE = """
     ),
     c AS (
       SELECT
-        SUM(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS tp,
-        SUM(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS fp,
-        SUM(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS fn,
-        SUM(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END) AS tn
+        CAST(SUM(CASE WHEN pred AND label THEN 1 ELSE 0 END)
+             AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END)
+             AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END)
+             AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END)
+             AS BIGINT) AS tn
       FROM scored
     )
 """

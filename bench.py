@@ -243,13 +243,34 @@ def main() -> None:
         per_query[name] = round(min(run(name), run(name)), 3)
 
     total = round(sum(per_query.values()), 3)
+    full = {
+        "metric": "suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "runs_per_query": 2,
+        "sf": sf,
+    }
+    # Full per-query detail first (the builder's BENCH_local_* records
+    # capture this line verbatim) ...
+    print(json.dumps(full))
+    # ... then a compact summary as the FINAL line: the driver keeps only
+    # the last ~2000 chars of stdout and parses from that, so the ~9KB
+    # per-query line gets front-truncated and `parsed` came back null in
+    # BENCH_r06/r07. This line is <200 chars and always parses. The 5
+    # slowest queries ride along so the driver record keeps some per-query
+    # signal within its tail budget.
+    slowest = dict(
+        sorted(per_query.items(), key=lambda kv: -kv[1])[:5]
+    )
     print(
         json.dumps(
             {
                 "metric": "suite_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": per_query,
+                "queries_count": len(per_query),
+                "slowest5": slowest,
                 "runs_per_query": 2,
                 "sf": sf,
             }

@@ -1,0 +1,54 @@
+"""Guard: no registry oracle may emit a DuckDB HUGEINT/UHUGEINT column.
+
+DuckDB's ``SUM`` over an INTEGER column widens to HUGEINT (int128). The
+driver's correctness harness hashes rendered values, and HUGEINT renders
+differently from Spark's BIGINT — producing hash_match=false on
+bitwise-identical results (round-7 verdict: 6 red + 22 latent queries,
+all value-exact). Every oracle must CAST such outputs to BIGINT. This
+test binds ALL registry oracles (types only — no execution) so a new
+oracle with an uncast integer SUM fails CI before the driver sees it.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+BAD = {"HUGEINT", "UHUGEINT"}
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TINY", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return c
+
+
+def test_no_hugeint_oracle_outputs(con):
+    offenders = {}
+    for name, sql in entry.oracle_sql().items():
+        rel = con.sql(sql)
+        flagged = [
+            (c, str(t)) for c, t in zip(rel.columns, rel.types)
+            if str(t) in BAD
+        ]
+        if flagged:
+            offenders[name] = flagged
+    assert not offenders, (
+        "oracles emitting HUGEINT/UHUGEINT (driver hash hazard — wrap in "
+        f"CAST(... AS BIGINT)): {offenders}"
+    )
