@@ -147,8 +147,10 @@ _ROWS_PER_TASK = 65536
 # way an engine memoizes ANALYZE TABLE statistics: a stale entry can
 # skew a bucket, never a result.  Keyed by the CANONICALIZED analyzed
 # plan of the sampled frame (Catalyst's own plan identity — expression
-# IDs normalized, so the same construction over the same inputs maps to
-# one key) plus the sampling parameters.  Assumes inputs are immutable
+# IDs normalized, so the same construction over the same SOURCE inputs
+# maps to one key; LocalRelation/createDataFrame plans are exempted
+# below because their canonical form omits the data) plus the sampling
+# parameters.  Assumes inputs are immutable
 # within a session, exactly like ``DataFrame.cache``; ``clear`` /
 # ``set_stats_cache(False)`` are the escape hatches, and the poisoning
 # test (tests/test_ordinals.py) proves bit-exact results under a
@@ -179,6 +181,13 @@ def _memo_action(df: DataFrame, tag: str, compute):
     try:
         canon = df._jdf.queryExecution().analyzed().canonicalized().toString()
     except Exception:  # unexpected plan state: just run the job
+        return compute()
+    if "LocalRelation" in canon:
+        # createDataFrame plans don't render their data in the
+        # canonical string — two different in-memory datasets with the
+        # same schema would collide and silently share boundaries/row
+        # counts. In-memory inputs are tiny by definition, so skip the
+        # cache rather than fingerprint the data.
         return compute()
     key = hashlib.sha256((tag + "\x00" + canon).encode()).hexdigest()
     if key in _STATS_CACHE:
@@ -522,8 +531,11 @@ def bucketize(
     # agg names live only in the driver directory (never in an output
     # frame), so internal `_go*` names are fine — only _B/_S collide.
     _check_reserved(df.columns)
-    if aggs and ({_B, _S} & set(aggs)):
-        raise ValueError(f"bucketize: agg name may not be {_B}/{_S}")
+    if aggs and ({_B, _S, "_gocnt"} & set(aggs)):
+        # _gocnt is the directory's internal row counter: an agg under
+        # that name would shadow it in the Row lookup below and corrupt
+        # offsets/totals silently
+        raise ValueError(f"bucketize: agg name may not be {_B}/{_S}/_gocnt")
     bexpr, sexpr, _ = _bucket_cols(
         df, parsed, n_buckets=n_buckets, rel_err=rel_err,
         skew_split=skew_split, rows_per_bucket=rows_per_bucket,
@@ -1083,12 +1095,16 @@ def grouped_row_number(
     # as the other literal-map ordinals: single pipeline, no joins.
     dtypes = dict(df.dtypes)
     if dtypes.get(group_col) in ("int", "bigint", "smallint", "tinyint"):
-        rows = (
-            pre.groupBy(_B, _S, group_col)
-            .agg(F.count(F.lit(1)).alias("_gocnt"))
-            .collect()
-        )
-        if len(rows) <= 4096 and all(r[group_col] is not None for r in rows):
+        # persist+count before collect: bounds driver memory against a
+        # high-cardinality group column (see grouped_ordinals fast path)
+        gdir = pre.groupBy(_B, _S, group_col).agg(
+            F.count(F.lit(1)).alias("_gocnt")
+        ).persist()
+        try:
+            rows = gdir.collect() if gdir.count() <= 4096 else None
+        finally:
+            gdir.unpersist()
+        if rows is not None and all(r[group_col] is not None for r in rows):
             asc2 = parsed[1][1] if len(parsed) > 1 else True
             cells: dict = {}
             for r in rows:
@@ -1397,13 +1413,23 @@ def grouped_ordinals(
             F.count(F.lit(1)).alias("_gocnt"),
             *[F.sum(vc).alias(f"_gosum_{vc}") for vc in sum_cols],
         )
-        # plain collect, capped post-hoc: CollectLimitExec's incremental
-        # one-partition-first scheduling costs several extra job waves,
-        # while the legit directory is tiny by this operator's contract
-        got = dir_df.collect()
-        if len(got) <= cap and all(r[group_cols[0]] is not None for r in got):
-            lit_rows = got
-            dir_fields = {f.name: f for f in dir_df.schema.fields}
+        # Bound the collect BEFORE pulling rows: a high-cardinality
+        # group column (an ID passed by mistake) would otherwise stream
+        # |groups|x|cells| rows into the driver and OOM it ahead of the
+        # post-hoc cap check.  persist+count materializes the aggregate
+        # once executor-side (spillable), the count is exact and tiny,
+        # and the conditional collect reads the cached blocks — no
+        # second fact scan, and no CollectLimitExec incremental job
+        # waves (the known limit().collect() trap).
+        dir_df = dir_df.persist()
+        try:
+            if dir_df.count() <= cap:
+                got = dir_df.collect()
+                if all(r[group_cols[0]] is not None for r in got):
+                    lit_rows = got
+                    dir_fields = {f.name: f for f in dir_df.schema.fields}
+        finally:
+            dir_df.unpersist()
     if lit_rows is not None:
         return _grouped_ordinals_literal(
             bucketed,

@@ -40,7 +40,14 @@ from banksy_spark.suite.registry import T, query
 
 # --- SemDeDup: cluster-blocked embedding dedup ------------------------------
 
-_SEM_K = 8  # centroid set: vec_id < K (fixed, reproducible)
+# Centroid count scales with the corpus: K = greatest(8, n/1000), the
+# paper's ~0.1%·n rule (arXiv:2303.09540 §3). With fixed K the
+# within-cluster pair join is O(n²/K) — all-pairs over a K-th of the
+# corpus at 100 TB; with K ∝ n the expected cluster size is a constant
+# (~1000), so total pair work stays LINEAR in n. Computed as a lazy
+# 1-row broadcast aggregate (the llm_pack_sequences shard-count
+# pattern), identically in the oracle — no driver action, no constant.
+_SEM_K_DUCK = "(SELECT GREATEST(8, COUNT(*) // 1000) AS semk FROM embeddings)"
 _SEM_TAU = 0.375  # exactly representable (3/8); drops ~23% at sf0.1
 
 
@@ -52,7 +59,8 @@ _SEM_TAU = 0.375  # exactly representable (3/8); drops ~23% at sf0.1
       FROM embeddings
     ),
     n AS (SELECT vec_id, v, {_NORM_DUCK.format(v='v')} AS nrm FROM e),
-    c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < {_SEM_K}),
+    c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn
+          FROM n, {_SEM_K_DUCK} k WHERE vec_id < k.semk),
     sims AS (
       SELECT vec_id, cid,
              {_DOT_DUCK.format(a='v', b='cv')} / (nrm * cn) AS s
@@ -78,17 +86,34 @@ _SEM_TAU = 0.375  # exactly representable (3/8); drops ~23% at sf0.1
     note="SemDeDup (arXiv:2303.09540): nearest-centroid cluster assignment "
     "(broadcast K centroids, map-side-combinable argmax hash agg — nothing "
     "sorts), then within-cluster cosine pruning keeping the lowest id. The "
-    "cluster id blocks the pair join; no cross-cluster pair ever forms, so "
-    "the quadratic term is bounded by cluster granularity, which the "
-    "operator scales with K.",
+    "cluster id blocks the pair join; no cross-cluster pair ever forms, and "
+    "K = greatest(8, n/1000) scales with the corpus (the paper's ~0.1%·n "
+    "rule, via a lazy 1-row broadcast aggregate) so expected cluster size — "
+    "and with it per-cluster pair work — stays CONSTANT as n grows "
+    "(tools/bench_semdedup.py records the counterfactual vs fixed K).",
 )
 def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
     )
     n = e.withColumn("nrm", F.expr(_NORM_SPARK.format(v="v")))
-    cents = n.filter(F.col("vec_id") < _SEM_K).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    # K as a lazy 1-row broadcast aggregate — greatest(8, n/1000), the
+    # same expression the oracle computes; no driver action, and the
+    # centroid count follows the data instead of capping cluster
+    # granularity at a constant
+    kdf = e.agg(
+        F.greatest(F.lit(8).cast("bigint"), F.floor(F.count("*") / 1000)).alias(
+            "semk"
+        )
+    )
+    cents = (
+        n.crossJoin(F.broadcast(kdf))
+        .filter(F.col("vec_id") < F.col("semk"))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
     )
     sim = F.expr(_DOT_SPARK.format(a="v", b="cv")) / (F.col("nrm") * F.col("cn"))
     # argmax(sim) with lowest-cid tie-break as a hash aggregate (the
@@ -231,6 +256,6 @@ def llm_chunk_fixed_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("k").cast("int").alias("chunk_id"),
         start.alias("start"),
-        F.length(chunk).alias("chunk_len"),
+        F.length(chunk).cast("bigint").alias("chunk_len"),
         F.md5(chunk.cast("binary")).alias("chunk_hash"),
     )

@@ -1,0 +1,97 @@
+"""Structural contract of the trained-quantizer IVF (suite/round8.py).
+
+`llm_ann_ivf_trained` has no SQL oracle (the k-means trainer is a
+driver loop), so these tests pin everything the oracle would have:
+ranks dense from 1 and ordered by cosine, neighbors drawn only from the
+query's own cell, determinism across runs, and — on the clustered
+fixture where single-probe recall is meaningful — a recall@3 floor
+against the in-engine brute-force ground truth.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+TOPK = 3
+
+
+def _result(spark, sf_dir):
+    from banksy_spark.suite import REGISTRY
+
+    return REGISTRY["llm_ann_ivf_trained"].fn(spark, sf_dir)
+
+
+def test_ivf_trained_rank_and_cell_contract(spark):
+    rows = _result(spark, SF_ORACLE).collect()
+    assert rows, "empty result"
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    from banksy_spark.suite.round8 import _IVF_NQ
+
+    assert set(by_q) <= set(range(_IVF_NQ))
+    for qid, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TOPK
+        # ordered by cosine desc (id tie-break can only reorder equals)
+        for a, b in zip(rs, rs[1:]):
+            assert a["cosine"] >= b["cosine"] - 1e-12
+        # single-probe: every neighbor shares the query's cell
+        assert len({r["cell"] for r in rs}) == 1
+        assert all(r["neighbor_id"] != qid for r in rs)
+        assert all(r["n_iter"] >= 1 for r in rs)
+
+
+def test_ivf_trained_deterministic(spark):
+    a = sorted(map(tuple, _result(spark, SF_ORACLE).collect()))
+    b = sorted(map(tuple, _result(spark, SF_ORACLE).collect()))
+    assert a == b
+
+
+def test_ivf_trained_recall_on_clustered_fixture(spark, tmp_path):
+    """On the mixture-of-Gaussians fixture (tools/clustered_embeddings)
+    a trained quantizer must place true neighbors in the query's cell:
+    recall@3 >= 0.9 at nprobe=1 — the same bar the exact-centroid IVF
+    clears there, now with cells learned from the data."""
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from clustered_embeddings import write_parquet
+
+    from banksy_spark.suite.llm import _DOT_SPARK, _NORM_SPARK
+    from banksy_spark.suite.registry import T
+    from banksy_spark.suite.round8 import _IVF_NQ
+
+    d = str(tmp_path)
+    write_parquet(f"{d}/embeddings.parquet")
+
+    got = _result(spark, d)
+    # in-engine brute-force ground truth over the same vectors
+    n = (
+        T(spark, d, "embeddings")
+        .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+        .withColumn("nrm", F.expr(_NORM_SPARK.format(v="v")))
+    )
+    q = n.filter(F.col("vec_id") < _IVF_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cos = F.expr(_DOT_SPARK.format(a="qv", b="v")) / (F.col("qn") * F.col("nrm"))
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("qid").orderBy(F.desc("cosine"), "neighbor_id")
+    truth = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= TOPK)
+        .select("qid", "neighbor_id")
+    )
+    hits = truth.join(got.select("qid", "neighbor_id"), ["qid", "neighbor_id"]).count()
+    total = truth.count()
+    assert total == _IVF_NQ * TOPK
+    assert hits / total >= 0.9, f"trained-IVF recall@3 {hits}/{total}"

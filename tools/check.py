@@ -98,6 +98,12 @@ def main() -> int:
         spec = REGISTRY[name]
         t0 = time.time()
         try:
+            # centralized cache lifecycle: several queries persist()
+            # corpus-scale intermediates (fuzzy-dedup signatures,
+            # SemDeDup membership) and the ordinal operators persist
+            # directories — release them between queries so a 298-query
+            # sweep doesn't accumulate cached blocks all session
+            spark.catalog.clearCache()
             df = spec.fn(spark, args.sf)
             scols = df.columns
             srows = [tuple(r) for r in df.collect()]

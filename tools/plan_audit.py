@@ -107,7 +107,13 @@ def keyed_windows(plan: str) -> int:
             return tuple(sorted(out))
         if stripped.startswith("WindowGroupLimit") and brackets:
             protected.add(names(brackets[0]))
-        elif stripped.startswith("Window ") and len(brackets) >= 2:
+        elif stripped.startswith("Window ") and len(brackets) >= 3:
+            # a keyed window prints [funcs],[partSpec],[orderSpec]; a
+            # GLOBAL window prints only [funcs],[orderSpec] — with two
+            # brackets, brackets[1] is the ORDER spec, and reading it as
+            # a partition spec double-flags global windows (once as
+            # gwin, once here) whenever the order column is
+            # low-cardinality-named
             part_spec = names(brackets[1])
             if part_spec and all(n in LOWCARD_COLS for n in part_spec):
                 hits.append(part_spec)
@@ -126,6 +132,9 @@ def main() -> None:
     spark = get_spark("plan-audit")
     rows = []
     for name, spec in sorted(REGISTRY.items()):
+        # building ordinal plans runs bounded driver jobs that persist
+        # directory frames — release them per query (see tools/check.py)
+        spark.catalog.clearCache()
         df = spec.fn(spark, args.sf)
         plan = df._jdf.queryExecution().executedPlan().toString()
         rows.append(
