@@ -1,4 +1,11 @@
-"""Round-8 additions: trained-coarse-quantizer ANN.
+"""Round-8 additions: trained-coarse-quantizer ANN, drift/encoding
+metrics, and containment dedup.
+
+- llm_ann_ivf_trained: IVF probe over k-means-trained inverted lists.
+- ml_psi_drift: population stability index with reference-period bins.
+- ml_woe_encoding: weight-of-evidence + information value per category.
+- llm_dedup_containment: asymmetric containment near-dup detection.
+
 
 The suite's IVF family (suite/llm.py) trains its coarse quantizer as a
 closed-form per-label centroid so the DuckDB oracle can reproduce it
@@ -93,4 +100,303 @@ def llm_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _IVF_TOPK)
         .withColumn("n_iter", F.lit(n_iter).cast("int"))
         .select("qid", "neighbor_id", "cell", "rnk", "cosine", "n_iter")
+    )
+
+
+# --- PSI drift monitoring ---------------------------------------------------
+
+_PSI_PIVOT = "1999-01-01"
+
+
+@query(
+    "ml_psi_drift",
+    oracle=f"""
+    WITH scored AS (
+      SELECT o_orderkey, o_totalprice AS x,
+             CAST(o_orderdate AS DATE) >= DATE '{_PSI_PIVOT}' AS cur
+      FROM orders
+    ),
+    ref_ranked AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_orderkey) AS rk,
+             COUNT(*) OVER () AS n
+      FROM scored WHERE NOT cur
+    ),
+    bounds AS (
+      SELECT MIN(CASE WHEN rk = (1 * n + 9) // 10 THEN x END) AS b1,
+             MIN(CASE WHEN rk = (2 * n + 9) // 10 THEN x END) AS b2,
+             MIN(CASE WHEN rk = (3 * n + 9) // 10 THEN x END) AS b3,
+             MIN(CASE WHEN rk = (4 * n + 9) // 10 THEN x END) AS b4,
+             MIN(CASE WHEN rk = (5 * n + 9) // 10 THEN x END) AS b5,
+             MIN(CASE WHEN rk = (6 * n + 9) // 10 THEN x END) AS b6,
+             MIN(CASE WHEN rk = (7 * n + 9) // 10 THEN x END) AS b7,
+             MIN(CASE WHEN rk = (8 * n + 9) // 10 THEN x END) AS b8,
+             MIN(CASE WHEN rk = (9 * n + 9) // 10 THEN x END) AS b9
+      FROM ref_ranked
+    ),
+    binned AS (
+      SELECT s.cur,
+             CASE WHEN s.x <= b.b1 THEN 0 WHEN s.x <= b.b2 THEN 1
+                  WHEN s.x <= b.b3 THEN 2 WHEN s.x <= b.b4 THEN 3
+                  WHEN s.x <= b.b5 THEN 4 WHEN s.x <= b.b6 THEN 5
+                  WHEN s.x <= b.b7 THEN 6 WHEN s.x <= b.b8 THEN 7
+                  WHEN s.x <= b.b9 THEN 8 ELSE 9 END AS bin
+      FROM scored s CROSS JOIN bounds b
+    ),
+    cnt AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT) AS ref_n,
+             CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS cur_n
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(ref_n) AS BIGINT) AS ref_t,
+             CAST(SUM(cur_n) AS BIGINT) AS cur_t FROM cnt
+    )
+    SELECT bin, ref_n, cur_n,
+           CAST(ref_n AS DOUBLE) / ref_t AS ref_pct,
+           CAST(cur_n AS DOUBLE) / cur_t AS cur_pct,
+           CASE WHEN ref_n = 0 OR cur_n = 0 THEN NULL
+                ELSE (CAST(cur_n AS DOUBLE) / cur_t
+                      - CAST(ref_n AS DOUBLE) / ref_t)
+                     * ln(CAST(cur_n * ref_t AS DOUBLE) / (ref_n * cur_t))
+           END AS psi_term
+    FROM cnt CROSS JOIN tot
+    """,
+    note="Population stability index (PSI), the standard score-drift "
+    "monitor: decile bins are fitted on the REFERENCE period only "
+    "(exact nearest-rank bounds over a tie-broken total order), both "
+    "periods are counted per bin, and each bin contributes "
+    "(cur% - ref%)*ln(cur%/ref%) — reported per bin (10 rows) so no "
+    "cross-bin float summation enters the hash; a bin empty in either "
+    "period yields NULL honestly instead of ±inf. The ln argument is "
+    "one exact-integer cross-ratio (cur_n*ref_t)/(ref_n*cur_t) "
+    "double-divided once — the BM25-established ln-parity discipline. "
+    "Scale: the reference rank rides operators/ordinals.py (no "
+    "single-partition window over the fact), the 9-value bounds row "
+    "broadcasts, the period counts are one map-side-combinable "
+    "aggregate; the drift report for any score column at 100 TB.",
+)
+def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.operators.ordinals import global_ordinals
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("x"),
+        (F.col("o_orderdate").cast("date") >= F.lit(_PSI_PIVOT).cast("date")).alias(
+            "cur"
+        ),
+    )
+    ref = o.filter(~F.col("cur")).select("x", "o_orderkey")
+    ranked = global_ordinals(
+        ref, ["x", "o_orderkey"], row_number="rk", total_count="n"
+    )
+    bounds = ranked.agg(
+        *[
+            F.min(
+                F.when(F.col("rk") == F.expr(f"({i} * n + 9) DIV 10"), F.col("x"))
+            ).alias(f"b{i}")
+            for i in range(1, 10)
+        ]
+    )
+    binned = o.crossJoin(F.broadcast(bounds))
+    bin_col = F.when(F.col("x") <= F.col("b1"), 0)
+    for i in range(2, 10):
+        bin_col = bin_col.when(F.col("x") <= F.col(f"b{i}"), i - 1)
+    bin_col = bin_col.otherwise(9)
+    cnt = (
+        binned.select("cur", bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("cur"), 0).otherwise(1)).alias("ref_n"),
+            F.sum(F.when(F.col("cur"), 1).otherwise(0)).alias("cur_n"),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("ref_n").alias("ref_t"), F.sum("cur_n").alias("cur_t")
+    )
+    j = cnt.crossJoin(F.broadcast(tot))
+    ref_pct = F.col("ref_n").cast("double") / F.col("ref_t")
+    cur_pct = F.col("cur_n").cast("double") / F.col("cur_t")
+    ratio = (F.col("cur_n") * F.col("ref_t")).cast("double") / (
+        F.col("ref_n") * F.col("cur_t")
+    )
+    return j.select(
+        "bin",
+        "ref_n",
+        "cur_n",
+        ref_pct.alias("ref_pct"),
+        cur_pct.alias("cur_pct"),
+        F.when(
+            (F.col("ref_n") == 0) | (F.col("cur_n") == 0), F.lit(None)
+        )
+        .otherwise((cur_pct - ref_pct) * F.log(ratio))
+        .alias("psi_term"),
+    )
+
+
+# --- Weight-of-evidence categorical encoding --------------------------------
+
+
+@query(
+    "ml_woe_encoding",
+    oracle="""
+    WITH lab AS (
+      SELECT c.c_mktsegment AS seg,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    per AS (
+      SELECT seg,
+             CAST(SUM(y) AS BIGINT) AS pos_i,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg_i
+      FROM lab GROUP BY seg
+    ),
+    tot AS (
+      SELECT CAST(SUM(pos_i) AS BIGINT) AS pos_t,
+             CAST(SUM(neg_i) AS BIGINT) AS neg_t FROM per
+    )
+    SELECT seg, pos_i, neg_i,
+           ln(CAST((2 * pos_i + 1) * neg_t AS DOUBLE)
+              / ((2 * neg_i + 1) * pos_t)) AS woe,
+           (CAST(pos_i AS DOUBLE) / pos_t - CAST(neg_i AS DOUBLE) / neg_t)
+             * ln(CAST((2 * pos_i + 1) * neg_t AS DOUBLE)
+                  / ((2 * neg_i + 1) * pos_t)) AS iv_term
+    FROM per CROSS JOIN tot
+    """,
+    note="Weight-of-evidence categorical encoding + information value, "
+    "the credit-scoring/feature-screening standard: per category "
+    "WoE = ln((pos_i/pos)/(neg_i/neg)) with half-count smoothing "
+    "(2*pos_i+1 keeps the ratio an exact integer cross-product — no "
+    "fractional literals), and the IV contribution per category "
+    "(summable by the consumer; per-row output keeps float summation "
+    "out of the hash). Complements ml_target_encoding_loo (which "
+    "encodes rows; this scores the CATEGORY and feeds binning-based "
+    "scorecards). One join + one map-side-combinable aggregate + a "
+    "1-row broadcast of the totals; category cardinality bounds every "
+    "post-agg frame, nothing global anywhere.",
+)
+def ml_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    lab = o.join(c, o.o_custkey == c.c_custkey)
+    per = lab.groupBy("seg").agg(
+        F.sum("y").alias("pos_i"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("neg_i"),
+    )
+    tot = per.agg(
+        F.sum("pos_i").alias("pos_t"), F.sum("neg_i").alias("neg_t")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    woe = F.log(
+        ((2 * F.col("pos_i") + 1) * F.col("neg_t")).cast("double")
+        / ((2 * F.col("neg_i") + 1) * F.col("pos_t"))
+    )
+    iv = (
+        F.col("pos_i").cast("double") / F.col("pos_t")
+        - F.col("neg_i").cast("double") / F.col("neg_t")
+    ) * woe
+    return j.select("seg", "pos_i", "neg_i", woe.alias("woe"), iv.alias("iv_term"))
+
+
+# --- Containment (asymmetric) near-dup detection ----------------------------
+
+# C(A,B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| — catches a doc
+# CONTAINED in a larger one (page + boilerplate-wrapped copy), which
+# symmetric Jaccard under-scores. tau = 4/5, integer-exact comparison.
+
+
+@query(
+    "llm_dedup_containment",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h
+      FROM w, unnest(generate_series(1, len(w) - 2)) AS t(i)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    mk AS (SELECT doc_id, MIN(h) AS mk FROM sh GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM mk a JOIN mk b ON a.mk = b.mk AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.a_id, c.b_id, COUNT(*) AS inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.a_id
+      JOIN sh sb ON sb.doc_id = c.b_id AND sb.h = sa.h
+      GROUP BY c.a_id, c.b_id
+    )
+    SELECT i.a_id, i.b_id, CAST(i.inter AS BIGINT) AS inter,
+           CAST(za.sz AS BIGINT) AS sz_a, CAST(zb.sz AS BIGINT) AS sz_b,
+           CAST(i.inter AS DOUBLE) / za.sz AS cont_a_in_b,
+           CAST(i.inter AS DOUBLE) / zb.sz AS cont_b_in_a
+    FROM inter i
+    JOIN sz za ON za.doc_id = i.a_id
+    JOIN sz zb ON zb.doc_id = i.b_id
+    WHERE 5 * i.inter >= 4 * za.sz OR 5 * i.inter >= 4 * zb.sz
+    """,
+    note="Containment near-dup detection (asymmetric): "
+    "C(A,B) = |shingles(A) ∩ shingles(B)| / |A| flags a document "
+    "CONTAINED in a larger one (boilerplate-wrapped copies, quoted "
+    "inclusions) that symmetric Jaccard under-scores by the size "
+    "mismatch. Word 3-shingles (docs under 3 words have no shingle set "
+    "and are out of scope by construction); candidates from the "
+    "min-hash shingle bucket (MinHash b=1/r=1 banding — same key "
+    "discipline as llm_dedup_minhash_lsh, measured max bucket 19 docs "
+    "at sf0.1); exact intersection counted ONLY over candidate pairs; "
+    "the tau=4/5 gate compares 5*inter >= 4*sz in integers. Scale: "
+    "shuffles key on shingle hash and doc_id — never all-pairs; a "
+    "production corpus widens candidates to k min-hashes per doc "
+    "(k buckets/doc, same plan shape, recall up, still linear).",
+)
+def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    sh = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.expr(
+                "transform(slice(w, 1, greatest(size(w) - 2, 0)), "
+                "(x, j) -> concat(x, ' ', w[j + 1], ' ', w[j + 2]))"
+            )).alias("_p", "s"),
+        )
+        .select("doc_id", F.md5(F.col("s").cast("binary")).alias("h"))
+        .distinct()
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    mk = sh.groupBy("doc_id").agg(F.min("h").alias("mk"))
+    a, b = mk.alias("a"), mk.alias("b")
+    cand = a.join(b, (F.col("a.mk") == F.col("b.mk")) & (F.col("a.doc_id") < F.col("b.doc_id"))).select(
+        F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+    )
+    sa = sh.select(F.col("doc_id").alias("a_id"), "h")
+    sb = sh.select(F.col("doc_id").alias("b_id"), "h")
+    inter = (
+        cand.join(sa, "a_id")
+        .join(sb, ["b_id", "h"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sz.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sz_a"))
+    zb = sz.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sz_b"))
+    out = inter.join(za, "a_id").join(zb, "b_id")
+    keep = (5 * F.col("inter") >= 4 * F.col("sz_a")) | (
+        5 * F.col("inter") >= 4 * F.col("sz_b")
+    )
+    return out.filter(keep).select(
+        "a_id",
+        "b_id",
+        "inter",
+        "sz_a",
+        "sz_b",
+        (F.col("inter").cast("double") / F.col("sz_a")).alias("cont_a_in_b"),
+        (F.col("inter").cast("double") / F.col("sz_b")).alias("cont_b_in_a"),
     )
