@@ -212,6 +212,9 @@ HEADLINE = [
     "llm_dedup_semantic",       # SemDeDup: cluster-blocked cosine prune
     "llm_shuffle_shards",       # exact-balance epoch shuffle shards
     "llm_chunk_fixed_overlap",  # map-side overlapping RAG chunking
+    "ml_psi_drift",             # reference-binned drift report
+    "ml_woe_encoding",          # WoE/IV categorical scoring
+    "llm_dedup_containment",    # min-hash-bucketed containment pairs
 ]
 
 

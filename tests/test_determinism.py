@@ -46,6 +46,11 @@ PROBES = [
     # round-5o: rolling decimal moments, quadratic pair-sign aggregate
     "w_bollinger_bands",
     "a_mann_kendall_trend",
+    # round-8: reference-period binning, min-hash-bucketed containment
+    # (distinct over shuffled shingle pairs), corpus-scaled SemDeDup
+    "ml_psi_drift",
+    "llm_dedup_containment",
+    "llm_dedup_semantic",
 ]
 
 
