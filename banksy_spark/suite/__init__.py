@@ -64,6 +64,20 @@ from banksy_spark.suite import round8  # noqa: E402,F401
 # arithmetic.  Long-stable rN-green entries (odds flagship, core)
 # rotate to the tail.  Python dicts preserve insertion order, so
 # rebuilding the dict IS the rotation.
+#
+# Rotation plan for the remaining 129 never-driver-checked entries
+# (~50/round, by residual risk; every one is green in the builder's
+# full sf0.01 AND sf0.1 sweeps):
+#   round 9:  round4 (31: multimodal frames/patches/keyframes, rank
+#             family, temporal SCD2, heavy hitters, retention) +
+#             round4c-4g remainder (19: TPC-H q4/q15/q21/q22, graph
+#             triangles, attribution, basket pairs)
+#   round 10: round5/5b-5s remainder (25: asof, CDC chunks, interval
+#             overlap, converged graph/kmeans, TPC-H q1-q20 shapes) +
+#             corpus (20: BM25, decontam, PQ, CDC merge, SCD2, zorder)
+#             + round8 (4, this round's additions)
+#   round 11: train (9), llm_extra (5), scale_ops (6: gap fill, bloom
+#             join, PPS, IVM, HLL, TWA), stream/pipe twins — tail.
 _FRONT = [
     # (a) the 6 r07 hash-red HUGEINT oracles, now CAST AS BIGINT
     "ml_roc_auc",
