@@ -400,3 +400,105 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("inter").cast("double") / F.col("sz_a")).alias("cont_a_in_b"),
         (F.col("inter").cast("double") / F.col("sz_b")).alias("cont_b_in_a"),
     )
+
+
+@query(
+    "llm_dedup_containment_k3",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h
+      FROM w, unnest(generate_series(1, len(w) - 2)) AS t(i)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    mk AS (
+      SELECT doc_id, h FROM (
+        SELECT doc_id, h,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rk
+        FROM sh
+      ) WHERE rk <= 3
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM mk a JOIN mk b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.a_id, c.b_id, COUNT(*) AS inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.a_id
+      JOIN sh sb ON sb.doc_id = c.b_id AND sb.h = sa.h
+      GROUP BY c.a_id, c.b_id
+    )
+    SELECT i.a_id, i.b_id, CAST(i.inter AS BIGINT) AS inter,
+           CAST(za.sz AS BIGINT) AS sz_a, CAST(zb.sz AS BIGINT) AS sz_b,
+           CAST(i.inter AS DOUBLE) / za.sz AS cont_a_in_b,
+           CAST(i.inter AS DOUBLE) / zb.sz AS cont_b_in_a
+    FROM inter i
+    JOIN sz za ON za.doc_id = i.a_id
+    JOIN sz zb ON zb.doc_id = i.b_id
+    WHERE 5 * i.inter >= 4 * za.sz OR 5 * i.inter >= 4 * zb.sz
+    """,
+    note="Containment with WIDENED candidates: each document indexes its "
+    "k=3 smallest shingle hashes (vs the single min in "
+    "llm_dedup_containment), so two docs collide when ANY of their "
+    "3 min-hashes match — the recall dial the base query's note "
+    "promises, same exact verification and integer τ-gate. Result is a "
+    "SUPERSET of the k=1 pairs by construction (pytest-asserted). "
+    "Scale: candidate volume is bounded by 3 bucket memberships per "
+    "doc (3x the k=1 shuffle rows, still linear); per-doc key count is "
+    "a constant, never corpus-dependent — the same dial ANN multiprobe "
+    "turns (llm_ann_ivf_multiprobe).",
+)
+def llm_dedup_containment_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    sh = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.expr(
+                "transform(slice(w, 1, greatest(size(w) - 2, 0)), "
+                "(x, j) -> concat(x, ' ', w[j + 1], ' ', w[j + 2]))"
+            )).alias("_p", "s"),
+        )
+        .select("doc_id", F.md5(F.col("s").cast("binary")).alias("h"))
+        .distinct()
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    wk = Window.partitionBy("doc_id").orderBy("h")
+    mk = (
+        sh.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "h")
+    )
+    a, b = mk.alias("a"), mk.alias("b")
+    cand = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("a_id"), "h")
+    sb = sh.select(F.col("doc_id").alias("b_id"), "h")
+    inter = (
+        cand.join(sa, "a_id")
+        .join(sb, ["b_id", "h"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sz.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sz_a"))
+    zb = sz.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sz_b"))
+    out = inter.join(za, "a_id").join(zb, "b_id")
+    keep = (5 * F.col("inter") >= 4 * F.col("sz_a")) | (
+        5 * F.col("inter") >= 4 * F.col("sz_b")
+    )
+    return out.filter(keep).select(
+        "a_id",
+        "b_id",
+        "inter",
+        "sz_a",
+        "sz_b",
+        (F.col("inter").cast("double") / F.col("sz_a")).alias("cont_a_in_b"),
+        (F.col("inter").cast("double") / F.col("sz_b")).alias("cont_b_in_a"),
+    )

@@ -157,3 +157,20 @@ def test_psi_zero_when_periods_identical(spark):
         # sign contract: a bin with higher current share contributes
         # a non-negative term, lower share likewise non-negative
         assert r["psi_term"] >= 0.0 or abs(r["psi_term"]) < 1e-15
+
+
+def test_containment_k3_is_superset_of_k1(spark):
+    """Widening the candidate index from 1 to 3 min-hashes can only ADD
+    pairs: verification is exact and identical, so the k=3 result must
+    be a superset of the k=1 result (and any growth is pure recall)."""
+    from banksy_spark.suite import REGISTRY
+
+    k1 = {
+        (r["a_id"], r["b_id"])
+        for r in REGISTRY["llm_dedup_containment"].fn(spark, SF_ORACLE).collect()
+    }
+    k3 = {
+        (r["a_id"], r["b_id"])
+        for r in REGISTRY["llm_dedup_containment_k3"].fn(spark, SF_ORACLE).collect()
+    }
+    assert k1 <= k3, f"k1 pairs missing from k3: {k1 - k3}"
