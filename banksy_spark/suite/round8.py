@@ -502,3 +502,69 @@ def llm_dedup_containment_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("inter").cast("double") / F.col("sz_a")).alias("cont_a_in_b"),
         (F.col("inter").cast("double") / F.col("sz_b")).alias("cont_b_in_a"),
     )
+
+
+# --- Brier score ------------------------------------------------------------
+
+# price normalized to [0,1] by the corpus price cap; integer-cents form
+# keeps every squared error an exact BIGINT and the sum an exact
+# DECIMAL(38,0) — no float accumulation anywhere, one final division.
+_BRIER_CAP_CENTS = 50_000_000  # 500000.00 in cents
+
+
+@query(
+    "ml_brier_score",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p_c,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST((p_c - y * {_BRIER_CAP_CENTS})
+                      * (p_c - y * {_BRIER_CAP_CENTS}) AS DECIMAL(28,0)))
+               AS sq
+      FROM s
+    )
+    SELECT n, CAST(sq AS DECIMAL(38,0)) AS sq_cents,
+           CAST(CAST(sq AS VARCHAR) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * {_BRIER_CAP_CENTS}e0 * {_BRIER_CAP_CENTS}e0)
+             AS brier
+    FROM agg
+    """,
+    note="Brier score of the normalized price 'probability' against the "
+    "finished-status label — the strictly proper scoring rule that "
+    "completes the eval family (ROC-AUC ranks, calibration bins "
+    "diagnose, Brier SCORES the probabilities). Exactness: prices go "
+    "through the suite's DECIMAL-cents route, each squared error is an "
+    "exact BIGINT, the sum an exact DECIMAL — map-side-combinable and "
+    "order-free — and the single final division is two IEEE ops both "
+    "engines round identically (the denominator product exceeds 2^53 "
+    "but correctly-rounded double multiply is deterministic). One "
+    "aggregate pass, scale-free.",
+)
+def ml_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = T(spark, sf_dir, "orders").select(
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("p_c"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    err = F.col("p_c") - F.col("y") * F.lit(_BRIER_CAP_CENTS)
+    agg = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((err * err).cast("decimal(28,0)")).alias("sq"),
+    )
+    return agg.select(
+        "n",
+        F.col("sq").cast("decimal(38,0)").alias("sq_cents"),
+        (
+            F.col("sq").cast("string").cast("double")
+            / (
+                F.col("n").cast("double")
+                * F.lit(float(_BRIER_CAP_CENTS))
+                * F.lit(float(_BRIER_CAP_CENTS))
+            )
+        ).alias("brier"),
+    )
