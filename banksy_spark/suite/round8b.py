@@ -1,0 +1,348 @@
+"""Round-8 close additions: one-pass model fitting and robust trends.
+
+Three statistics the reference's analytics layer gestures at (rolling
+diagnostics over odds series, e.g. arbitrage_scanner.py:210-260's
+margin trend checks) generalized to engine primitives:
+
+* ``ml_linreg_normal`` — multi-feature OLS fitted in ONE distributed
+  pass: the Gram matrix / normal equations as map-side-combinable
+  integer moment sums, solved in-plan by Cramer's rule on EXACT
+  DECIMAL(38,0) determinants (no iteration, no driver solve, no float
+  until the final division).
+* ``a_theil_sen_monthly`` — the robust (median-of-pairwise-slopes)
+  trend estimator over a calendar-bounded daily directory: pair
+  explosion is O(days²) per group regardless of fact size.
+* ``w_rolling_corr`` — rolling bivariate Pearson correlation from
+  exact window moment sums (the bivariate member of the
+  bollinger/ewma/control-chart family).
+
+Hash-exactness discipline (the a_ols_slope / ml_woe_encoding
+pattern): every aggregate and every determinant is an exact integer
+DECIMAL; the only float operations are a final division (and one
+sqrt) applied to STRING-routed doubles with textually identical
+expressions in both engines, so Spark and DuckDB emit bit-identical
+results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from banksy_spark.suite.registry import T, query
+
+# Cramer's rule for the 3x3 normal equations [[n,s1,s2],[s1,s11,s12],
+# [s2,s12,s22]] @ (b0,b1,b2) = (sy,s1y,s2y).  The SAME text is used as
+# a Spark SQL expression and inside the DuckDB oracle: all operands are
+# DECIMAL(38,0), both engines cap the product width at 38 and compute
+# exactly when the value fits (worst term at sf100 ~ 3.5e34 < 1e38,
+# sized in the note below), so the determinants are integer-exact and
+# association-independent.
+_DET = (
+    "(n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s12 - s11 * s2))"
+)
+_DET_B0 = (
+    "(sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)"
+    " + s2 * (s1y * s12 - s11 * s2y))"
+)
+_DET_B1 = (
+    "(n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s2y - s1y * s2))"
+)
+_DET_B2 = (
+    "(n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)"
+    " + sy * (s1 * s12 - s11 * s2))"
+)
+# exact-decimal determinant -> STRING -> DOUBLE: the decimal digits are
+# rendered and re-parsed with correct rounding in both engines, so the
+# one float division sees bit-identical operands.
+_F64 = "CAST(CAST({x} AS STRING) AS DOUBLE)"
+_BETA = f"({_F64.format(x='{num}')} / {_F64.format(x=_DET)})"
+
+
+@query(
+    "ml_linreg_normal",
+    oracle=f"""
+    WITH pts AS (
+      SELECT p.p_brand AS brand,
+             CAST(CAST(ROUND(l.l_discount * 100) AS BIGINT) AS DECIMAL(38,0)) AS x1,
+             CAST(CAST(ROUND(l.l_quantity) AS BIGINT) AS DECIMAL(38,0)) AS x2,
+             CAST(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0)) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), mom AS (
+      SELECT brand,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+             SUM(x1 * x1) AS s11, SUM(x2 * x2) AS s22, SUM(x1 * x2) AS s12,
+             SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y
+      FROM pts GROUP BY brand
+    )
+    SELECT brand, CAST(n AS BIGINT) AS n,
+           {_BETA.format(num=_DET_B0)} AS beta0,
+           {_BETA.format(num=_DET_B1)} AS beta1,
+           {_BETA.format(num=_DET_B2)} AS beta2
+    FROM mom
+    """,
+    note="Per-brand TWO-feature OLS (extendedprice-cents on discount-pct "
+    "and quantity-units) via the normal equations: nine integer moment "
+    "sums (the Gram matrix X'X and X'y) in one map-side-combinable "
+    "aggregate, then Cramer's rule 3x3 determinants computed EXACTLY in "
+    "DECIMAL(38,0) — the classic one-pass distributed model fit (no "
+    "gradient iterations, no driver-side solve; ml_kmeans_step is the "
+    "iterative contrast). Both engines cap decimal products at width 38 "
+    "and compute exactly when the value fits; worst determinant term is "
+    "sy*s11*s22 ~ 2.4e14*2.4e9*6e10 = 3.5e34 at sf100, inside "
+    "DECIMAL(38). The only float op is the final STRING-routed "
+    "division, shared as one expression text. Scale: broadcast part "
+    "dim -> one shuffle at brand grain; fitting k features costs "
+    "O(k^2) sum columns in the SAME single pass, never another scan.",
+)
+def ml_linreg_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_discount", "l_quantity", "l_extendedprice"
+    )
+    pt = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    dec = "decimal(38,0)"
+    x1 = F.round(F.col("l_discount") * 100, 0).cast("bigint").cast(dec)
+    x2 = F.round(F.col("l_quantity"), 0).cast("bigint").cast(dec)
+    y = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").cast(dec)
+    mom = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("n"),
+            F.sum(x1).alias("s1"),
+            F.sum(x2).alias("s2"),
+            F.sum(y).alias("sy"),
+            F.sum(x1 * x1).alias("s11"),
+            F.sum(x2 * x2).alias("s22"),
+            F.sum(x1 * x2).alias("s12"),
+            F.sum(x1 * y).alias("s1y"),
+            F.sum(x2 * y).alias("s2y"),
+        )
+    )
+    return mom.select(
+        "brand",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(_BETA.format(num=_DET_B0)).alias("beta0"),
+        F.expr(_BETA.format(num=_DET_B1)).alias("beta1"),
+        F.expr(_BETA.format(num=_DET_B2)).alias("beta2"),
+    )
+
+
+# slope of one day-pair: y values are exact daily rationals q/c, so
+# slope_ij = (qj/cj - qi/ci)/(dj - di) = (qj*ci - qi*cj)/(ci*cj*(dj-di))
+# with bigint numerator/denominator; the division is the single float
+# op, STRING-routed on both sides.  Median = the lower-median row of
+# the (slope, num, den, d1, d2) ordering — doubles are bit-identical
+# across engines, and the integer tie-break pins equal-slope pairs.
+_TS_SLOPE = (
+    "(CAST(CAST((q2 * c1 - q1 * c2) AS STRING) AS DOUBLE)"
+    " / CAST(CAST((c1 * c2 * (d2 - d1)) AS STRING) AS DOUBLE))"
+)
+
+
+@query(
+    "a_theil_sen_monthly",
+    oracle=f"""
+    WITH daily AS (
+      SELECT p.p_brand AS brand,
+             strftime(date_trunc('month', l.l_shipdate), '%Y-%m') AS mon,
+             CAST(EXTRACT(day FROM l.l_shipdate) AS INT) AS d,
+             CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS q,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+      GROUP BY 1, 2, 3
+    ), pairs AS (
+      SELECT a.brand, a.mon,
+             a.d AS d1, b.d AS d2, a.q AS q1, b.q AS q2, a.c AS c1, b.c AS c2,
+             {_TS_SLOPE} AS slope
+      FROM daily a JOIN daily b
+        ON a.brand = b.brand AND a.mon = b.mon AND a.d < b.d
+    ), ranked AS (
+      SELECT brand, mon, slope,
+             ROW_NUMBER() OVER (
+               PARTITION BY brand, mon
+               ORDER BY slope, q2 * c1 - q1 * c2, c1 * c2 * (d2 - d1), d1, d2
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY brand, mon) AS n_pairs
+      FROM pairs
+    )
+    SELECT brand, mon, CAST(n_pairs AS BIGINT) AS n_pairs,
+           slope AS ts_slope
+    FROM ranked WHERE rn = (n_pairs + 1) // 2
+    """,
+    note="Theil-Sen robust trend per (brand, month): median of pairwise "
+    "slopes of mean daily quantity — the estimator that shrugs off the "
+    "outlier days OLS chases. The fact collapses to a CALENDAR-bounded "
+    "daily directory first (<= 31 rows per group at any fact size), so "
+    "the O(days^2) pair explosion is <= C(31,2)=465 rows per group "
+    "forever — pair-join cost is set by the calendar, not the corpus. "
+    "Slopes stay exact rationals (qj*ci - qi*cj over ci*cj*(dj-di), "
+    "daily means never materialized as floats); one STRING-routed "
+    "division feeds a lower-median row_number with an integer "
+    "tie-break, so both engines pick the identical pair. Scale: one "
+    "fact aggregate, then a broadcast self-join over the tiny "
+    "directory; three pinned brands keep the demo output readable.",
+)
+def a_theil_sen_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity"
+    )
+    pt = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    daily = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .filter(F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias(
+                "mon"
+            ),
+            F.dayofmonth("l_shipdate").cast("int").alias("d"),
+        )
+        .agg(
+            F.sum(F.round("l_quantity", 0).cast("bigint")).alias("q"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    a = daily.select(
+        "brand",
+        "mon",
+        F.col("d").alias("d1"),
+        F.col("q").alias("q1"),
+        F.col("c").alias("c1"),
+    )
+    b = daily.select(
+        "brand",
+        "mon",
+        F.col("d").alias("d2"),
+        F.col("q").alias("q2"),
+        F.col("c").alias("c2"),
+    )
+    pairs = a.join(
+        F.broadcast(b), ["brand", "mon"]
+    ).filter(F.col("d1") < F.col("d2")).withColumn("slope", F.expr(_TS_SLOPE))
+    w = Window.partitionBy("brand", "mon").orderBy(
+        "slope",
+        F.col("q2") * F.col("c1") - F.col("q1") * F.col("c2"),
+        F.col("c1") * F.col("c2") * (F.col("d2") - F.col("d1")),
+        "d1",
+        "d2",
+    )
+    ranked = pairs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_pairs", F.count(F.lit(1)).over(Window.partitionBy("brand", "mon"))
+    )
+    return ranked.filter(
+        F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2)
+    ).select(
+        "brand",
+        "mon",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("slope").alias("ts_slope"),
+    )
+
+
+# Pearson over the trailing-7-observation frame from exact window
+# moments: num and the two variance terms are integer DECIMALs; the
+# division-by-sqrt is the only float, STRING-routed with one shared
+# expression text.  n is the actual frame row count (= 7 after the
+# rn >= 7 filter, but written as the windowed count so the formula is
+# frame-size-agnostic).
+_CORR7 = (
+    "(CASE WHEN (nw * sxx - sx * sx) > 0 AND (nw * syy - sy * sy) > 0"
+    " THEN CAST(CAST((nw * sxy - sx * sy) AS STRING) AS DOUBLE)"
+    " / SQRT(CAST(CAST((nw * sxx - sx * sx) AS STRING) AS DOUBLE)"
+    " * CAST(CAST((nw * syy - sy * sy) AS STRING) AS DOUBLE))"
+    " ELSE NULL END)"
+)
+
+
+@query(
+    "w_rolling_corr",
+    oracle=f"""
+    WITH daily AS (
+      SELECT p.p_brand AS brand,
+             CAST(l.l_shipdate AS DATE) AS day,
+             CAST(CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT)
+               AS DECIMAL(38,0)) AS x,
+             CAST(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS DECIMAL(38,0)) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+      GROUP BY 1, 2
+    ), winmom AS (
+      SELECT brand, day, x, y,
+             ROW_NUMBER() OVER w AS rn,
+             CAST(COUNT(*) OVER w7 AS DECIMAL(38,0)) AS nw,
+             SUM(x) OVER w7 AS sx, SUM(y) OVER w7 AS sy,
+             SUM(x * x) OVER w7 AS sxx, SUM(y * y) OVER w7 AS syy,
+             SUM(x * y) OVER w7 AS sxy
+      FROM daily
+      WINDOW w AS (PARTITION BY brand ORDER BY day),
+             w7 AS (PARTITION BY brand ORDER BY day
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT brand, day,
+           CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+           {_CORR7} AS corr7
+    FROM winmom WHERE rn >= 7
+    """,
+    note="Rolling 7-observation Pearson correlation between daily "
+    "quantity and daily revenue per brand — the bivariate member of "
+    "the bollinger/ewma/control-chart rolling-diagnostic family "
+    "(reference analog: margin-vs-volume drift checks over odds "
+    "series, arbitrage_scanner.py:210-260). All five window moments "
+    "(sx, sy, sxx, syy, sxy) are exact integer DECIMAL sums over the "
+    "ROWS 6-PRECEDING frame (squares overflow bigint past sf10, hence "
+    "DECIMAL(38,0)); the r formula runs once on STRING-routed doubles, "
+    "zero-variance windows emit NULL instead of a 0/0 NaN. Scale: one "
+    "fact aggregate to the calendar-bounded daily grain, then ONE "
+    "window pass computes all five moments over <= |days| rows per "
+    "brand — never a self-join, never a fact-sized window.",
+)
+def w_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity", "l_extendedprice"
+    )
+    pt = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    dec = "decimal(38,0)"
+    daily = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .filter(F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_shipdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.round("l_quantity", 0).cast("bigint"))
+            .cast(dec)
+            .alias("x"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+            .cast(dec)
+            .alias("y"),
+        )
+    )
+    w = Window.partitionBy("brand").orderBy("day")
+    w7 = w.rowsBetween(-6, 0)
+    winmom = daily.select(
+        "brand",
+        "day",
+        "x",
+        "y",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(w7).cast(dec).alias("nw"),
+        F.sum("x").over(w7).alias("sx"),
+        F.sum("y").over(w7).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w7).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w7).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w7).alias("sxy"),
+    )
+    return winmom.filter(F.col("rn") >= 7).select(
+        "brand",
+        "day",
+        F.col("x").cast("bigint").alias("x"),
+        F.col("y").cast("bigint").alias("y"),
+        F.expr(_CORR7).alias("corr7"),
+    )

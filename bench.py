@@ -215,6 +215,9 @@ HEADLINE = [
     "ml_psi_drift",             # reference-binned drift report
     "ml_woe_encoding",          # WoE/IV categorical scoring
     "llm_dedup_containment",    # min-hash-bucketed containment pairs
+    "ml_linreg_normal",         # one-pass OLS via exact-decimal Cramer
+    "a_theil_sen_monthly",      # pairwise-median robust trend, calendar-bounded
+    "w_rolling_corr",           # rolling Pearson from exact window moments
 ]
 
 

@@ -1,0 +1,160 @@
+"""Independent recomputation contracts for the round-8b statistics.
+
+The DuckDB oracles pin Spark==DuckDB; these tests pin both against a
+THIRD implementation (numpy/pandas over the same collected points), so
+a shared algebra mistake in the twin SQL/DataFrame formulas can't slip
+through as a matching pair of wrong answers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(spark, name, sf=SF):
+    from banksy_spark.suite import REGISTRY
+
+    return REGISTRY[name].fn(spark, sf)
+
+
+# --- ml_linreg_normal -------------------------------------------------------
+
+
+def test_linreg_normal_matches_numpy_lstsq(spark):
+    got = {r["brand"]: r for r in _q(spark, "ml_linreg_normal").collect()}
+    assert len(got) == 25
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    pt = spark.read.parquet(f"{SF}/part.parquet")
+    pts = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select(
+            "p_brand",
+            F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("x1"),
+            F.round("l_quantity", 0).cast("bigint").alias("x2"),
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("bigint")
+            .alias("y"),
+        )
+        .toPandas()
+    )
+    for brand, g in pts.groupby("p_brand"):
+        X = np.column_stack(
+            [np.ones(len(g)), g.x1.to_numpy(float), g.x2.to_numpy(float)]
+        )
+        beta = np.linalg.lstsq(X, g.y.to_numpy(float), rcond=None)[0]
+        r = got[brand]
+        assert r["n"] == len(g)
+        np.testing.assert_allclose(
+            [r["beta0"], r["beta1"], r["beta2"]], beta, rtol=1e-8
+        )
+
+
+def test_linreg_normal_single_aggregate_plan(spark):
+    plan = _q(spark, "ml_linreg_normal")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # one shuffle: the brand-grain aggregate exchange (plus AQE reads)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --- a_theil_sen_monthly ----------------------------------------------------
+
+
+def test_theil_sen_matches_numpy_pairwise_median(spark):
+    got = {
+        (r["brand"], r["mon"]): r
+        for r in _q(spark, "a_theil_sen_monthly").collect()
+    }
+    assert got, "empty result"
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    pt = spark.read.parquet(f"{SF}/part.parquet")
+    daily = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .filter(F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias(
+                "mon"
+            ),
+            F.dayofmonth("l_shipdate").alias("d"),
+        )
+        .agg(
+            F.sum(F.round("l_quantity", 0).cast("bigint")).alias("q"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .toPandas()
+    )
+    n_checked = 0
+    for (brand, mon), g in daily.groupby(["brand", "mon"]):
+        g = g.sort_values("d")
+        d = g.d.to_numpy(float)
+        ybar = g.q.to_numpy(float) / g.c.to_numpy(float)
+        slopes = [
+            (ybar[j] - ybar[i]) / (d[j] - d[i])
+            for i in range(len(d))
+            for j in range(i + 1, len(d))
+        ]
+        if not slopes:
+            assert (brand, mon) not in got
+            continue
+        r = got[(brand, mon)]
+        assert r["n_pairs"] == len(slopes)
+        # lower median = element at index (n+1)//2 - 1 of the sorted list
+        lower_med = sorted(slopes)[(len(slopes) + 1) // 2 - 1]
+        np.testing.assert_allclose(r["ts_slope"], lower_med, rtol=1e-9)
+        n_checked += 1
+    assert n_checked >= 10
+
+
+# --- w_rolling_corr ---------------------------------------------------------
+
+
+def test_rolling_corr_matches_pandas(spark):
+    res = _q(spark, "w_rolling_corr").toPandas()
+    assert len(res) > 0
+    finite = res.corr7.dropna()
+    assert ((finite <= 1.0) & (finite >= -1.0)).all()
+    for brand, g in res.groupby("brand"):
+        g = g.sort_values("day").reset_index(drop=True)
+        # rebuild the full daily series: the query drops rn < 7 rows, so
+        # recompute from the parquet side for the first brand only
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        pt = spark.read.parquet(f"{SF}/part.parquet")
+        daily = (
+            li.join(pt, li.l_partkey == pt.p_partkey)
+            .filter(F.col("p_brand") == brand)
+            .groupBy(F.col("l_shipdate").cast("date").alias("day"))
+            .agg(
+                F.sum(F.round("l_quantity", 0).cast("bigint")).alias("x"),
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+                ).alias("y"),
+            )
+            .toPandas()
+            .sort_values("day")
+            .reset_index(drop=True)
+        )
+        ref = daily.x.rolling(7).corr(daily.y)
+        ref_by_day = dict(zip(daily.day, ref))
+        for _, r in g.iterrows():
+            expect = ref_by_day[r["day"]]
+            if np.isnan(expect):
+                assert r["corr7"] is None or np.isnan(r["corr7"])
+            else:
+                np.testing.assert_allclose(r["corr7"], expect, rtol=1e-9)
+        break  # one brand is enough for the cross-check
+
+
+def test_rolling_corr_single_window_pass(spark):
+    plan = _q(spark, "w_rolling_corr")._jdf.queryExecution().executedPlan().toString()
+    # all five moments + rn ride window passes over the DAILY grain (no
+    # fact-sized window, no self-join): the only join is the broadcast
+    # part-dim join, and the brand partitioning is computed once
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Window") <= 2
+    assert plan.count("Exchange hashpartitioning") <= 2
