@@ -346,3 +346,89 @@ def w_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").cast("bigint").alias("y"),
         F.expr(_CORR7).alias("corr7"),
     )
+
+
+# Spearman rho from exact doubled tie-averaged ranks: for a tie group
+# of size c whose running count is cum, min_rank + max_rank =
+# 2*cum - c + 1 (the ml_roc_auc identity), equal to the oracle's
+# 2*RANK() + COUNT(*) OVER (PARTITION BY v) - 1.  Pearson is invariant
+# to the 2x scale, so rho over the doubled ranks IS Spearman — and all
+# six moments stay exact integer DECIMALs until this one expression.
+_RHO = (
+    "(CASE WHEN (n * saa - sa * sa) > 0 AND (n * sbb - sb * sb) > 0"
+    " THEN CAST(CAST((n * sab - sa * sb) AS STRING) AS DOUBLE)"
+    " / SQRT(CAST(CAST((n * saa - sa * sa) AS STRING) AS DOUBLE)"
+    " * CAST(CAST((n * sbb - sb * sb) AS STRING) AS DOUBLE))"
+    " ELSE NULL END)"
+)
+
+
+@query(
+    "ml_spearman_corr",
+    oracle=f"""
+    WITH pts AS (
+      SELECT l_quantity AS x, l_extendedprice AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ), rk AS (
+      SELECT CAST(2 * RANK() OVER (ORDER BY x)
+                  + COUNT(*) OVER (PARTITION BY x) - 1
+               AS DECIMAL(38,0)) AS a,
+             CAST(2 * RANK() OVER (ORDER BY y)
+                  + COUNT(*) OVER (PARTITION BY y) - 1
+               AS DECIMAL(38,0)) AS b
+      FROM pts
+    ), mom AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             SUM(a) AS sa, SUM(b) AS sb,
+             SUM(a * a) AS saa, SUM(b * b) AS sbb, SUM(a * b) AS sab
+      FROM rk
+    )
+    SELECT CAST(n AS BIGINT) AS n, {_RHO} AS rho FROM mom
+    """,
+    note="Exact Spearman rank correlation between quantity and "
+    "extended price: tie-averaged ranks held in the INTEGER doubled "
+    "form min_rank+max_rank (Pearson is scale-invariant, so rho over "
+    "doubled ranks is Spearman), all moments exact DECIMAL(38,0), one "
+    "STRING-routed float expression at the end — the monotonic "
+    "complement of a_corr_manual's linear Pearson. The fact never "
+    "enters a window: each column's tie groups collapse to a distinct-"
+    "value histogram FIRST (ml_roc_auc's aggregate-first rank "
+    "pattern), operators/ordinals.py turns each histogram's running "
+    "count into rank spans, and the rank maps join back — the 50-value "
+    "quantity map broadcasts, the near-unique price map takes the one "
+    "keyed shuffle. Worst moment at sf100: n*(2n)^2 = 4n^3 ~ 8.6e26, "
+    "inside DECIMAL(38).",
+)
+def ml_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.operators.ordinals import global_ordinals
+
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    dec = "decimal(38,0)"
+
+    def rank_map(col: str, out: str) -> DataFrame:
+        h = li.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        r = global_ordinals(h, [col], cumsum=[("c", "cum")])
+        return r.select(
+            col, (2 * F.col("cum") - F.col("c") + 1).cast(dec).alias(out)
+        )
+
+    mx = rank_map("x", "a")  # <= |distinct quantities| rows: broadcast
+    my = rank_map("y", "b")  # near-unique prices: keyed shuffle join
+    j = li.join(F.broadcast(mx), "x").join(my, "y")
+    a, b = F.col("a"), F.col("b")
+    mom = j.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(a).alias("sa"),
+        F.sum(b).alias("sb"),
+        F.sum(a * a).alias("saa"),
+        F.sum(b * b).alias("sbb"),
+        F.sum(a * b).alias("sab"),
+    )
+    return mom.select(F.col("n").cast("bigint").alias("n"), F.expr(_RHO).alias("rho"))

@@ -218,6 +218,7 @@ HEADLINE = [
     "ml_linreg_normal",         # one-pass OLS via exact-decimal Cramer
     "a_theil_sen_monthly",      # pairwise-median robust trend, calendar-bounded
     "w_rolling_corr",           # rolling Pearson from exact window moments
+    "ml_spearman_corr",         # rank correlation, aggregate-first tie spans
 ]
 
 

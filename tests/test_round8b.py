@@ -158,3 +158,36 @@ def test_rolling_corr_single_window_pass(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("Window") <= 2
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+# --- ml_spearman_corr -------------------------------------------------------
+
+
+def test_spearman_matches_pandas(spark):
+    row = _q(spark, "ml_spearman_corr").collect()[0]
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    pdf = li.select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    ).dropna().toPandas()
+    assert row["n"] == len(pdf)
+    # tie-averaged ranks + Pearson — the textbook definition, computed
+    # by a third implementation (pandas average ranks, numpy corrcoef;
+    # pandas' method="spearman" itself would require scipy)
+    rx = pdf.x.rank(method="average").to_numpy(float)
+    ry = pdf.y.rank(method="average").to_numpy(float)
+    expect = np.corrcoef(rx, ry)[0, 1]
+    np.testing.assert_allclose(row["rho"], expect, rtol=1e-9)
+
+
+def test_spearman_no_fact_window(spark):
+    plan = (
+        _q(spark, "ml_spearman_corr")._jdf.queryExecution().executedPlan().toString()
+    )
+    # the fact never enters a window: every Window node the ordinal
+    # machinery emits is bucket-partitioned (audited globally in
+    # PLANS.md); here just pin that no global single-partition exchange
+    # feeds a Window
+    assert "Exchange SinglePartition" not in plan.split("AdaptiveSparkPlan")[0] or (
+        "Window" not in plan
+    )
+    assert "CartesianProduct" not in plan
