@@ -51,6 +51,11 @@ PROBES = [
     "ml_psi_drift",
     "llm_dedup_containment",
     "llm_dedup_semantic",
+    # round-8b: lower-median pick over double-ordered pairs (integer
+    # tie-break must pin the row under any split), rank spans from a
+    # near-unique value histogram's bucketed ordinal pass
+    "a_theil_sen_monthly",
+    "ml_spearman_corr",
 ]
 
 
