@@ -156,9 +156,9 @@ _PSI_PIVOT = "1999-01-01"
            CAST(ref_n AS DOUBLE) / ref_t AS ref_pct,
            CAST(cur_n AS DOUBLE) / cur_t AS cur_pct,
            CASE WHEN ref_n = 0 OR cur_n = 0 THEN NULL
-                ELSE (CAST(cur_n AS DOUBLE) / cur_t
+                ELSE ROUND((CAST(cur_n AS DOUBLE) / cur_t
                       - CAST(ref_n AS DOUBLE) / ref_t)
-                     * ln(CAST(cur_n * ref_t AS DOUBLE) / (ref_n * cur_t))
+                     * ln(CAST(cur_n * ref_t AS DOUBLE) / (ref_n * cur_t)), 12)
            END AS psi_term
     FROM cnt CROSS JOIN tot
     """,
@@ -170,7 +170,8 @@ _PSI_PIVOT = "1999-01-01"
     "cross-bin float summation enters the hash; a bin empty in either "
     "period yields NULL honestly instead of ±inf. The ln argument is "
     "one exact-integer cross-ratio (cur_n*ref_t)/(ref_n*cur_t) "
-    "double-divided once — the BM25-established ln-parity discipline. "
+    "double-divided once, and the ln output is quantized to 12 "
+    "decimals (ln is transcendental: engines disagree by 1 ulp). "
     "Scale: the reference rank rides operators/ordinals.py (no "
     "single-partition window over the fact), the 9-value bounds row "
     "broadcasts, the period counts are one map-side-combinable "
@@ -229,7 +230,7 @@ def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             (F.col("ref_n") == 0) | (F.col("cur_n") == 0), F.lit(None)
         )
-        .otherwise((cur_pct - ref_pct) * F.log(ratio))
+        .otherwise(F.round((cur_pct - ref_pct) * F.log(ratio), 12))
         .alias("psi_term"),
     )
 
@@ -256,11 +257,11 @@ def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(neg_i) AS BIGINT) AS neg_t FROM per
     )
     SELECT seg, pos_i, neg_i,
-           ln(CAST((2 * pos_i + 1) * neg_t AS DOUBLE)
-              / ((2 * neg_i + 1) * pos_t)) AS woe,
-           (CAST(pos_i AS DOUBLE) / pos_t - CAST(neg_i AS DOUBLE) / neg_t)
+           ROUND(ln(CAST((2 * pos_i + 1) * neg_t AS DOUBLE)
+              / ((2 * neg_i + 1) * pos_t)), 12) AS woe,
+           ROUND((CAST(pos_i AS DOUBLE) / pos_t - CAST(neg_i AS DOUBLE) / neg_t)
              * ln(CAST((2 * pos_i + 1) * neg_t AS DOUBLE)
-                  / ((2 * neg_i + 1) * pos_t)) AS iv_term
+                  / ((2 * neg_i + 1) * pos_t)), 12) AS iv_term
     FROM per CROSS JOIN tot
     """,
     note="Weight-of-evidence categorical encoding + information value, "
@@ -300,7 +301,13 @@ def ml_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos_i").cast("double") / F.col("pos_t")
         - F.col("neg_i").cast("double") / F.col("neg_t")
     ) * woe
-    return j.select("seg", "pos_i", "neg_i", woe.alias("woe"), iv.alias("iv_term"))
+    return j.select(
+        "seg",
+        "pos_i",
+        "neg_i",
+        F.round(woe, 12).alias("woe"),
+        F.round(iv, 12).alias("iv_term"),
+    )
 
 
 # --- Containment (asymmetric) near-dup detection ----------------------------

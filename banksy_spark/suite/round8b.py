@@ -432,3 +432,76 @@ def ml_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(a * b).alias("sab"),
     )
     return mom.select(F.col("n").cast("bigint").alias("n"), F.expr(_RHO).alias("rho"))
+
+
+# PMI / MI terms with the ml_woe_encoding ln-parity discipline: the
+# log argument is one exact integer cross-product ratio rendered as a
+# single double division, and MI is emitted PER CELL (the consumer
+# sums) so no cross-cell float accumulation enters the value hash.
+_PMI_RAW = "ln(CAST(n * nij AS DOUBLE) / (CAST(ni AS DOUBLE) * nj))"
+# ln is a TRANSCENDENTAL: unlike +-*/ it has no IEEE correct-rounding
+# guarantee, and Spark (StrictMath/fdlibm) vs DuckDB (glibc libm)
+# disagree by 1 ulp on some arguments (measured on this grid:
+# 0x3ff2d69b208d768e -> ...5c vs ...5d). ROUND(x, 12) on both sides
+# collapses ulp-level disagreement while keeping 12 significant
+# decimals of the statistic.
+_PMI = f"ROUND({_PMI_RAW}, 12)"
+_MI_TERM = f"ROUND((CAST(nij AS DOUBLE) / n) * {_PMI_RAW}, 12)"
+
+
+@query(
+    "ml_mutual_info",
+    oracle=f"""
+    WITH joint AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+             CAST(COUNT(*) AS BIGINT) AS nij
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    m_seg AS (SELECT seg, CAST(SUM(nij) AS BIGINT) AS ni FROM joint GROUP BY seg),
+    m_pri AS (SELECT pri, CAST(SUM(nij) AS BIGINT) AS nj FROM joint GROUP BY pri),
+    tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM joint)
+    SELECT seg, pri, nij,
+           {_PMI} AS pmi,
+           {_MI_TERM} AS mi_term
+    FROM joint JOIN m_seg USING (seg) JOIN m_pri USING (pri) CROSS JOIN tot
+    """,
+    note="Pointwise and aggregate mutual information between customer "
+    "segment and order priority — the information-theoretic dependence "
+    "screen (feature redundancy / leakage detection) next to "
+    "a_chi2_contingency's frequency test. ln-parity discipline "
+    "(ml_woe_encoding): the log argument is the exact integer "
+    "cross-product n*n_ij / (n_i*n_j) in one shared expression text; "
+    "MI contributions are per-cell so the only float sum happens in "
+    "the consumer, not the hash. Scale: one keyed join + one "
+    "map-side-combinable aggregate to the |seg|x|pri| cell grid; "
+    "marginals and the total are broadcast re-aggregations of that "
+    "tiny grid — the fact is scanned once, shuffled once.",
+)
+def ml_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderpriority").alias("pri")
+    )
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    joint = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("seg", "pri")
+        .agg(F.count(F.lit(1)).alias("nij"))
+    )
+    m_seg = joint.groupBy("seg").agg(F.sum("nij").alias("ni"))
+    m_pri = joint.groupBy("pri").agg(F.sum("nij").alias("nj"))
+    tot = joint.agg(F.sum("nij").alias("n"))
+    cells = (
+        joint.join(F.broadcast(m_seg), "seg")
+        .join(F.broadcast(m_pri), "pri")
+        .crossJoin(F.broadcast(tot))
+    )
+    return cells.select(
+        "seg",
+        "pri",
+        F.col("nij").cast("bigint").alias("nij"),
+        F.expr(_PMI).alias("pmi"),
+        F.expr(_MI_TERM).alias("mi_term"),
+    )

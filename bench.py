@@ -219,6 +219,7 @@ HEADLINE = [
     "a_theil_sen_monthly",      # pairwise-median robust trend, calendar-bounded
     "w_rolling_corr",           # rolling Pearson from exact window moments
     "ml_spearman_corr",         # rank correlation, aggregate-first tie spans
+    "ml_mutual_info",           # PMI/MI cell grid, quantized ln outputs
 ]
 
 

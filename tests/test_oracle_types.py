@@ -52,3 +52,23 @@ def test_no_hugeint_oracle_outputs(con):
         "oracles emitting HUGEINT/UHUGEINT (driver hash hazard — wrap in "
         f"CAST(... AS BIGINT)): {offenders}"
     )
+
+
+def test_transcendental_oracle_outputs_are_quantized():
+    """ln/exp are transcendental — no IEEE correct-rounding guarantee, and
+    Spark (StrictMath/fdlibm) vs DuckDB (glibc libm) were measured to
+    disagree by 1 ulp (ml_mutual_info's grid, arg 0x3ff2d69b208d768e).
+    Any oracle emitting them must quantize (ROUND(..., n) or a DECIMAL
+    cast) so ulp-level disagreement can't reach the driver's value hash.
+    sqrt and the four arithmetic ops ARE correctly rounded — exempt.
+    """
+    import re
+
+    offenders = []
+    for name, sql in entry.oracle_sql().items():
+        if re.search(r"\b(ln|exp)\s*\(", sql, re.I):
+            if not re.search(r"\bROUND\s*\(|DECIMAL\(\d+,\s*\d+\)", sql, re.I):
+                offenders.append(name)
+    assert not offenders, (
+        f"oracles with unquantized transcendental outputs: {offenders}"
+    )

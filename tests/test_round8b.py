@@ -191,3 +191,30 @@ def test_spearman_no_fact_window(spark):
         "Window" not in plan
     )
     assert "CartesianProduct" not in plan
+
+
+# --- ml_mutual_info ---------------------------------------------------------
+
+
+def test_mutual_info_matches_numpy(spark):
+    rows = _q(spark, "ml_mutual_info").collect()
+    assert len(rows) == 25
+    li = spark.read.parquet(f"{SF}/orders.parquet")
+    cu = spark.read.parquet(f"{SF}/customer.parquet")
+    pdf = li.join(cu, li.o_custkey == cu.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri")
+    ).toPandas()
+    n = len(pdf)
+    joint = pdf.groupby(["seg", "pri"]).size()
+    ni = pdf.groupby("seg").size()
+    nj = pdf.groupby("pri").size()
+    total_mi = 0.0
+    for r in rows:
+        nij = joint[(r["seg"], r["pri"])]
+        assert r["nij"] == nij
+        pmi = np.log(n * nij / (ni[r["seg"]] * nj[r["pri"]]))
+        np.testing.assert_allclose(r["pmi"], pmi, atol=2e-12)
+        np.testing.assert_allclose(r["mi_term"], (nij / n) * pmi, atol=2e-12)
+        total_mi += r["mi_term"]
+    # MI >= 0 (within the 12-decimal quantization of its 25 terms)
+    assert total_mi >= -25e-12
