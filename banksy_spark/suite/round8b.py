@@ -153,7 +153,7 @@ _TS_SLOPE = (
              CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS q,
              CAST(COUNT(*) AS BIGINT) AS c
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-      WHERE p.p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+      WHERE p.p_brand IN ('Brand#11', 'Brand#22', 'Brand#3')
       GROUP BY 1, 2, 3
     ), pairs AS (
       SELECT a.brand, a.mon,
@@ -194,7 +194,7 @@ def a_theil_sen_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
     daily = (
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
-        .filter(F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33"))
+        .filter(F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#3"))
         .groupBy(
             F.col("p_brand").alias("brand"),
             F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias(
@@ -270,7 +270,7 @@ _CORR7 = (
              CAST(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
                AS BIGINT) AS DECIMAL(38,0)) AS y
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-      WHERE p.p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+      WHERE p.p_brand IN ('Brand#11', 'Brand#22', 'Brand#3')
       GROUP BY 1, 2
     ), winmom AS (
       SELECT brand, day, x, y,
@@ -310,7 +310,7 @@ def w_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
     daily = (
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
-        .filter(F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33"))
+        .filter(F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#3"))
         .groupBy(
             F.col("p_brand").alias("brand"),
             F.col("l_shipdate").cast("date").alias("day"),
@@ -505,3 +505,106 @@ def ml_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_PMI).alias("pmi"),
         F.expr(_MI_TERM).alias("mi_term"),
     )
+
+
+# Kendall tau-b from exact integer pair counts.  sign() on exact
+# bigint differences gives concordant/discordant/tie classes; the
+# normalization n0-n1 / n0-n2 terms are exact integers, sqrt IS
+# IEEE-correctly-rounded (unlike ln), so one shared expression text
+# suffices — no quantization needed.
+_TAU_B = (
+    "(CAST(CAST((nc - nd) AS STRING) AS DOUBLE)"
+    " / SQRT(CAST(CAST((n0 - n1) AS STRING) AS DOUBLE)"
+    " * CAST(CAST((n0 - n2) AS STRING) AS DOUBLE)))"
+)
+
+
+@query(
+    "ml_kendall_tau",
+    oracle=f"""
+    WITH daily AS (
+      SELECT p.p_brand AS brand, CAST(l.l_shipdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS x,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand IN ('Brand#11', 'Brand#22', 'Brand#3')
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.brand,
+             sign(b.x - a.x) * sign(b.y - a.y) AS s,
+             CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+      FROM daily a JOIN daily b
+        ON a.brand = b.brand AND a.day < b.day
+    ), cnt AS (
+      SELECT brand,
+             CAST(COUNT(*) AS BIGINT) AS n0,
+             CAST(COUNT(*) FILTER (s > 0) AS BIGINT) AS nc,
+             CAST(COUNT(*) FILTER (s < 0) AS BIGINT) AS nd,
+             CAST(SUM(tx) AS BIGINT) AS n1,
+             CAST(SUM(ty) AS BIGINT) AS n2
+      FROM pairs GROUP BY brand
+    )
+    SELECT brand, n0, nc, nd, {_TAU_B} AS tau_b FROM cnt
+    """,
+    note="Kendall tau-b rank concordance between daily quantity and "
+    "daily revenue per brand — the pair-counting complement of "
+    "ml_spearman_corr (tau weighs HOW OFTEN the series agree, rho "
+    "weighs HOW FAR ranks deviate) with proper tie corrections "
+    "(n1/n2 tied-pair counts in x/y). Every count is an exact integer "
+    "from sign() on exact bigint daily sums; the one float expression "
+    "is a division by sqrt of integer products — sqrt is IEEE-"
+    "correctly-rounded, so no quantization is needed (contrast "
+    "ml_mutual_info's ln). Scale: the fact collapses to the calendar-"
+    "bounded daily directory first, so the O(days^2) pair join is "
+    "priced by the calendar (~3M pairs per brand for a 7-year span) "
+    "at ANY corpus size; the directory self-join broadcasts.",
+)
+def ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity", "l_extendedprice"
+    )
+    pt = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    daily = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .filter(F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#3"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_shipdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.round("l_quantity", 0).cast("bigint")).alias("x"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+            .alias("y"),
+        )
+    )
+    a = daily.select(
+        "brand", F.col("day").alias("d1"), F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+    )
+    b = daily.select(
+        "brand", F.col("day").alias("d2"), F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), "brand")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "brand",
+            (
+                F.signum((F.col("x2") - F.col("x1")).cast("double"))
+                * F.signum((F.col("y2") - F.col("y1")).cast("double"))
+            ).alias("s"),
+            F.when(F.col("x1") == F.col("x2"), 1).otherwise(0).alias("tx"),
+            F.when(F.col("y1") == F.col("y2"), 1).otherwise(0).alias("ty"),
+        )
+    )
+    cnt = pairs.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count(F.when(F.col("s") > 0, 1)).alias("nc"),
+        F.count(F.when(F.col("s") < 0, 1)).alias("nd"),
+        F.sum("tx").cast("bigint").alias("n1"),
+        F.sum("ty").cast("bigint").alias("n2"),
+    )
+    return cnt.select("brand", "n0", "nc", "nd", F.expr(_TAU_B).alias("tau_b"))

@@ -220,6 +220,7 @@ HEADLINE = [
     "w_rolling_corr",           # rolling Pearson from exact window moments
     "ml_spearman_corr",         # rank correlation, aggregate-first tie spans
     "ml_mutual_info",           # PMI/MI cell grid, quantized ln outputs
+    "ml_kendall_tau",           # tau-b from exact pair-sign counts
 ]
 
 

@@ -74,7 +74,7 @@ def test_theil_sen_matches_numpy_pairwise_median(spark):
     pt = spark.read.parquet(f"{SF}/part.parquet")
     daily = (
         li.join(pt, li.l_partkey == pt.p_partkey)
-        .filter(F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33"))
+        .filter(F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#3"))
         .groupBy(
             F.col("p_brand").alias("brand"),
             F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias(
@@ -218,3 +218,40 @@ def test_mutual_info_matches_numpy(spark):
         total_mi += r["mi_term"]
     # MI >= 0 (within the 12-decimal quantization of its 25 terms)
     assert total_mi >= -25e-12
+
+
+# --- ml_kendall_tau ---------------------------------------------------------
+
+
+def test_kendall_tau_matches_numpy(spark):
+    rows = {r["brand"]: r for r in _q(spark, "ml_kendall_tau").collect()}
+    assert len(rows) == 3
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    pt = spark.read.parquet(f"{SF}/part.parquet")
+    daily = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .filter(F.col("p_brand") == "Brand#11")
+        .groupBy(F.col("l_shipdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round("l_quantity", 0).cast("bigint")).alias("x"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+            ).alias("y"),
+        )
+        .toPandas()
+    )
+    x = daily.x.to_numpy(np.int64)
+    y = daily.y.to_numpy(np.int64)
+    n = len(x)
+    dx = np.sign(x[None, :] - x[:, None])
+    dy = np.sign(y[None, :] - y[:, None])
+    iu = np.triu_indices(n, 1)
+    s = dx[iu] * dy[iu]
+    nc, nd = int((s > 0).sum()), int((s < 0).sum())
+    n0 = n * (n - 1) // 2
+    n1 = int((dx[iu] == 0).sum())
+    n2 = int((dy[iu] == 0).sum())
+    tau = (nc - nd) / np.sqrt(float(n0 - n1) * float(n0 - n2))
+    r = rows["Brand#11"]
+    assert (r["n0"], r["nc"], r["nd"]) == (n0, nc, nd)
+    np.testing.assert_allclose(r["tau_b"], tau, rtol=1e-12)
