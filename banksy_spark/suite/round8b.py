@@ -608,3 +608,119 @@ def ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ty").cast("bigint").alias("n2"),
     )
     return cnt.select("brand", "n0", "nc", "nd", F.expr(_TAU_B).alias("tau_b"))
+
+
+# SPRT constants precomputed HERE and embedded as decimal literals in
+# BOTH engines' expression texts: the only transcendentals (ln of the
+# two likelihood ratios and of the error-bound ratio) run once in
+# Python at import, so query-time arithmetic is pure IEEE mult/add —
+# no engine-libm 1-ulp hazard (contrast ml_mutual_info) and no
+# quantization needed.
+import math as _math
+
+_SPRT_P0, _SPRT_P1 = 0.15, 0.25  # H0 / H1 conversion rates
+
+
+def _dlit(x: float) -> str:
+    # a BARE decimal literal parses as DECIMAL in both Spark and DuckDB
+    # (different precisions!) — route through a string cast so both
+    # engines bind the exact same IEEE double
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+_SPRT_L1 = _dlit(_math.log(_SPRT_P1 / _SPRT_P0))          # per-success LLR
+_SPRT_L0 = _dlit(_math.log((1 - _SPRT_P1) / (1 - _SPRT_P0)))  # per-failure LLR
+_SPRT_A = _dlit(_math.log(0.95 / 0.05))   # accept H1 at alpha=beta=0.05
+_SPRT_B = _dlit(_math.log(0.05 / 0.95))   # accept H0
+_SPRT_LLR = f"(k * {_SPRT_L1} + (rn - k) * {_SPRT_L0})"
+
+
+@query(
+    "ml_sprt_sequential",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(ts AS DATE) AS day, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+      FROM events
+    ), r AS (
+      SELECT day,
+             ROW_NUMBER() OVER w AS rn,
+             CAST(SUM(p) OVER w AS BIGINT) AS k
+      FROM ev
+      WINDOW w AS (PARTITION BY day ORDER BY ts, event_id)
+    ), l AS (
+      SELECT day, rn, k, {_SPRT_LLR} AS llr FROM r
+    ), dec AS (
+      SELECT day, MIN(rn) AS n_dec
+      FROM l WHERE llr >= {_SPRT_A} OR llr <= {_SPRT_B}
+      GROUP BY day
+    ), tot AS (
+      SELECT day, CAST(MAX(rn) AS BIGINT) AS n_trials,
+             CAST(MAX(k) AS BIGINT) AS n_success
+      FROM l GROUP BY day
+    )
+    SELECT t.day, t.n_trials, t.n_success,
+           CAST(d.n_dec AS BIGINT) AS n_at_decision,
+           ld.llr AS llr_at_decision,
+           CASE WHEN ld.llr >= {_SPRT_A} THEN 'accept_h1'
+                WHEN ld.llr <= {_SPRT_B} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM tot t
+    LEFT JOIN dec d ON d.day = t.day
+    LEFT JOIN l ld ON ld.day = t.day AND ld.rn = d.n_dec
+    """,
+    note="Wald's sequential probability ratio test per day: is the "
+    "purchase rate p1=0.25 (accept) or p0=0.15 (reject) at "
+    "alpha=beta=0.05 — the early-stopping A/B monitor that decides "
+    "mid-stream instead of at a fixed n. The running LLR is "
+    "k*ln(p1/p0) + (n-k)*ln(q1/q0) with the ln factors precomputed in "
+    "Python and embedded as shared double literals, so query-time "
+    "work is integer window counts and IEEE mult/add — bit-exact "
+    "across engines by construction. Days are FEW HUGE groups, so the "
+    "running count rides operators/ordinals.py grouped_ordinals (no "
+    "single-partition day window at any scale); the first-crossing "
+    "pick is a min-struct aggregate, not a second window.",
+)
+def ml_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.operators.ordinals import grouped_ordinals
+
+    ev = T(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("p"),
+    )
+    r = grouped_ordinals(
+        ev, ["day"], ["ts", "event_id"], row_number="rn", cumsum=[("p", "k")]
+    ).select("day", "rn", F.col("k").cast("bigint").alias("k"))
+    l = r.withColumn("llr", F.expr(_SPRT_LLR))
+    a_thr = F.expr(_SPRT_A)
+    b_thr = F.expr(_SPRT_B)
+    crossed = (
+        l.filter((F.col("llr") >= a_thr) | (F.col("llr") <= b_thr))
+        .groupBy("day")
+        .agg(F.min(F.struct("rn", "llr")).alias("m"))
+        .select(
+            "day",
+            F.col("m.rn").cast("bigint").alias("n_at_decision"),
+            F.col("m.llr").alias("llr_at_decision"),
+        )
+    )
+    tot = l.groupBy("day").agg(
+        F.max("rn").cast("bigint").alias("n_trials"),
+        F.max("k").cast("bigint").alias("n_success"),
+    )
+    out = tot.join(crossed, "day", "left")
+    decision = (
+        F.when(F.col("llr_at_decision") >= F.expr(_SPRT_A), "accept_h1")
+        .when(F.col("llr_at_decision") <= F.expr(_SPRT_B), "accept_h0")
+        .otherwise("continue")
+    )
+    return out.select(
+        "day",
+        "n_trials",
+        "n_success",
+        "n_at_decision",
+        "llr_at_decision",
+        decision.alias("decision"),
+    )

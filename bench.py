@@ -221,6 +221,7 @@ HEADLINE = [
     "ml_spearman_corr",         # rank correlation, aggregate-first tie spans
     "ml_mutual_info",           # PMI/MI cell grid, quantized ln outputs
     "ml_kendall_tau",           # tau-b from exact pair-sign counts
+    "ml_sprt_sequential",       # Wald SPRT early-stopping per day
 ]
 
 

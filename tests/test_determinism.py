@@ -56,6 +56,9 @@ PROBES = [
     # near-unique value histogram's bucketed ordinal pass
     "a_theil_sen_monthly",
     "ml_spearman_corr",
+    # first-crossing pick over a grouped running LLR (min-struct agg
+    # over an ordinal cumsum — both must be split-invariant)
+    "ml_sprt_sequential",
 ]
 
 

@@ -255,3 +255,47 @@ def test_kendall_tau_matches_numpy(spark):
     r = rows["Brand#11"]
     assert (r["n0"], r["nc"], r["nd"]) == (n0, nc, nd)
     np.testing.assert_allclose(r["tau_b"], tau, rtol=1e-12)
+
+
+# --- ml_sprt_sequential -----------------------------------------------------
+
+
+def test_sprt_matches_python_replay(spark):
+    import math
+
+    rows = {r["day"]: r for r in _q(spark, "ml_sprt_sequential").collect()}
+    assert rows
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_id",
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("p"),
+        )
+        .toPandas()
+    )
+    l1 = math.log(0.25 / 0.15)
+    l0 = math.log(0.75 / 0.85)
+    a = math.log(0.95 / 0.05)
+    b = math.log(0.05 / 0.95)
+    ev["day"] = ev.ts.dt.date
+    n_decided = 0
+    for day, g in ev.groupby("day"):
+        g = g.sort_values(["ts", "event_id"])
+        k = 0
+        n_dec = llr_dec = None
+        for n, p in enumerate(g.p, start=1):
+            k += p
+            llr = k * l1 + (n - k) * l0
+            if n_dec is None and (llr >= a or llr <= b):
+                n_dec, llr_dec = n, llr
+        r = rows[day]
+        assert r["n_trials"] == len(g) and r["n_success"] == k
+        if n_dec is None:
+            assert r["decision"] == "continue" and r["n_at_decision"] is None
+        else:
+            assert r["n_at_decision"] == n_dec
+            np.testing.assert_allclose(r["llr_at_decision"], llr_dec, rtol=1e-12)
+            assert r["decision"] == ("accept_h1" if llr_dec >= a else "accept_h0")
+            n_decided += 1
+    assert n_decided >= 5  # the 20% true rate decides most days
