@@ -411,17 +411,25 @@ def ml_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
     )
     dec = "decimal(38,0)"
-
-    def rank_map(col: str, out: str) -> DataFrame:
-        h = li.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
-        r = global_ordinals(h, [col], cumsum=[("c", "cum")])
-        return r.select(
-            col, (2 * F.col("cum") - F.col("c") + 1).cast(dec).alias(out)
-        )
-
-    mx = rank_map("x", "a")  # <= |distinct quantities| rows: broadcast
-    my = rank_map("y", "b")  # near-unique prices: keyed shuffle join
-    j = li.join(F.broadcast(mx), "x").join(my, "y")
+    # y (near-unique): one bucketed global row_number over the FACT —
+    # within-tie order is arbitrary, but min+max over the y tie group
+    # is order-invariant, so the doubled tie-averaged rank is exact.
+    # This replaces histogram + 600k-row ordinal + fact join-back with
+    # one ordinal pass + one keyed window (measured 4.3 -> 3.2 s at
+    # sf0.1; at 100 TB it drops a fact-sized shuffle-join side).
+    r = global_ordinals(li, ["y"], row_number="rn")
+    wy = Window.partitionBy("y")
+    withb = r.withColumn(
+        "b", (F.min("rn").over(wy) + F.max("rn").over(wy)).cast(dec)
+    )
+    # x (~50 distinct quantities): tiny histogram -> literal-map
+    # ordinal cumsum -> broadcast rank map
+    hx = li.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
+    rx = global_ordinals(hx, ["x"], cumsum=[("c", "cum")])
+    mx = rx.select(
+        "x", (2 * F.col("cum") - F.col("c") + 1).cast(dec).alias("a")
+    )
+    j = withb.join(F.broadcast(mx), "x")
     a, b = F.col("a"), F.col("b")
     mom = j.agg(
         F.count(F.lit(1)).cast(dec).alias("n"),
