@@ -21,6 +21,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 _OUT_SCHEMA = "user_id bigint, event_id bigint, day string, nth_today int"
@@ -133,6 +134,102 @@ def rate_limit_stateful(events: DataFrame, max_per_day: int = 3) -> DataFrame:
         _make_limiter(max_per_day),
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- SPRT experiment monitor -------------------------------------------------
+
+_SPRT_OUT_SCHEMA = (
+    "day string, n_at_decision bigint, k_at_decision bigint, "
+    "llr double, decision string"
+)
+_SPRT_STATE_SCHEMA = "n bigint, k bigint, decided boolean"
+
+
+def _make_sprt(p0: float, p1: float, alpha: float, beta: float):
+    """Per-day Wald SPRT fold: state carries (trials, successes,
+    decided); the decision row is emitted exactly once, in the
+    micro-batch whose events push the running LLR across a boundary.
+    Same LLR algebra as the oracle-checked batch twin
+    (suite/round8b.py:ml_sprt_sequential): the ln factors are computed
+    HERE once and closed over, so stream and batch use the identical
+    IEEE constants."""
+    import math
+
+    l1 = math.log(p1 / p0)
+    l0 = math.log((1 - p1) / (1 - p0))
+    a = math.log((1 - beta) / alpha)
+    b = math.log(beta / (1 - alpha))
+
+    def _fold(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        n0, k0, decided = state.get if state.exists else (0, 0, False)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            # chunk arrival order within a batch is arbitrary — restore
+            # event-time order before folding (cross-batch order is the
+            # ingestion contract, as for every streaming fold here)
+            pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+            p = (pdf["event_type"] == "purchase").to_numpy(np.int64)
+            k = k0 + np.cumsum(p)
+            n = n0 + np.arange(1, len(p) + 1, dtype=np.int64)
+            if not decided:
+                llr = k * l1 + (n - k) * l0
+                crossed = (llr >= a) | (llr <= b)
+                if crossed.any():
+                    i = int(np.argmax(crossed))
+                    decided = True
+                    yield pd.DataFrame(
+                        {
+                            "day": [key[0]],
+                            "n_at_decision": [int(n[i])],
+                            "k_at_decision": [int(k[i])],
+                            "llr": [float(llr[i])],
+                            "decision": [
+                                "accept_h1" if llr[i] >= a else "accept_h0"
+                            ],
+                        }
+                    )
+            n0, k0 = int(n[-1]), int(k[-1])
+        state.update((n0, k0, decided))
+
+    return _fold
+
+
+def sprt_monitor_stateful(
+    events: DataFrame,
+    p0: float = 0.15,
+    p1: float = 0.25,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Streaming Wald SPRT per day: the early-stopping experiment
+    monitor that fires its accept/reject decision the moment the
+    running purchase-rate LLR crosses a Wald boundary — no waiting for
+    the day to close. State is one (n, k, decided) triple per day;
+    decided days keep counting but never re-emit.
+
+    Batch twin: ``ml_sprt_sequential`` (oracle-checked); the parity
+    test replays the same events through both paths.
+    """
+    keyed = events.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "ts",
+        "event_id",
+        "event_type",
+    )
+    return keyed.groupBy("day").applyInPandasWithState(
+        _make_sprt(p0, p1, alpha, beta),
+        outputStructType=_SPRT_OUT_SCHEMA,
+        stateStructType=_SPRT_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

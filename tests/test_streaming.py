@@ -742,3 +742,57 @@ def test_scan_app_stream_equals_batch_with_replay(spark, tmp_path):
     assert sent == 0
     assert posts_s == posts_b
     assert state(state_s) == before
+
+
+def test_stateful_sprt_equals_batch_twin_across_batches(spark, tmp_path):
+    """The streaming SPRT monitor fires the SAME decisions at the SAME
+    trial counts as the oracle-checked batch query, with the event file
+    split into two time-ordered chunks so state must carry across
+    micro-batches (maxFilesPerTrigger=1)."""
+    from banksy_spark.streaming.stateful import sprt_monitor_stateful
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).first()[0]
+    src = tmp_path / "sprt_in"
+    src.mkdir()
+    # two chunks in event-time order: earlier half then later half
+    ev.filter(F.col("ts") <= cut).coalesce(1).write.parquet(str(src / "a"))
+    ev.filter(F.col("ts") > cut).coalesce(1).write.parquet(str(src / "b"))
+    import shutil
+
+    for sub, name in (("a", "0_first.parquet"), ("b", "1_second.parquet")):
+        part = next((src / sub).glob("part-*.parquet"))
+        shutil.move(str(part), str(src / name))
+        shutil.rmtree(src / sub)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sprt_monitor_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("sprt_mon")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sprt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish in time"
+    got = {
+        r.day: (r.n_at_decision, r.k_at_decision, r.decision)
+        for r in spark.sql("SELECT * FROM sprt_mon").collect()
+    }
+    from banksy_spark.suite import REGISTRY
+
+    batch = REGISTRY["ml_sprt_sequential"].fn(spark, SF_SMOKE)
+    want = {
+        str(r.day): (r.n_at_decision, r.decision)
+        for r in batch.filter(F.col("decision") != "continue").collect()
+    }
+    assert set(got) == set(want) and len(want) >= 5
+    for day, (n_dec, k_dec, decision) in got.items():
+        assert want[day] == (n_dec, decision)
+        # the streaming k is internally consistent with its own n
+        assert 0 <= k_dec <= n_dec
