@@ -732,3 +732,141 @@ def ml_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         "llr_at_decision",
         decision.alias("decision"),
     )
+
+
+# BLEU-2 combination: p1/p2 are exact integer ratios double-divided
+# once; sqrt and multiply are IEEE-correctly-rounded; the one
+# transcendental (the brevity penalty's exp, taken only when the
+# candidate is shorter than the reference) forces the ROUND(..., 12)
+# quantization the oracle-type lint demands.
+_BLEU2 = (
+    "(CASE WHEN clip1 > 0 AND clip2 > 0 THEN ROUND("
+    "  (CASE WHEN n_tok >= r_tok THEN CAST(1.0 AS DOUBLE)"
+    "   ELSE exp(CAST(1.0 AS DOUBLE) - CAST(r_tok AS DOUBLE) / n_tok) END)"
+    "  * SQRT((CAST(clip1 AS DOUBLE) / n_tok)"
+    "         * (CAST(clip2 AS DOUBLE) / (n_tok - 1))), 12)"
+    " ELSE CAST(0.0 AS DOUBLE) END)"
+)
+
+
+@query(
+    "llm_self_bleu",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ), pairs AS (
+      SELECT doc_id,
+             LEAD(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS ref_id
+      FROM d
+    ), lens AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n FROM d
+    ), uc AS (
+      SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(w) AS g FROM d) GROUP BY 1, 2
+    ), bc AS (
+      SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(w)),
+                                         i -> w[i] || ' ' || w[i + 1])) AS g
+            FROM d) GROUP BY 1, 2
+    ), clips1 AS (
+      SELECT p.doc_id, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS clip1
+      FROM pairs p
+      JOIN uc a ON a.doc_id = p.doc_id
+      JOIN uc b ON b.doc_id = p.ref_id AND b.g = a.g
+      GROUP BY 1
+    ), clips2 AS (
+      SELECT p.doc_id, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS clip2
+      FROM pairs p
+      JOIN bc a ON a.doc_id = p.doc_id
+      JOIN bc b ON b.doc_id = p.ref_id AND b.g = a.g
+      GROUP BY 1
+    )
+    SELECT p.doc_id, p.ref_id,
+           la.n AS n_tok, lr.n AS r_tok,
+           COALESCE(c1.clip1, 0) AS clip1,
+           COALESCE(c2.clip2, 0) AS clip2,
+           {_BLEU2.replace("clip1", "COALESCE(c1.clip1, 0)").replace("clip2", "COALESCE(c2.clip2, 0)").replace("n_tok", "la.n").replace("r_tok", "lr.n")} AS bleu2
+    FROM pairs p
+    JOIN lens la ON la.doc_id = p.doc_id
+    JOIN lens lr ON lr.doc_id = p.ref_id
+    LEFT JOIN clips1 c1 ON c1.doc_id = p.doc_id
+    LEFT JOIN clips2 c2 ON c2.doc_id = p.doc_id
+    WHERE p.ref_id IS NOT NULL
+    """,
+    note="Corpus-diversity self-BLEU: BLEU-2 (clipped unigram+bigram "
+    "precision, geometric mean, brevity penalty) of each document "
+    "against the next document in its language — the generation-"
+    "literature diversity metric (low self-BLEU = diverse corpus) and "
+    "the precision-style complement of the Jaccard/containment dedup "
+    "scores. Clipped counts are exact integer min-sums from per-doc "
+    "gram histograms joined per pair; p1/p2 are single double "
+    "divisions; sqrt is correctly rounded; the brevity exp is the one "
+    "transcendental, so bleu2 is quantized to 12 decimals per the "
+    "oracle-type lint. Scale: per-doc gram counts are computed ONCE "
+    "(each doc joins as candidate and reference), pair joins are "
+    "gram-keyed and linear in corpus token count — never all-pairs; "
+    "the pairing window is keyed by lang.",
+)
+def llm_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("w")
+    )
+    pairs = d.select(
+        "doc_id",
+        F.lead("doc_id").over(
+            Window.partitionBy("lang").orderBy("doc_id")
+        ).alias("ref_id"),
+    ).filter(F.col("ref_id").isNotNull())
+    lens = d.select("doc_id", F.size("w").cast("bigint").alias("n"))
+    uc = (
+        d.select("doc_id", F.explode("w").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bigrams = F.expr(
+        "CASE WHEN size(w) >= 2 THEN"
+        " transform(sequence(0, size(w) - 2), i -> w[i] || ' ' || w[i + 1])"
+        " ELSE array() END"
+    )
+    bc = (
+        d.select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def clip(counts: DataFrame, out: str) -> DataFrame:
+        a = counts.select(
+            F.col("doc_id").alias("doc_id"), "g", F.col("c").alias("ca")
+        )
+        b = counts.select(
+            F.col("doc_id").alias("ref_id"), "g", F.col("c").alias("cb")
+        )
+        return (
+            pairs.join(a, "doc_id")
+            .join(b, ["ref_id", "g"])
+            .groupBy("doc_id")
+            .agg(F.sum(F.least("ca", "cb")).cast("bigint").alias(out))
+        )
+
+    out = (
+        pairs.join(lens.withColumnRenamed("n", "n_tok"), "doc_id")
+        .join(
+            lens.select(
+                F.col("doc_id").alias("ref_id"), F.col("n").alias("r_tok")
+            ),
+            "ref_id",
+        )
+        .join(clip(uc, "clip1"), "doc_id", "left")
+        .join(clip(bc, "clip2"), "doc_id", "left")
+        .fillna(0, subset=["clip1", "clip2"])
+    )
+    return out.select(
+        "doc_id",
+        "ref_id",
+        "n_tok",
+        "r_tok",
+        "clip1",
+        "clip2",
+        F.expr(_BLEU2).alias("bleu2"),
+    )

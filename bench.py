@@ -222,6 +222,7 @@ HEADLINE = [
     "ml_mutual_info",           # PMI/MI cell grid, quantized ln outputs
     "ml_kendall_tau",           # tau-b from exact pair-sign counts
     "ml_sprt_sequential",       # Wald SPRT early-stopping per day
+    "llm_self_bleu",            # corpus-diversity BLEU-2 over doc pairs
 ]
 
 

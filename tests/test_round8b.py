@@ -299,3 +299,56 @@ def test_sprt_matches_python_replay(spark):
             assert r["decision"] == ("accept_h1" if llr_dec >= a else "accept_h0")
             n_decided += 1
     assert n_decided >= 5  # the 20% true rate decides most days
+
+
+# --- llm_self_bleu ----------------------------------------------------------
+
+
+def test_self_bleu_matches_python_replay(spark):
+    import math
+    from collections import Counter
+
+    rows = {r["doc_id"]: r for r in _q(spark, "llm_self_bleu").collect()}
+    assert rows
+    docs = {
+        r["doc_id"]: (r["lang"], r["text"].split(" "))
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    # rebuild the consecutive-by-lang pairing
+    by_lang: dict = {}
+    for did in sorted(docs):
+        by_lang.setdefault(docs[did][0], []).append(did)
+    n_checked = 0
+    for lang, ids in by_lang.items():
+        for a_id, b_id in zip(ids, ids[1:]):
+            wa, wb = docs[a_id][1], docs[b_id][1]
+            r = rows[a_id]
+            assert r["ref_id"] == b_id
+            assert (r["n_tok"], r["r_tok"]) == (len(wa), len(wb))
+            c1 = sum(
+                min(c, Counter(wb)[g]) for g, c in Counter(wa).items()
+            )
+            big = lambda w: [f"{x} {y}" for x, y in zip(w, w[1:])]
+            c2 = sum(
+                min(c, Counter(big(wb))[g])
+                for g, c in Counter(big(wa)).items()
+            )
+            assert (r["clip1"], r["clip2"]) == (c1, c2)
+            if c1 > 0 and c2 > 0:
+                bp = (
+                    1.0
+                    if len(wa) >= len(wb)
+                    else math.exp(1.0 - len(wb) / len(wa))
+                )
+                bleu = bp * math.sqrt(
+                    (c1 / len(wa)) * (c2 / (len(wa) - 1))
+                )
+                np.testing.assert_allclose(r["bleu2"], bleu, atol=1e-11)
+            else:
+                assert r["bleu2"] == 0.0
+            n_checked += 1
+            if n_checked >= 60:
+                break
+        if n_checked >= 60:
+            break
+    assert n_checked >= 60
