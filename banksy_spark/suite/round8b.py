@@ -1,8 +1,10 @@
 """Round-8 close additions: one-pass model fitting and robust trends.
 
-Three statistics the reference's analytics layer gestures at (rolling
-diagnostics over odds series, e.g. arbitrage_scanner.py:210-260's
-margin trend checks) generalized to engine primitives:
+Statistics extending the reference's analytics layer (its margin
+arithmetic stops at per-game max-payout sums and stake splits,
+arbitrage_scanner.py:269-293, 360-378 — no trend/fit/dependence
+diagnostics exist there) into the model-fitting and robust-trend
+primitives a monitoring deployment of the same pipeline would need:
 
 * ``ml_linreg_normal`` — multi-feature OLS fitted in ONE distributed
   pass: the Gram matrix / normal equations as map-side-combinable
@@ -292,8 +294,9 @@ _CORR7 = (
     note="Rolling 7-observation Pearson correlation between daily "
     "quantity and daily revenue per brand — the bivariate member of "
     "the bollinger/ewma/control-chart rolling-diagnostic family "
-    "(reference analog: margin-vs-volume drift checks over odds "
-    "series, arbitrage_scanner.py:210-260). All five window moments "
+    "(an extension: the reference computes per-game margins, "
+    "arbitrage_scanner.py:360-378, but has no cross-series "
+    "diagnostics). All five window moments "
     "(sx, sy, sxx, syy, sxy) are exact integer DECIMAL sums over the "
     "ROWS 6-PRECEDING frame (squares overflow bigint past sf10, hence "
     "DECIMAL(38,0)); the r formula runs once on STRING-routed doubles, "
