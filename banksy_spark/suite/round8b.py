@@ -707,21 +707,27 @@ def ml_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = r.withColumn("llr", F.expr(_SPRT_LLR))
     a_thr = F.expr(_SPRT_A)
     b_thr = F.expr(_SPRT_B)
-    crossed = (
-        l.filter((F.col("llr") >= a_thr) | (F.col("llr") <= b_thr))
-        .groupBy("day")
-        .agg(F.min(F.struct("rn", "llr")).alias("m"))
+    # ONE aggregate carries both the totals and the first-crossing pick:
+    # min() skips the NULL structs of non-crossing rows, so the
+    # conditional min IS the earliest boundary crossing — no second
+    # window, no re-execution of the ordinal lineage for a second
+    # aggregate branch, no tot-vs-crossed join.
+    cross = (F.col("llr") >= a_thr) | (F.col("llr") <= b_thr)
+    out = (
+        l.groupBy("day")
+        .agg(
+            F.max("rn").cast("bigint").alias("n_trials"),
+            F.max("k").cast("bigint").alias("n_success"),
+            F.min(F.when(cross, F.struct("rn", "llr"))).alias("m"),
+        )
         .select(
             "day",
+            "n_trials",
+            "n_success",
             F.col("m.rn").cast("bigint").alias("n_at_decision"),
             F.col("m.llr").alias("llr_at_decision"),
         )
     )
-    tot = l.groupBy("day").agg(
-        F.max("rn").cast("bigint").alias("n_trials"),
-        F.max("k").cast("bigint").alias("n_success"),
-    )
-    out = tot.join(crossed, "day", "left")
     decision = (
         F.when(F.col("llr_at_decision") >= F.expr(_SPRT_A), "accept_h1")
         .when(F.col("llr_at_decision") <= F.expr(_SPRT_B), "accept_h0")
