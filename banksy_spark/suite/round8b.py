@@ -500,6 +500,11 @@ def ml_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("seg", "pri")
         .agg(F.count(F.lit(1)).alias("nij"))
+        # the |seg|x|pri| grid (25 rows) feeds THREE re-aggregations
+        # (both marginals + the total) and the final select — without
+        # materialization each branch re-executes the fact join+agg,
+        # turning one corpus pass into four
+        .localCheckpoint()
     )
     m_seg = joint.groupBy("seg").agg(F.sum("nij").alias("ni"))
     m_pri = joint.groupBy("pri").agg(F.sum("nij").alias("nj"))
