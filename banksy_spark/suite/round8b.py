@@ -208,6 +208,9 @@ def a_theil_sen_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round("l_quantity", 0).cast("bigint")).alias("q"),
             F.count(F.lit(1)).alias("c"),
         )
+        # the calendar-bounded directory feeds BOTH self-join sides:
+        # materialize once or each side re-executes the fact aggregate
+        .localCheckpoint()
     )
     a = daily.select(
         "brand",
@@ -594,6 +597,8 @@ def ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
             .alias("y"),
         )
+        # same materialize-once rule as a_theil_sen_monthly's directory
+        .localCheckpoint()
     )
     a = daily.select(
         "brand", F.col("day").alias("d1"), F.col("x").alias("x1"),
