@@ -837,11 +837,16 @@ def llm_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("lang").orderBy("doc_id")
         ).alias("ref_id"),
     ).filter(F.col("ref_id").isNotNull())
-    lens = d.select("doc_id", F.size("w").cast("bigint").alias("n"))
+    # each gram histogram feeds BOTH clip-join sides: persist so the
+    # explode+aggregate runs once per n-gram order, not once per side
+    # (the bench/check harnesses clearCache between queries; measured
+    # 4.9 -> 4.0 s at sf0.1, and at 100 TB the histograms are the
+    # operator's working set — 3 corpus scans total instead of 6)
     uc = (
         d.select("doc_id", F.explode("w").alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     bigrams = F.expr(
         "CASE WHEN size(w) >= 2 THEN"
@@ -852,7 +857,12 @@ def llm_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(bigrams).alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
+    # every token lands in uc (split("") yields [""], never an empty
+    # array), so token length == the persisted histogram's count sum —
+    # no extra document scan for the length table
+    lens = uc.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
 
     def clip(counts: DataFrame, out: str) -> DataFrame:
         a = counts.select(
