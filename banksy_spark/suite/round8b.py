@@ -831,12 +831,24 @@ def llm_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.split("text", " ").alias("w")
     )
-    pairs = d.select(
-        "doc_id",
-        F.lead("doc_id").over(
-            Window.partitionBy("lang").orderBy("doc_id")
-        ).alias("ref_id"),
-    ).filter(F.col("ref_id").isNotNull())
+    # consecutive-by-lang pairing WITHOUT a lang-partitioned window
+    # (languages are FEW huge groups — a plain lead() window sorts each
+    # language on one task at 100 TB): per-lang row numbers ride the
+    # bucketed grouped-ordinals operator, then "next doc" is a keyed
+    # equi-join on (lang, rn+1) over the materialized id directory.
+    from banksy_spark.operators.ordinals import grouped_ordinals
+
+    rnf = grouped_ordinals(
+        d.select("doc_id", "lang"), ["lang"], ["doc_id"], row_number="rn"
+    ).localCheckpoint()
+    pairs = rnf.join(
+        rnf.select(
+            "lang",
+            (F.col("rn") - 1).alias("rn"),
+            F.col("doc_id").alias("ref_id"),
+        ),
+        ["lang", "rn"],
+    ).select("doc_id", "ref_id")
     # each gram histogram feeds BOTH clip-join sides: persist so the
     # explode+aggregate runs once per n-gram order, not once per side
     # (the bench/check harnesses clearCache between queries; measured
