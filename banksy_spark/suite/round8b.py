@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from banksy_spark.suite.llm import _CENT_DUCK, _DOT_DUCK, _NORM_DUCK
 from banksy_spark.suite.registry import T, query
 
 # Cramer's rule for the 3x3 normal equations [[n,s1,s2],[s1,s11,s12],
@@ -910,4 +911,130 @@ def llm_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clip1",
         "clip2",
         F.expr(_BLEU2).alias("bleu2"),
+    )
+
+
+# NDCG position discounts 1/log2(i+1): the only transcendental is in
+# these CONSTANTS, so they are computed once here and embedded as
+# string-cast double literals (the SPRT pattern) — query-time work is
+# integer gains times fixed doubles in a FIXED-ORDER expression (the
+# three positions are pivoted to columns; a SUM() over rows would
+# accumulate in engine-dependent order).
+_D1 = _dlit(1.0)
+_D2 = _dlit(1.0 / _math.log2(3.0))
+_D3 = _dlit(0.5)
+_DCG = f"(r1 * {_D1} + r2 * {_D2} + r3 * {_D3})"
+_IDCG = f"(t1 * {_D1} + t2 * {_D2} + t3 * {_D3})"
+
+
+@query(
+    "llm_ann_ndcg",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, label, v, {_NORM_DUCK.format(v='v')} AS nrm FROM e),
+    bf AS (
+      SELECT qid, neighbor_id, rnk FROM (
+        SELECT q.qid, n.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 {_DOT_DUCK.format(a='q.qv', b='n.v')} / (q.qn * n.nrm) DESC, n.vec_id) AS rnk
+        FROM (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 8) q
+        JOIN n ON n.vec_id <> q.qid
+      ) WHERE rnk <= 3
+    ),
+    {_CENT_DUCK},
+    ivf AS (
+      SELECT qid, neighbor_id, rnk FROM (
+        SELECT q.vec_id AS qid, a.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 {_DOT_DUCK.format(a='q.v', b='a.v')} / (q.nrm * a.nrm) DESC, a.vec_id) AS rnk
+        FROM (SELECT * FROM assigned WHERE vec_id < 8) q
+        JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.vec_id
+      ) WHERE rnk <= 3
+    ),
+    graded AS (
+      SELECT i.qid, i.rnk AS pos,
+             COALESCE(4 - b.rnk, 0) AS rel
+      FROM ivf i LEFT JOIN bf b
+        ON b.qid = i.qid AND b.neighbor_id = i.neighbor_id
+    ),
+    piv AS (
+      SELECT qid,
+             CAST(COALESCE(MAX(CASE WHEN pos = 1 THEN rel END), 0) AS BIGINT) AS r1,
+             CAST(COALESCE(MAX(CASE WHEN pos = 2 THEN rel END), 0) AS BIGINT) AS r2,
+             CAST(COALESCE(MAX(CASE WHEN pos = 3 THEN rel END), 0) AS BIGINT) AS r3
+      FROM graded GROUP BY qid
+    ),
+    ideal AS (
+      SELECT qid,
+             CAST(COALESCE(MAX(CASE WHEN rnk = 1 THEN 3 END), 0) AS BIGINT) AS t1,
+             CAST(COALESCE(MAX(CASE WHEN rnk = 2 THEN 2 END), 0) AS BIGINT) AS t2,
+             CAST(COALESCE(MAX(CASE WHEN rnk = 3 THEN 1 END), 0) AS BIGINT) AS t3
+      FROM bf GROUP BY qid
+    )
+    SELECT p.qid, r1, r2, r3,
+           {_DCG} AS dcg,
+           {_DCG} / {_IDCG} AS ndcg
+    FROM piv p JOIN ideal USING (qid)
+    """,
+    note="NDCG@3 of the IVF (nprobe=1) ranking against the exact "
+    "brute-force truth, with graded relevance rel = 4 - truth_rank — "
+    "the position-aware complement of llm_ann_recall (recall says IF "
+    "the true neighbors were found; NDCG says whether they came back "
+    "in the right ORDER). The log2 position discounts are constants, "
+    "precomputed in Python and embedded as string-cast double "
+    "literals; gains pivot to fixed columns so the DCG sum has ONE "
+    "evaluation order in both engines (a SUM() over position rows "
+    "would accumulate engine-dependently). Scale: rides the bucketed "
+    "ANN scans; the grade join keys on (qid, neighbor_id) over "
+    "per-query top-3 sets.",
+)
+def llm_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.suite.llm import llm_ann_bruteforce, llm_ann_ivf
+
+    bf = (
+        llm_ann_bruteforce(spark, sf_dir)
+        .filter(F.col("rnk") <= 3)
+        .select("qid", "neighbor_id", "rnk")
+    )
+    ivf = llm_ann_ivf(spark, sf_dir).select(
+        "qid", "neighbor_id", F.col("rnk").alias("pos")
+    )
+    graded = ivf.join(
+        bf.select("qid", "neighbor_id", (4 - F.col("rnk")).alias("rel")),
+        ["qid", "neighbor_id"],
+        "left",
+    ).fillna(0, subset=["rel"])
+    piv = graded.groupBy("qid").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("pos") == i, F.col("rel"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"r{i}")
+            for i in (1, 2, 3)
+        ]
+    )
+    ideal = bf.groupBy("qid").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("rnk") == i, F.lit(4 - i))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"t{i}")
+            for i in (1, 2, 3)
+        ]
+    )
+    return (
+        piv.join(ideal, "qid")
+        .select(
+            "qid",
+            "r1",
+            "r2",
+            "r3",
+            F.expr(_DCG).alias("dcg"),
+            (F.expr(_DCG) / F.expr(_IDCG)).alias("ndcg"),
+        )
     )

@@ -223,6 +223,7 @@ HEADLINE = [
     "ml_kendall_tau",           # tau-b from exact pair-sign counts
     "ml_sprt_sequential",       # Wald SPRT early-stopping per day
     "llm_self_bleu",            # corpus-diversity BLEU-2 over doc pairs
+    "llm_ann_ndcg",             # position-aware IVF ranking quality
 ]
 
 

@@ -352,3 +352,46 @@ def test_self_bleu_matches_python_replay(spark):
         if n_checked >= 60:
             break
     assert n_checked >= 60
+
+
+# --- llm_ann_ndcg -----------------------------------------------------------
+
+
+def test_ndcg_matches_python_replay(spark):
+    import math
+
+    got = {r["qid"]: r for r in _q(spark, "llm_ann_ndcg").collect()}
+    assert got
+    from banksy_spark.suite.llm import llm_ann_bruteforce, llm_ann_ivf
+
+    bf = (
+        llm_ann_bruteforce(spark, SF)
+        .filter(F.col("rnk") <= 3)
+        .select("qid", "neighbor_id", "rnk")
+        .collect()
+    )
+    ivf = llm_ann_ivf(spark, SF).select("qid", "neighbor_id", "rnk").collect()
+    truth = {}
+    for r in bf:
+        truth.setdefault(r.qid, {})[r.neighbor_id] = 4 - r.rnk
+    d = [1.0, 1.0 / math.log2(3.0), 0.5]
+    for qid, r in got.items():
+        rels = {x.rnk: truth[qid].get(x.neighbor_id, 0) for x in ivf if x.qid == qid}
+        expect_r = [rels.get(i, 0) for i in (1, 2, 3)]
+        assert [r["r1"], r["r2"], r["r3"]] == expect_r
+        dcg = sum(g * di for g, di in zip(expect_r, d))
+        tgrades = sorted(truth[qid].values(), reverse=True) + [0, 0, 0]
+        idcg = sum(g * di for g, di in zip(tgrades[:3], d))
+        np.testing.assert_allclose(r["dcg"], dcg, rtol=1e-12)
+        np.testing.assert_allclose(r["ndcg"], dcg / idcg, rtol=1e-12)
+        assert 0.0 <= r["ndcg"] <= 1.0 + 1e-12
+
+
+def test_ndcg_perfect_when_recall_perfect_and_ordered(spark):
+    """On the clustered fixture (tools/clustered_embeddings), where
+    single-probe IVF achieves recall 1.0 on most queries, any query
+    whose retrieved set AND order equal the truth must score ndcg=1."""
+    got = _q(spark, "llm_ann_ndcg").collect()
+    perfect = [r for r in got if (r["r1"], r["r2"], r["r3"]) == (3, 2, 1)]
+    for r in perfect:
+        np.testing.assert_allclose(r["ndcg"], 1.0, rtol=1e-12)
