@@ -1038,3 +1038,103 @@ def llm_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr(_DCG) / F.expr(_IDCG)).alias("ndcg"),
         )
     )
+
+
+# Per-dow within-group sum of squares: SS_d = Q_d - S_d^2/C_d, held as
+# (Q_d*C_d - S_d^2)/C_d so the numerator stays an exact DECIMAL and
+# the ONE division is IEEE-deterministic.  The 7 dow terms then sum in
+# a FIXED-ORDER expression (pivoted columns, the llm_ann_ndcg trick) —
+# never a SUM() over rows of doubles.
+_SS_TERM = "(CAST(CAST((q{d} * c{d} - s{d} * s{d}) AS STRING) AS DOUBLE) / c{d})"
+_SS_RESID = " + ".join(
+    f"COALESCE({_SS_TERM.format(d=d)}, CAST(0.0 AS DOUBLE))" for d in range(7)
+)
+_SS_TOT = "(CAST(CAST((qt * ct - st * st) AS STRING) AS DOUBLE) / ct)"
+_STRENGTH = (
+    f"(CASE WHEN {_SS_TOT} > 0"
+    f" THEN CAST(1.0 AS DOUBLE) - ({_SS_RESID}) / {_SS_TOT}"
+    " ELSE NULL END)"
+)
+
+
+@query(
+    "a_seasonal_strength",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS DECIMAL(38,0)) AS x
+      FROM events GROUP BY 1, 2
+    ), dowagg AS (
+      SELECT event_type, CAST(EXTRACT(dow FROM day) AS INT) AS dow,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS c,
+             SUM(x) AS s, SUM(x * x) AS q
+      FROM daily GROUP BY 1, 2
+    ), piv AS (
+      SELECT event_type,
+             {", ".join(f"MAX(CASE WHEN dow = {d} THEN c END) AS c{d}, "
+                        f"MAX(CASE WHEN dow = {d} THEN s END) AS s{d}, "
+                        f"MAX(CASE WHEN dow = {d} THEN q END) AS q{d}"
+                        for d in range(7))},
+             CAST(SUM(c) AS DECIMAL(38,0)) AS ct,
+             CAST(SUM(s) AS DECIMAL(38,0)) AS st,
+             CAST(SUM(q) AS DECIMAL(38,0)) AS qt
+      FROM dowagg GROUP BY event_type
+    )
+    SELECT event_type, CAST(ct AS BIGINT) AS n_days,
+           {_SS_TOT} AS ss_total,
+           ({_SS_RESID}) AS ss_resid,
+           {_STRENGTH} AS seasonal_strength
+    FROM piv
+    """,
+    note="Seasonal strength of the daily revenue series per event type: "
+    "1 - SS_within_dow / SS_total — the variance share explained by the "
+    "day-of-week profile (the STL-lite screen that says whether "
+    "a_seasonal_anomaly's profile model is even warranted). Every "
+    "moment is an exact DECIMAL; each within-dow sum of squares is "
+    "(Q_d*C_d - S_d^2)/C_d with one IEEE division, and the 7 dow terms "
+    "combine in a fixed-order pivoted expression, so both engines "
+    "evaluate the identical float tree — no quantization needed "
+    "(contrast the ln family). Scale: one fact aggregate to the "
+    "calendar-bounded (type, day) grain, one tiny (type, dow) "
+    "re-aggregate, 5 output rows; nothing global, nothing iterative.",
+)
+def a_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "decimal(38,0)"
+    daily = (
+        T(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast(dec)
+            .alias("x")
+        )
+    )
+    dowagg = daily.groupBy(
+        "event_type", (F.dayofweek("day") - 1).cast("int").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast(dec).alias("c"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    aggs = []
+    for d in range(7):
+        for m in ("c", "s", "q"):
+            aggs.append(
+                F.max(F.when(F.col("dow") == d, F.col(m))).alias(f"{m}{d}")
+            )
+    piv = dowagg.groupBy("event_type").agg(
+        *aggs,
+        F.sum("c").cast(dec).alias("ct"),
+        F.sum("s").cast(dec).alias("st"),
+        F.sum("q").cast(dec).alias("qt"),
+    )
+    return piv.select(
+        "event_type",
+        F.col("ct").cast("bigint").alias("n_days"),
+        F.expr(_SS_TOT).alias("ss_total"),
+        F.expr(_SS_RESID).alias("ss_resid"),
+        F.expr(_STRENGTH).alias("seasonal_strength"),
+    )

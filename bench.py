@@ -224,6 +224,7 @@ HEADLINE = [
     "ml_sprt_sequential",       # Wald SPRT early-stopping per day
     "llm_self_bleu",            # corpus-diversity BLEU-2 over doc pairs
     "llm_ann_ndcg",             # position-aware IVF ranking quality
+    "a_seasonal_strength",      # dow-explained variance share, exact moments
 ]
 
 

@@ -395,3 +395,33 @@ def test_ndcg_perfect_when_recall_perfect_and_ordered(spark):
     perfect = [r for r in got if (r["r1"], r["r2"], r["r3"]) == (3, 2, 1)]
     for r in perfect:
         np.testing.assert_allclose(r["ndcg"], 1.0, rtol=1e-12)
+
+
+# --- a_seasonal_strength ----------------------------------------------------
+
+
+def test_seasonal_strength_matches_pandas(spark):
+    rows = {r["event_type"]: r for r in _q(spark, "a_seasonal_strength").collect()}
+    assert len(rows) == 5
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["day"] = ev.ts.dt.date
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    daily = (
+        ev.groupby(["event_type", "day"])["cents"].sum().reset_index(name="x")
+    )
+    daily["dow"] = pd.to_datetime(daily.day).dt.dayofweek  # Mon=0 (any labeling works)
+    for et, g in daily.groupby("event_type"):
+        x = g.x.to_numpy(float)
+        ss_tot = ((x - x.mean()) ** 2).sum()
+        ss_resid = sum(
+            ((gg.x.to_numpy(float) - gg.x.to_numpy(float).mean()) ** 2).sum()
+            for _, gg in g.groupby("dow")
+        )
+        r = rows[et]
+        assert r["n_days"] == len(g)
+        np.testing.assert_allclose(r["ss_total"], ss_tot, rtol=1e-9)
+        np.testing.assert_allclose(r["ss_resid"], ss_resid, rtol=1e-9)
+        np.testing.assert_allclose(
+            r["seasonal_strength"], 1 - ss_resid / ss_tot, rtol=1e-9
+        )
+        assert r["seasonal_strength"] <= 1.0 + 1e-12
