@@ -1138,3 +1138,106 @@ def a_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_SS_RESID).alias("ss_resid"),
         F.expr(_STRENGTH).alias("seasonal_strength"),
     )
+
+
+# HHI from exact integer revenue cents: sum of squared shares =
+# sum(r_i^2) / (sum r_i)^2, both sides exact DECIMAL cross-products,
+# one STRING-routed division at the end.
+_HHI = (
+    "(CAST(CAST(sq AS STRING) AS DOUBLE)"
+    " / CAST(CAST((tot * tot) AS STRING) AS DOUBLE))"
+)
+
+
+@query(
+    "a_hhi_concentration",
+    oracle=f"""
+    WITH rev AS (
+      SELECT s.s_nationkey AS nation, l.l_suppkey,
+             CAST(CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                      * 100) AS BIGINT)) AS BIGINT)
+               AS DECIMAL(38,0)) AS r
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ), agg AS (
+      SELECT nation,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             SUM(r * r) AS sq,
+             CAST(SUM(r) AS DECIMAL(38,0)) AS tot
+      FROM rev GROUP BY nation
+    )
+    SELECT nation, n_suppliers, {_HHI} AS hhi
+    FROM agg WHERE tot > 0
+    """,
+    note="Herfindahl-Hirschman market-concentration index per nation: "
+    "the sum of squared supplier revenue shares, the antitrust-standard "
+    "complement of a_gini_concentration (HHI weighs the HEAD of the "
+    "distribution, Gini the whole curve). Computed as "
+    "sum(r_i^2)/(sum r_i)^2 over exact integer revenue cents — both "
+    "sides exact DECIMAL(38,0), one IEEE division. Scale: one "
+    "supplier-keyed aggregate, one nation-grain re-aggregate, 25 "
+    "output rows; the supplier dim broadcasts.",
+)
+def a_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "decimal(38,0)"
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    su = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    rev = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nation"), "l_suppkey")
+        .agg(F.sum(cents).cast(dec).alias("r"))
+    )
+    agg = rev.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum(F.col("r") * F.col("r")).alias("sq"),
+        F.sum("r").cast(dec).alias("tot"),
+    )
+    return agg.filter(F.col("tot") > 0).select(
+        "nation", "n_suppliers", F.expr(_HHI).alias("hhi")
+    )
+
+
+@query(
+    "dq_l_diversity",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT
+             CASE WHEN c_acctbal < 0 THEN 'delinquent' ELSE 'current' END)
+             AS BIGINT) AS l_distinct
+    FROM customer
+    GROUP BY 1, 2, 3
+    HAVING COUNT(DISTINCT
+             CASE WHEN c_acctbal < 0 THEN 'delinquent' ELSE 'current' END) < 2
+    """,
+    note="l-diversity audit (l=2) over the same quasi-identifier tuple "
+    "as dq_k_anonymity: a group can be k-anonymous yet still leak its "
+    "members' sensitive attribute if every member SHARES it — here the "
+    "delinquency status derived from the balance sign. Groups whose "
+    "sensitive attribute takes fewer than l distinct values fail the "
+    "release gate. One exchange on the quasi-identifier key; the "
+    "distinct count is over a 2-value derived attribute, so the "
+    "partial aggregate stays tiny. Completes the privacy pair "
+    "(k-anonymity = group too small; l-diversity = group too uniform).",
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    sens = F.when(F.col("c_acctbal") < 0, "delinquent").otherwise("current")
+    return (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).alias("bal_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("group_size"),
+            F.countDistinct(sens).cast("bigint").alias("l_distinct"),
+        )
+        .filter(F.col("l_distinct") < 2)
+    )

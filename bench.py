@@ -225,6 +225,8 @@ HEADLINE = [
     "llm_self_bleu",            # corpus-diversity BLEU-2 over doc pairs
     "llm_ann_ndcg",             # position-aware IVF ranking quality
     "a_seasonal_strength",      # dow-explained variance share, exact moments
+    "a_hhi_concentration",      # squared-share market concentration
+    "dq_l_diversity",           # sensitive-attribute uniformity audit
 ]
 
 
