@@ -59,6 +59,10 @@ PROBES = [
     # first-crossing pick over a grouped running LLR (min-struct agg
     # over an ordinal cumsum — both must be split-invariant)
     "ml_sprt_sequential",
+    # gram-keyed clip joins over persisted histograms + ordinal pairing;
+    # windowed ANN ranks feeding a pivoted fixed-order float tree
+    "llm_self_bleu",
+    "llm_ann_ndcg",
 ]
 
 
