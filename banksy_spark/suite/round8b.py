@@ -1241,3 +1241,113 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("l_distinct") < 2)
     )
+
+
+from banksy_spark.suite.llm import _lsh_oracle_ctes as _lsh_ctes_fn
+
+
+@query(
+    "llm_dedup_tau_curve",
+    oracle=f"""
+    WITH {_lsh_ctes_fn(with_hs=True)}
+    SELECT CAST(FLOOR((10 * len(list_intersect(a.hs, b.hs)))
+                / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))))
+             AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN sigs a ON a.doc_id = p.doc_a
+    JOIN sigs b ON b.doc_id = p.doc_b
+    GROUP BY 1
+    """,
+    note="Dedup threshold-tuning curve: LSH candidate pairs bucketed by "
+    "exact shingle-set Jaccard decile — the histogram an operator reads "
+    "to PICK tau before running llm_dedup_ngram_jaccard at scale (too "
+    "low floods the verifier, too high leaks near-dups). The bucket is "
+    "floor(10*|inter| / |union|): for nonneg ints < 2^53 the double "
+    "quotient is correctly rounded, so FLOOR lands identically in both "
+    "engines at the integer boundaries. Scale: rides the shared "
+    "MinHash band-collision candidate generator (never all-pairs); "
+    "output is <= 11 rows regardless of corpus size.",
+)
+def llm_dedup_tau_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.suite.llm import _band_pairs, _lsh_sigs
+
+    d = _lsh_sigs(spark, sf_dir, with_hs=True)
+    pairs = _band_pairs(d)
+    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    i = F.size(F.array_intersect("hs_a", "hs_b")).cast("bigint")
+    u = F.size("hs_a") + F.size("hs_b") - F.size(
+        F.array_intersect("hs_a", "hs_b")
+    )
+    bucket = F.floor((i * 10) / u).cast("int")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+# ES = exact decimal tail sum / k, one STRING-routed division; VaR is
+# an exact data value (nearest-rank), so only one float ever appears.
+_ES = "(CAST(CAST(tail_sum AS STRING) AS DOUBLE) / k)"
+
+
+@query(
+    "a_tail_risk_var_es",
+    oracle=f"""
+    WITH r AS (
+      SELECT o_orderpriority AS pri,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                                         o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+      FROM orders
+    ), t AS (
+      SELECT pri, cents, cnt, (cnt + 19) // 20 AS k
+      FROM r WHERE rn > cnt - (cnt + 19) // 20
+    )
+    SELECT pri, CAST(MAX(cnt) AS BIGINT) AS n,
+           CAST(MAX(k) AS BIGINT) AS k,
+           CAST(MIN(cents) AS BIGINT) AS var95_cents,
+           CAST(CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS STRING) AS DOUBLE)
+             / MAX(k) AS es95_cents
+    FROM t GROUP BY pri
+    """,
+    note="Tail risk per order priority: VaR95 (the nearest-rank 95th "
+    "percentile, an actual data value — exact) and expected shortfall "
+    "ES95 (mean of the worst 5% tail, the coherent risk measure Basel "
+    "replaced VaR with). The tail is the top k = ceil(n/20) rows by an "
+    "integer-exact rank with a key tie-break, k is integer arithmetic "
+    "(never a float quantile), and ES is one exact decimal tail sum "
+    "with one division. Priorities are FEW huge groups, so the rank "
+    "rides operators/ordinals.py grouped_ordinals — no one-task-per-"
+    "group window at any scale; the tail filter then reduces to a "
+    "5-row aggregate.",
+)
+def a_tail_risk_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.operators.ordinals import grouped_ordinals
+
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    r = grouped_ordinals(
+        o, ["pri"], ["cents", "o_orderkey"], row_number="rn", group_count="cnt"
+    )
+    k = F.expr("(cnt + 19) DIV 20")
+    tail = r.filter(F.col("rn") > F.col("cnt") - k).select(
+        "pri", "cents", "cnt", k.alias("k")
+    )
+    agg = tail.groupBy("pri").agg(
+        F.max("cnt").cast("bigint").alias("n"),
+        F.max("k").cast("bigint").alias("k"),
+        F.min("cents").cast("bigint").alias("var95_cents"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("tail_sum"),
+    )
+    return agg.select(
+        "pri", "n", "k", "var95_cents", F.expr(_ES).alias("es95_cents")
+    )

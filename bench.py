@@ -227,6 +227,8 @@ HEADLINE = [
     "a_seasonal_strength",      # dow-explained variance share, exact moments
     "a_hhi_concentration",      # squared-share market concentration
     "dq_l_diversity",           # sensitive-attribute uniformity audit
+    "llm_dedup_tau_curve",      # jaccard-decile histogram for tau tuning
+    "a_tail_risk_var_es",       # nearest-rank VaR95 + expected shortfall
 ]
 
 

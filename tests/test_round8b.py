@@ -466,3 +466,37 @@ def test_l_diversity_flags_uniform_groups_only(spark):
     g = c.groupby(["c_nationkey", "c_mktsegment", "bucket"]).sens.nunique()
     want_flagged = int((g < 2).sum())
     assert len(out) == want_flagged
+
+
+# --- llm_dedup_tau_curve / a_tail_risk_var_es -------------------------------
+
+
+def test_tau_curve_consistent_with_jaccard_pairs(spark):
+    curve = {r["bucket"]: r["n_pairs"] for r in _q(spark, "llm_dedup_tau_curve").collect()}
+    assert curve and all(0 <= b <= 10 for b in curve)
+    from banksy_spark.suite.llm import llm_dedup_ngram_jaccard
+
+    jac = llm_dedup_ngram_jaccard(spark, SF).collect()
+    # the >= 0.1 jaccard pairs must equal the bucket>=1 mass of the curve
+    assert sum(n for b, n in curve.items() if b >= 1) == len(jac)
+
+
+def test_tail_risk_matches_numpy(spark):
+    import math
+
+    rows = {r["pri"]: r for r in _q(spark, "a_tail_risk_var_es").collect()}
+    assert len(rows) == 5
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    ).toPandas()
+    for pri, g in o.groupby("o_orderpriority"):
+        x = np.sort(g.cents.to_numpy(np.int64))
+        n = len(x)
+        k = math.ceil(n / 20)
+        tail = x[n - k:]
+        r = rows[pri]
+        assert (r["n"], r["k"]) == (n, k)
+        assert r["var95_cents"] == tail.min()
+        np.testing.assert_allclose(r["es95_cents"], tail.mean(), rtol=1e-12)
+        assert r["es95_cents"] >= r["var95_cents"]
