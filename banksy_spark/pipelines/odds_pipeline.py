@@ -243,3 +243,23 @@ def decide_alerts(
         "Team", F.col("alert_ts").alias("updated_at"), "combined"
     )
     return to_send, new_log
+
+
+def phoenix_wall_ts(utc_ts):
+    """Phoenix wall-clock stamp for notification-log rows.
+
+    The reference writes ``updated_at`` as the America/Phoenix wall
+    time of the send instant (``datetime.now(pytz.timezone(
+    'America/Phoenix'))``, arbitrage_scanner.py:509), and its daily
+    rate limit buckets those wall times with ``.dt.date``
+    (arbitrage_scanner.py:445-456) — so every pipeline timestamp is a
+    Phoenix WALL value, which is why ``decide_alerts`` treats
+    ``alert_ts`` / ``updated_at`` as already-local naive timestamps.
+    Callers that hold a UTC instant convert it here before stamping.
+
+    Arizona does not observe DST, so America/Phoenix is a FIXED UTC-7
+    offset for all time — plain interval arithmetic, identical in every
+    engine, with no tz database or ICU dependency.
+    """
+    col = F.col(utc_ts) if isinstance(utc_ts, str) else utc_ts
+    return col - F.expr("INTERVAL 7 HOURS")

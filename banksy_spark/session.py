@@ -12,9 +12,10 @@ One place to pin the engine's execution posture:
  - Arrow enabled for pandas interchange (vectorized UDF path).
 
 The reference pins ``America/Phoenix`` for its notification log
-(arbitrage_scanner.py:509); the pipeline layer does that conversion
-explicitly with ``convert_timezone`` rather than leaning on session TZ,
-so the engine default stays UTC.
+(arbitrage_scanner.py:509); the pipeline layer exposes
+``phoenix_wall_ts`` (a fixed UTC-7 shift — Arizona has no DST) for
+callers stamping log rows from a UTC instant, so the engine default
+stays UTC and every stored pipeline timestamp is a Phoenix wall value.
 """
 
 from __future__ import annotations

@@ -263,3 +263,21 @@ def test_end_to_end_scrape_to_alerts_stream_equals_batch(spark, raw, tmp_path):
     got = sorted(map(tuple, streamed.select(*cols).collect()))
     want = sorted(map(tuple, batch.select(*cols).collect()))
     assert got == want and len(want) > 0
+
+
+def test_phoenix_wall_ts_is_fixed_utc_minus_7(spark):
+    """arbitrage_scanner.py:509 stamps log rows in America/Phoenix wall
+    time; Arizona has no DST so the offset is -7h in January AND July
+    (a tz-database conversion would agree year-round)."""
+    from banksy_spark.pipelines import phoenix_wall_ts
+
+    df = spark.createDataFrame(
+        [("2024-01-15 03:30:00",), ("2024-07-15 03:30:00",)], "ts string"
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    got = [
+        str(r["wall"])
+        for r in df.select(phoenix_wall_ts("ts").alias("wall"))
+        .orderBy("wall")
+        .collect()
+    ]
+    assert got == ["2024-01-14 20:30:00", "2024-07-14 20:30:00"]
