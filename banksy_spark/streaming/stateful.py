@@ -233,3 +233,91 @@ def sprt_monitor_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- Space-Saving heavy hitters ----------------------------------------------
+
+_SS_OUT_SCHEMA = "shard int, item string, est_count bigint, max_err bigint"
+_SS_STATE_SCHEMA = (
+    "items array<string>, counts array<long>, errs array<long>"
+)
+
+
+def _make_space_saving(capacity: int):
+    """Metwally et al.'s Space-Saving summary as a per-shard stateful
+    fold: at most ``capacity`` (item, count, err) tracked entries; an
+    unseen item evicts the current minimum and INHERITS its count
+    (err = that inherited floor, the classic over-count bound). Emits
+    the full summary each micro-batch (update semantics downstream).
+
+    Guarantees (per shard): any item with true count > N/capacity is
+    in the summary, and true_count <= est_count <= true_count + err.
+    Summaries from different shards merge by summing est/err per item
+    and re-truncating — the same mergeability story as the batch CMS
+    (a_heavy_hitters_cms, suite/round4.py)."""
+
+    def _fold(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, counts, errs = state.get
+            summary = {
+                it: [c, e] for it, c, e in zip(items, counts, errs)
+            }
+        else:
+            summary = {}
+        for pdf in pdfs:
+            for it in pdf["item"]:
+                if it in summary:
+                    summary[it][0] += 1
+                elif len(summary) < capacity:
+                    summary[it] = [1, 0]
+                else:
+                    evict = min(summary, key=lambda k: (summary[k][0], k))
+                    floor = summary[evict][0]
+                    del summary[evict]
+                    summary[it] = [floor + 1, floor]
+        items = sorted(summary)
+        state.update(
+            (
+                list(items),
+                [summary[i][0] for i in items],
+                [summary[i][1] for i in items],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "shard": key[0],
+                "item": items,
+                "est_count": [summary[i][0] for i in items],
+                "max_err": [summary[i][1] for i in items],
+            }
+        )
+
+    return _fold
+
+
+def heavy_hitters_stateful(
+    events: DataFrame, item_col: str, capacity: int = 16, n_shards: int = 8
+) -> DataFrame:
+    """Streaming heavy hitters: Space-Saving summaries per hash shard,
+    maintained in the state store across micro-batches. State is
+    ``n_shards * capacity`` tracked entries TOTAL regardless of key
+    cardinality or stream length — the bounded-memory contrast to an
+    exact streaming count (whose state grows with distinct keys).
+    Consumers merge the shard summaries (sum est/err per item) for the
+    global view; the update-mode emission re-publishes each shard's
+    summary whenever it changes."""
+    keyed = events.select(
+        (F.xxhash64(F.col(item_col)) % n_shards).cast("int").alias("shard"),
+        F.col(item_col).alias("item"),
+    ).withColumn("shard", F.abs("shard"))
+    return keyed.groupBy("shard").applyInPandasWithState(
+        _make_space_saving(capacity),
+        outputStructType=_SS_OUT_SCHEMA,
+        stateStructType=_SS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

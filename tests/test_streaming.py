@@ -796,3 +796,67 @@ def test_stateful_sprt_equals_batch_twin_across_batches(spark, tmp_path):
         assert want[day] == (n_dec, decision)
         # the streaming k is internally consistent with its own n
         assert 0 <= k_dec <= n_dec
+
+
+def test_space_saving_heavy_hitters_guarantees(spark, tmp_path):
+    """Streaming Space-Saving across two micro-batches: (a) every item
+    whose true count exceeds N_shard/capacity is tracked, (b) estimates
+    bracket the truth (true <= est <= true + err), (c) state stays
+    bounded at capacity entries per shard."""
+    from banksy_spark.streaming.stateful import heavy_hitters_stateful
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).first()[0]
+    src = tmp_path / "hh_in"
+    src.mkdir()
+    import shutil
+
+    for flt, name in ((F.col("ts") <= cut, "0_a"), (F.col("ts") > cut, "1_b")):
+        ev.filter(flt).coalesce(1).write.parquet(str(src / name))
+        part = next((src / name).glob("part-*.parquet"))
+        shutil.move(str(part), str(src / f"{name}.parquet"))
+        shutil.rmtree(src / name)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        heavy_hitters_stateful(stream, "event_type", capacity=4, n_shards=2)
+        .writeStream.format("memory")
+        .queryName("hh_ss")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish in time"
+    # keep only the LAST emission per (shard, item): update mode re-emits
+    out = spark.sql(
+        "SELECT shard, item, est_count, max_err FROM hh_ss"
+    ).toPandas()
+    # memory-sink rows are unordered; counts grow monotonically, so the
+    # max est per (shard, item) IS the final summary state
+    final = (
+        out.sort_values("est_count").groupby(["shard", "item"]).last().reset_index()
+    )
+    assert final.groupby("shard").size().max() <= 4
+    # truth per shard (same hash sharding)
+    truth = (
+        ev.select(
+            F.abs(F.xxhash64("event_type") % 2).cast("int").alias("shard"),
+            F.col("event_type").alias("item"),
+        )
+        .groupBy("shard", "item")
+        .count()
+        .toPandas()
+    )
+    for _, t in truth.iterrows():
+        n_shard = truth[truth.shard == t.shard]["count"].sum()
+        row = final[(final.shard == t.shard) & (final["item"] == t["item"])]
+        if t["count"] > n_shard / 4:
+            assert len(row) == 1, f"frequent item {t['item']} not tracked"
+        if len(row):
+            est, err = int(row.est_count.iloc[0]), int(row.max_err.iloc[0])
+            assert t["count"] <= est <= t["count"] + err
