@@ -1351,3 +1351,125 @@ def a_tail_risk_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "pri", "n", "k", "var95_cents", F.expr(_ES).alias("es95_cents")
     )
+
+
+# Neyman allocation over the pinned returnflag strata {A, N, R}.
+# Per-stratum weight w = N_h * S_h; every moment is exact DECIMAL, the
+# sample variance performs ONE division, sqrt is correctly rounded,
+# and ALL cross-stratum arithmetic (total weight, floors, remainders,
+# leftover ranking) happens in one pivoted row with fixed-order
+# expressions over the three known strata — no float aggregation, no
+# post-agg global window.
+_NEY_BUDGET = 1000
+_NEY_S = (
+    "SQRT(CAST(CAST((n{X} * q{X} - s{X} * s{X}) AS STRING) AS DOUBLE)"
+    " / CAST(CAST((n{X} * (n{X} - 1)) AS STRING) AS DOUBLE))"
+)
+_NEY_W = f"(CAST(CAST(n{{X}} AS STRING) AS DOUBLE) * {_NEY_S})"
+_NEY_WTOT = "(" + " + ".join(_NEY_W.format(X=x) for x in "anr") + ")"
+_NEY_SHARE = f"({_NEY_BUDGET} * {_NEY_W} / {_NEY_WTOT})"
+_NEY_BASE = f"CAST(FLOOR({_NEY_SHARE}) AS BIGINT)"
+_NEY_REM = f"({_NEY_SHARE} - FLOOR({_NEY_SHARE}))"
+_NEY_LEFT = (
+    f"({_NEY_BUDGET} - " + " - ".join(_NEY_BASE.format(X=x) for x in "anr") + ")"
+)
+
+
+def _ney_rank(x: str) -> str:
+    """How many other strata outrank stratum x's remainder (ties broken
+    by flag order a < n < r)."""
+    others = [y for y in "anr" if y != x]
+    terms = []
+    for y in others:
+        ry, rx = _NEY_REM.format(X=y), _NEY_REM.format(X=x)
+        tie = "1" if y < x else "0"
+        terms.append(
+            f"(CASE WHEN {ry} > {rx} OR ({ry} = {rx} AND {tie} = 1)"
+            " THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_NEY_ALLOC = {
+    x: (
+        f"({_NEY_BASE.format(X=x)}"
+        f" + (CASE WHEN {_ney_rank(x)} < {_NEY_LEFT} THEN 1 ELSE 0 END))"
+    )
+    for x in "anr"
+}
+_NEY_ROWS = ", ".join(
+    f"('{flag}', n{x}, {_NEY_S.format(X=x)}, {_NEY_ALLOC[x]})"
+    for flag, x in (("A", "a"), ("N", "n"), ("R", "r"))
+)
+
+
+@query(
+    "a_neyman_allocation",
+    oracle=f"""
+    WITH mom AS (
+      SELECT l_returnflag AS flag,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   AS DECIMAL(38,0))) AS s,
+             SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   AS DECIMAL(38,0))
+                 * CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   AS DECIMAL(38,0))) AS q
+      FROM lineitem GROUP BY 1
+    ), piv AS (
+      SELECT
+        MAX(CASE WHEN flag = 'A' THEN n END) AS na,
+        MAX(CASE WHEN flag = 'A' THEN s END) AS sa,
+        MAX(CASE WHEN flag = 'A' THEN q END) AS qa,
+        MAX(CASE WHEN flag = 'N' THEN n END) AS nn,
+        MAX(CASE WHEN flag = 'N' THEN s END) AS sn,
+        MAX(CASE WHEN flag = 'N' THEN q END) AS qn,
+        MAX(CASE WHEN flag = 'R' THEN n END) AS nr,
+        MAX(CASE WHEN flag = 'R' THEN s END) AS sr,
+        MAX(CASE WHEN flag = 'R' THEN q END) AS qr
+      FROM mom
+    )
+    SELECT t.flag, CAST(t.n_pop AS BIGINT) AS n_pop,
+           t.s_h, CAST(t.alloc AS BIGINT) AS alloc
+    FROM piv, LATERAL (VALUES {_NEY_ROWS}) AS t(flag, n_pop, s_h, alloc)
+    """,
+    note="Neyman optimal sample allocation across the returnflag strata: "
+    "n_h proportional to N_h*S_h, the survey-sampling allocation that "
+    "minimizes estimator variance at a fixed budget (1000 here) — the "
+    "principled upgrade over proportional stratified splits "
+    "(llm_stratified_split). Per-stratum stddev comes from exact "
+    "decimal moments with one division + one sqrt (both correctly "
+    "rounded); integerization is largest-remainder over the THREE "
+    "pinned strata, computed in a single pivoted row with fixed-order "
+    "expressions — allocations always sum to the budget exactly, and "
+    "no float ever passes through an engine aggregate. Scale: one "
+    "map-side-combinable fact aggregate to 3 rows; everything after "
+    "is constant-size.",
+)
+def a_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "decimal(38,0)"
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").cast(dec)
+    mom = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("n"),
+            F.sum(cents).alias("s"),
+            F.sum(cents * cents).alias("q"),
+        )
+    )
+    piv = mom.agg(
+        *[
+            F.max(F.when(F.col("flag") == flag, F.col(m))).alias(f"{m}{x}")
+            for flag, x in (("A", "a"), ("N", "n"), ("R", "r"))
+            for m in ("n", "s", "q")
+        ]
+    )
+    rows = ", ".join(
+        f"struct('{flag}' AS flag, CAST(n{x} AS BIGINT) AS n_pop, "
+        f"{_NEY_S.format(X=x)} AS s_h, CAST({_NEY_ALLOC[x]} AS BIGINT) AS alloc)"
+        for flag, x in (("A", "a"), ("N", "n"), ("R", "r"))
+    )
+    return piv.select(
+        F.explode(F.expr(f"array({rows})")).alias("t")
+    ).select("t.flag", "t.n_pop", "t.s_h", "t.alloc")

@@ -229,6 +229,7 @@ HEADLINE = [
     "dq_l_diversity",           # sensitive-attribute uniformity audit
     "llm_dedup_tau_curve",      # jaccard-decile histogram for tau tuning
     "a_tail_risk_var_es",       # nearest-rank VaR95 + expected shortfall
+    "a_neyman_allocation",      # variance-optimal stratified sample quotas
 ]
 
 

@@ -500,3 +500,31 @@ def test_tail_risk_matches_numpy(spark):
         assert r["var95_cents"] == tail.min()
         np.testing.assert_allclose(r["es95_cents"], tail.mean(), rtol=1e-12)
         assert r["es95_cents"] >= r["var95_cents"]
+
+
+# --- a_neyman_allocation ----------------------------------------------------
+
+
+def test_neyman_allocation_matches_numpy(spark):
+    rows = {r["flag"]: r for r in _q(spark, "a_neyman_allocation").collect()}
+    assert set(rows) == {"A", "N", "R"}
+    assert sum(r["alloc"] for r in rows.values()) == 1000
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("c"),
+    ).toPandas()
+    w = {}
+    for flag, g in li.groupby("l_returnflag"):
+        x = g.c.to_numpy(float)
+        s = x.std(ddof=1)
+        r = rows[flag]
+        assert r["n_pop"] == len(g)
+        np.testing.assert_allclose(r["s_h"], s, rtol=1e-9)
+        w[flag] = len(g) * s
+    shares = {f: 1000 * v / sum(w.values()) for f, v in w.items()}
+    base = {f: int(np.floor(v)) for f, v in shares.items()}
+    leftover = 1000 - sum(base.values())
+    order = sorted(shares, key=lambda f: (-(shares[f] - base[f]), f))
+    for i, f in enumerate(order):
+        expect = base[f] + (1 if i < leftover else 0)
+        assert rows[f]["alloc"] == expect, f
