@@ -76,7 +76,11 @@ from banksy_spark.suite import round8b  # noqa: E402,F401
 #   round 10: round5/5b-5s remainder (25: asof, CDC chunks, interval
 #             overlap, converged graph/kmeans, TPC-H q1-q20 shapes) +
 #             corpus (20: BM25, decontam, PQ, CDC merge, SCD2, zorder)
-#             + round8 (4, this round's additions)
+#             + round8/8b (19: trained IVF, PSI, WoE, containment, and
+#             the round-8-close statistics family — each already
+#             verified at THREE scale factors + a third-implementation
+#             numpy/pandas replay, the strongest pre-driver evidence
+#             in the registry)
 #   round 11: train (9), llm_extra (5), scale_ops (6: gap fill, bloom
 #             join, PPS, IVM, HLL, TWA), stream/pipe twins — tail.
 _FRONT = [
