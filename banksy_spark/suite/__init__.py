@@ -57,88 +57,90 @@ from banksy_spark.suite import round8b  # noqa: E402,F401
 
 # Rotate the newest / highest-risk queries into the driver's ~50-query
 # verification window (it samples the FIRST 50 registry entries).
-# Round 8: (a) the 28 oracles whose DuckDB HUGEINT outputs were cast to
-# BIGINT this round (6 hash-red in r07 + 22 latent — the external
-# oracle must confirm the fix class is extinct), then (b) 22 queries
-# that have NEVER been driver-checked, ordered by risk per the round-7
-# verdict: the round5d-5s window/ML families carry the most hand-rolled
-# arithmetic.  Long-stable rN-green entries (odds flagship, core)
-# rotate to the tail.  Python dicts preserve insertion order, so
-# rebuilding the dict IS the rotation.
+# Round 9 = backlog-retirement window 1 of 3 (per the round-8 verdict):
+# all 50 names below have NEVER been inside a driver CORRECTNESS
+# window (union r01-r08 = 173 of 319).  Ordered by arithmetic risk:
+# (a) the round-8/8b hand-rolled statistics family first (moment/rank
+# algebra, SPRT likelihoods, information theory), then (b) the 19
+# remaining TPC-H query shapes, then (c) the highest-risk remaining
+# percentile/moment/graph queries.  Python dicts preserve insertion
+# order, so rebuilding the dict IS the rotation.
 #
-# Rotation plan for the remaining 129 never-driver-checked entries
-# (~50/round, by residual risk; every one is green in the builder's
-# full sf0.01 AND sf0.1 sweeps):
-#   round 9:  round4 (31: multimodal frames/patches/keyframes, rank
-#             family, temporal SCD2, heavy hitters, retention) +
-#             round4c-4g remainder (19: TPC-H q4/q15/q21/q22, graph
-#             triangles, attribution, basket pairs)
-#   round 10: round5/5b-5s remainder (25: asof, CDC chunks, interval
-#             overlap, converged graph/kmeans, TPC-H q1-q20 shapes) +
-#             corpus (20: BM25, decontam, PQ, CDC merge, SCD2, zorder)
-#             + round8/8b (19: trained IVF, PSI, WoE, containment, and
-#             the round-8-close statistics family — each already
-#             verified at THREE scale factors + a third-implementation
-#             numpy/pandas replay, the strongest pre-driver evidence
-#             in the registry)
-#   round 11: train (9), llm_extra (5), scale_ops (6: gap fill, bloom
-#             join, PPS, IVM, HLL, TWA), stream/pipe twins — tail.
+# Pre-committed rotation plan for the ~96 left after this round
+# (tools/backlog.py prints the live diff union(CORRECTNESS_r*) vs
+# registry; every name is green in the builder's full sf0.001 AND
+# sf0.01 sweeps):
+#   round 10: the 50 riskiest of the remainder — ml_kmeans_converged +
+#             llm_ann_ivf_trained (newly literal-centroid-oracled this
+#             round), round4 multimodal (audio frames, image patches,
+#             video keyframes), rank/SCD2/heavy-hitter families,
+#             graph bfs/degree, stream twins (hopping, session native,
+#             markov, attribution, funnel, top_paths, interval join),
+#             sketches (CMS, KMV, HLL, bitmap), asof tolerance,
+#             interval overlap, spatial grid join, basket pairs/lift.
+#   round 11: the tail — llm corpus ops (BM25 topk, decontam overlap,
+#             DSIR, PMI, tokenize/BPE, span corruption, chunking),
+#             ANN pq/multiprobe variants, o_* table ops (CDC merge,
+#             zorder, compaction, snapshot diff, union evolved),
+#             remaining a_/w_/j_/dq_ singles.
 _FRONT = [
-    # (a) the 6 r07 hash-red HUGEINT oracles, now CAST AS BIGINT
-    "ml_roc_auc",
-    "ml_lift_gains",
-    "o_global_ntile",
-    "ml_pr_auc",
-    "ml_ks_statistic",
-    "a_weighted_percentiles_global",
-    # (a) the 22 latent HUGEINT oracles (same fix, never driver-seen)
-    "dq_constraint_report",
-    "a_q12_late_shipments",
-    "w_max_concurrency",
-    "stream_rollup_cascade",
-    "a_new_vs_returning",
-    "stream_late_rows_audit",
-    "a_bounce_rate",
-    "w_max_drawdown",
-    "w_interval_merge",
-    "llm_dataset_card",
-    "a_ab_test_ztest",
-    "a_return_rate_brand",
-    "a_largest_remainder",
-    "a_survival_km",
-    "ml_gini_split",
-    "ml_confusion_metrics",
-    "a_ddsketch_log2",
-    "a_mann_kendall_trend",
-    "a_runs_test",
-    "a_wilson_ci",
-    "ml_mcc",
-    "ml_cohen_kappa",
-    # (b) never-driver-checked, highest-risk first (round5d-5q
-    # window/ML families: hand-rolled arithmetic, interpolation,
-    # pattern matching)
-    "w_linear_interpolate",
-    "w_sequence_pattern",
-    "w_holt_linear",
-    "j_asof_nearest",
-    "w_rolling_median_7",
-    "llm_domain_cap",
-    "w_capped_sessions",
-    "w_funnel_within",
-    "llm_keywords_tfidf",
-    "a_ltv_cumulative",
-    "llm_phrase_search",
-    "j_bom_rollup",
-    "w_control_chart",
-    "w_peak_detection",
-    "j_graph_2hop_recs",
-    "a_changepoint_binseg",
-    "a_sequence_ab",
-    "llm_preference_pairs",
-    "llm_fim_transform",
-    "ml_target_encoding_loo",
-    "w_bollinger_bands",
-    "a_price_index_laspeyres",
+    # (a) round-8b one-pass statistics family (round8b.py) + the
+    # round-8 scoring/encoding quartet (round8.py) — hand-rolled
+    # moment/rank/likelihood algebra, the highest residual risk
+    "ml_linreg_normal",
+    "a_theil_sen_monthly",
+    "w_rolling_corr",
+    "ml_spearman_corr",
+    "ml_mutual_info",
+    "ml_kendall_tau",
+    "ml_sprt_sequential",
+    "llm_self_bleu",
+    "llm_ann_ndcg",
+    "a_seasonal_strength",
+    "a_hhi_concentration",
+    "dq_l_diversity",
+    "llm_dedup_tau_curve",
+    "a_tail_risk_var_es",
+    "a_neyman_allocation",
+    "ml_brier_score",
+    "ml_psi_drift",
+    "ml_woe_encoding",
+    "llm_dedup_containment",
+    "llm_dedup_containment_k3",
+    # (b) the 19 never-driver-checked TPC-H query shapes
+    "a_q1_pricing_summary",
+    "j_q3_shipping_priority",
+    "a_q4_priority_exists",
+    "j_q5_regional_volume",
+    "a_q6_forecast_revenue",
+    "a_q7_nation_volume",
+    "a_q8_market_share",
+    "a_q9_product_profit",
+    "j_q10_returned_items",
+    "a_q11_important_parts",
+    "a_q13_order_distribution",
+    "a_q14_promo_share",
+    "j_q15_top_supplier",
+    "a_q16_supplier_variety",
+    "a_q18_having_semijoin",
+    "j_q19_disjunctive_pred",
+    "j_q20_dominant_suppliers",
+    "j_q21_waiting_suppliers",
+    "a_q22_idle_customers",
+    # (c) remaining high-arithmetic-risk first-timers: chi-square,
+    # higher moments, autocorrelation, OLS, Benford, CUSUM,
+    # percentile/median/mode interpolation, triangle counting
+    "a_chi2_contingency",
+    "a_skew_kurtosis",
+    "a_autocorr_lag1",
+    "a_ols_slope",
+    "a_benford_deviation",
+    "w_cusum_changepoint",
+    "a_weighted_median",
+    "a_grouped_mode",
+    "a_interpolated_percentiles",
+    "a_exact_percentiles",
+    "graph_triangle_count",
 ]
 _rest = [n for n in REGISTRY if n not in set(_FRONT)]
 _reordered = {n: REGISTRY[n] for n in _FRONT + _rest}
