@@ -63,6 +63,54 @@ def _assign(n: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def assign(n: DataFrame, cents: DataFrame) -> DataFrame:
+    """Public serving pass: nearest-centroid cell per vector.
+
+    ``n``: (vec_id, v, nrm) — normed vectors; ``cents``: (cell, cv,
+    cnorm). Returns (vec_id, cell, v) with the trainer's exact argmax
+    rule (cosine DESC, cell ASC) so frozen-literal serving reproduces
+    the converged assignment bit-for-bit. Scale: k centroids broadcast
+    against a narrow scan, map-side-combinable hash aggregate — no
+    shuffle of the candidate rows."""
+    return _assign(n, cents)
+
+
+def centroids_df(spark, literals) -> DataFrame:
+    """Literal centroids -> (cell, cv, cnorm) frame (LocalRelation).
+
+    ``literals``: [(cell, [float, ...]), ...] as frozen by
+    tools/freeze_centroids.py. Python floats pass through
+    createDataFrame as exact IEEE doubles; cnorm uses the same left-fold
+    expression as training, so serving sees the trainer's numbers."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("cell", LongType()),
+        StructField("cv", ArrayType(DoubleType())),
+    ])
+    return spark.createDataFrame(
+        [(int(c), list(map(float, cv))) for c, cv in literals], schema
+    ).withColumn("cnorm", F.expr(_NORM.format(v="cv")))
+
+
+def centroids_values_sql(literals) -> str:
+    """The same literal centroids as a DuckDB VALUES relation.
+
+    Emits ``(VALUES (0, [CAST('..' AS DOUBLE), ...]), ...) AS
+    cents(cell, cv)`` — each coordinate as a quoted ``repr`` string
+    cast to DOUBLE, because DuckDB's string->double parse is correctly
+    rounded and ``repr`` round-trips, giving the oracle bit-identical
+    centroids to the Spark side (a bare decimal literal risks an
+    engine-specific DECIMAL parse; the string cast does not)."""
+    rows = []
+    for cell, cv in literals:
+        coords = ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in cv)
+        rows.append(f"(CAST({int(cell)} AS BIGINT), [{coords}])")
+    return "(VALUES\n      " + ",\n      ".join(rows) + "\n    ) AS cents(cell, cv)"
+
+
 def kmeans_train(
     vectors: DataFrame,
     k: int = 8,

@@ -199,6 +199,17 @@ def _memo_action(df: DataFrame, tag: str, compute):
     return out
 
 
+def memoized_count(df: DataFrame, tag: str) -> int:
+    """Public face of the statistics cache for suite queries that need
+    a table's row count as a plan literal (e.g. SemDeDup's corpus-
+    scaled K): one bounded driver count per (canonical plan, tag) per
+    session, replayed afterwards. Inherits the cache's documented
+    semantics — LocalRelation inputs bypass it, ``set_stats_cache``/
+    ``clear_stats_cache`` govern it — without coupling callers to the
+    private ``_memo_action`` helper (round-8 ADVICE)."""
+    return int(_memo_action(df, tag, df.count))
+
+
 def _auto_parallelism(spark, n_rows: int) -> int:
     """Scale the bucket exchange to the DATA: ~64k rows per sort task,
     capped at the session shuffle parallelism.  A 15k-row post-agg

@@ -310,10 +310,14 @@ def heavy_hitters_stateful(
     Consumers merge the shard summaries (sum est/err per item) for the
     global view; the update-mode emission re-publishes each shard's
     summary whenever it changes."""
+    # pmod, not abs(%): abs folds residues +k and -k onto one shard,
+    # halving every shard's share except 0's — pmod keeps them uniform
     keyed = events.select(
-        (F.xxhash64(F.col(item_col)) % n_shards).cast("int").alias("shard"),
+        F.pmod(F.xxhash64(F.col(item_col)), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
         F.col(item_col).alias("item"),
-    ).withColumn("shard", F.abs("shard"))
+    )
     return keyed.groupBy("shard").applyInPandasWithState(
         _make_space_saving(capacity),
         outputStructType=_SS_OUT_SCHEMA,

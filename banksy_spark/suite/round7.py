@@ -103,9 +103,9 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LITERAL in the plan — the vec_id < K centroid filter pushes down
     # to the parquet scan, which a lazy broadcast-scalar K forfeits
     # (measured +0.3-0.5s at sf0.1 for an otherwise identical plan).
-    from banksy_spark.operators.ordinals import _memo_action
+    from banksy_spark.operators.ordinals import memoized_count
 
-    n_vec = _memo_action(e, "semdedup_n", e.count)
+    n_vec = memoized_count(e, "semdedup_n")
     k = max(8, n_vec // 1000)
     cents = n.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"),

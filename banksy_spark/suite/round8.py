@@ -29,7 +29,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from banksy_spark.suite.llm import _DOT_SPARK, _NORM_SPARK
+from banksy_spark.suite._frozen_centroids import (
+    IVF16_CENTROIDS,
+    IVF16_N_ITER,
+)
+from banksy_spark.suite.llm import (
+    _DOT_DUCK,
+    _DOT_SPARK,
+    _NORM_DUCK,
+    _NORM_SPARK,
+)
 from banksy_spark.suite.registry import T, query
 
 _IVF_K = 16  # inverted lists; >= the 8-cell closed-form variant
@@ -37,43 +46,30 @@ _IVF_TOPK = 3
 _IVF_NQ = 8  # queries: vec_id < 8, same set as the llm_ann_* family
 
 
-def ivf_trained_parts(spark: SparkSession, sf_dir: str):
-    """(normed vectors+cell, n_iter) with the k-means coarse quantizer.
+def ivf_parts_with_centroids(spark: SparkSession, sf_dir: str, cents):
+    """Normed vectors + their cell under the given (cell, cv, cnorm)
+    quantizer frame — the serving-side indexing pass.
 
-    The trainer persists the normed frame internally; we join its
-    assignments back to a normed projection of the same scan — at 100 TB
-    both sides shuffle on vec_id once (or co-locate via bucketing), and
-    the assignment column would be written alongside the index anyway.
-    """
-    from banksy_spark.operators.kmeans import kmeans_train
+    At 100 TB both sides of the vec_id join shuffle once (or co-locate
+    via bucketing); the assignment column would be written alongside
+    the index anyway. Factored out so the clustered-fixture recall test
+    can train live on its own corpus while the registered query serves
+    the FROZEN sf0.001-trained quantizer."""
+    from banksy_spark.operators.kmeans import assign
 
-    e = T(spark, sf_dir, "embeddings").selectExpr(
-        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+    n = (
+        T(spark, sf_dir, "embeddings")
+        .selectExpr(
+            "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        )
+        .withColumn("nrm", F.expr(_NORM_SPARK.format(v="v")))
     )
-    _, assigned, n_iter, _ = kmeans_train(e, k=_IVF_K, max_iter=20)
-    n = e.withColumn("nrm", F.expr(_NORM_SPARK.format(v="v")))
-    return n.join(assigned, "vec_id"), n_iter
+    assigned = assign(n, cents).select("vec_id", "cell")
+    return n.join(assigned, "vec_id")
 
 
-@query(
-    "llm_ann_ivf_trained",
-    oracle=None,  # trained quantizer = driver-loop k-means: not
-    # SQL-expressible; structural contract pytest-verified
-    # (tests/test_round8.py), trainer bit-exactness already covered by
-    # tests/test_scale_ops.py::test_kmeans_train_converges_bit_exact_vs_python
-    note="IVF-Flat with a TRAINED coarse quantizer: converged spherical "
-    f"k-means (K={_IVF_K}, operators/kmeans.py) supplies the inverted "
-    "lists, queries probe their own cell (nprobe=1) and rerank by exact "
-    "cosine with a deterministic id tie-break. Same probe shape as "
-    "llm_ann_ivf but the cells now adapt to the data instead of riding "
-    "the label column — the Faiss/ScaNN construction. Scale: training "
-    "cost is the k-means family's (broadcast centroids, "
-    "map-side-combinable argmax per pass over a SAMPLE at 100 TB); the "
-    "probe is one broadcast of 8 query rows + a cell-keyed rerank, no "
-    "all-pairs anywhere. n_iter rides along as an audit column.",
-)
-def llm_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nv, n_iter = ivf_trained_parts(spark, sf_dir)
+def ivf_probe_topk(nv: DataFrame, n_iter: int) -> DataFrame:
+    """nprobe=1 probe + exact-cosine rerank over (vec_id, v, nrm, cell)."""
     q = nv.filter(F.col("vec_id") < _IVF_NQ).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
@@ -101,6 +97,77 @@ def llm_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_iter", F.lit(n_iter).cast("int"))
         .select("qid", "neighbor_id", "cell", "rnk", "cosine", "n_iter")
     )
+
+
+def _ivf_trained_oracle() -> str:
+    from banksy_spark.operators.kmeans import centroids_values_sql
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, {_NORM_DUCK.format(v="v")} AS nrm FROM e),
+    cn AS (
+      SELECT cell, cv, {_NORM_DUCK.format(v="cv")} AS cnorm
+      FROM {centroids_values_sql(IVF16_CENTROIDS)}
+    ),
+    sims AS (
+      SELECT n.vec_id, cn.cell,
+             row_number() OVER (
+               PARTITION BY n.vec_id
+               ORDER BY {_DOT_DUCK.format(a="v", b="cv")} / (n.nrm * cn.cnorm) DESC,
+                        cn.cell
+             ) AS rn
+      FROM n CROSS JOIN cn
+    ),
+    nv AS (
+      SELECT n.vec_id, n.v, n.nrm, s.cell
+      FROM n JOIN sims s ON s.vec_id = n.vec_id AND s.rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS qid, v AS qv, nrm AS qn, cell
+      FROM nv WHERE vec_id < {_IVF_NQ}
+    )
+    SELECT qid, nv.vec_id AS neighbor_id, nv.cell,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY
+             {_DOT_DUCK.format(a="qv", b="v")} / (qn * nrm) DESC,
+             nv.vec_id) AS BIGINT) AS rnk,
+           {_DOT_DUCK.format(a="qv", b="v")} / (qn * nrm) AS cosine,
+           CAST({IVF16_N_ITER} AS INT) AS n_iter
+    FROM q JOIN nv ON nv.cell = q.cell AND nv.vec_id <> q.qid
+    QUALIFY rnk <= {_IVF_TOPK}
+    """
+
+
+@query(
+    "llm_ann_ivf_trained",
+    oracle=_ivf_trained_oracle(),
+    note="IVF-Flat with a TRAINED coarse quantizer: converged spherical "
+    f"k-means (K={_IVF_K}, operators/kmeans.py) trained on the committed "
+    "sf0.001 embeddings sample and FROZEN as source literals "
+    "(tools/freeze_centroids.py) supplies the inverted lists; queries "
+    "probe their own cell (nprobe=1) and rerank by exact cosine with a "
+    "deterministic id tie-break — the Faiss/ScaNN construction, where "
+    "the quantizer is trained once on a sample and served everywhere. "
+    "Freezing makes the serving pass SQL-expressible, so this entry now "
+    "carries a DuckDB oracle (round-8 verdict item 3): both engines "
+    "assign cells and rerank from bit-identical literal centroids with "
+    "the same left-fold cosine. Trained-state fidelity stays "
+    "pytest-pinned (tests/test_frozen_centroids.py retrains and asserts "
+    "bit-equality; tests/test_round8.py keeps the recall@3>=0.9 floor "
+    "by training LIVE on the clustered fixture through the same serving "
+    "helpers). Scale: quantizer broadcast against a narrow scan, probe "
+    "is one broadcast of 8 query rows + a cell-keyed rerank, no "
+    "all-pairs anywhere. n_iter is the frozen run's audit column.",
+)
+def llm_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.operators.kmeans import centroids_df
+
+    nv = ivf_parts_with_centroids(
+        spark, sf_dir, centroids_df(spark, IVF16_CENTROIDS)
+    )
+    return ivf_probe_topk(nv, IVF16_N_ITER)
 
 
 # --- PSI drift monitoring ---------------------------------------------------

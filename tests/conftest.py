@@ -46,3 +46,17 @@ def spark(tmp_path_factory):
     )
     yield spark
     spark.stop()
+
+
+@pytest.fixture(autouse=True)
+def _release_persisted_frames(request):
+    """Unpersist everything a test's queries cached (round-8 verdict
+    polish: suite queries persist shared intermediates — pagerank's
+    edges/degree, MinHash signature frames — and, returning lazy
+    DataFrames, cannot unpersist them in-function without killing the
+    cache before the caller's action). bench.py and tools/check.py
+    clearCache per query; this gives the pytest session the same
+    no-leak guarantee."""
+    yield
+    if "spark" in request.fixturenames:
+        request.getfixturevalue("spark").catalog.clearCache()

@@ -54,6 +54,19 @@ def test_no_hugeint_oracle_outputs(con):
     )
 
 
+def _paren_span(sql: str, open_idx: int) -> tuple[int, int]:
+    """[open_idx, close] span of the balanced paren starting there."""
+    depth = 0
+    for i in range(open_idx, len(sql)):
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return (open_idx, i)
+    return (open_idx, len(sql))
+
+
 def test_transcendental_oracle_outputs_are_quantized():
     """ln/exp are transcendental — no IEEE correct-rounding guarantee, and
     Spark (StrictMath/fdlibm) vs DuckDB (glibc libm) were measured to
@@ -61,14 +74,29 @@ def test_transcendental_oracle_outputs_are_quantized():
     Any oracle emitting them must quantize (ROUND(..., n) or a DECIMAL
     cast) so ulp-level disagreement can't reach the driver's value hash.
     sqrt and the four arithmetic ops ARE correctly rounded — exempt.
+
+    Checked PER OCCURRENCE (round-8 ADVICE): every ln/exp call site
+    must sit inside an enclosing ROUND(...) or CAST(... AS DECIMAL)
+    span — an oracle with one quantized ln and a second bare one no
+    longer slips through on the file-level grep.
     """
     import re
 
     offenders = []
     for name, sql in entry.oracle_sql().items():
-        if re.search(r"\b(ln|exp)\s*\(", sql, re.I):
-            if not re.search(r"\bROUND\s*\(|DECIMAL\(\d+,\s*\d+\)", sql, re.I):
-                offenders.append(name)
+        calls = list(re.finditer(r"\b(ln|exp)\s*\(", sql, re.I))
+        if not calls:
+            continue
+        spans = []
+        for m in re.finditer(r"\bROUND\s*\(", sql, re.I):
+            spans.append(_paren_span(sql, m.end() - 1))
+        for m in re.finditer(r"\bCAST\s*\(", sql, re.I):
+            span = _paren_span(sql, m.end() - 1)
+            if re.search(r"\bAS\s+DECIMAL\b", sql[span[0]:span[1]], re.I):
+                spans.append(span)
+        for c in calls:
+            if not any(lo <= c.start() <= hi for lo, hi in spans):
+                offenders.append((name, sql[c.start():c.start() + 40]))
     assert not offenders, (
-        f"oracles with unquantized transcendental outputs: {offenders}"
+        f"unquantized transcendental call sites in oracles: {offenders}"
     )

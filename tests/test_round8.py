@@ -58,18 +58,32 @@ def test_ivf_trained_recall_on_clustered_fixture(spark, tmp_path):
     """On the mixture-of-Gaussians fixture (tools/clustered_embeddings)
     a trained quantizer must place true neighbors in the query's cell:
     recall@3 >= 0.9 at nprobe=1 — the same bar the exact-centroid IVF
-    clears there, now with cells learned from the data."""
+    clears there, now with cells learned from the data. Trains LIVE on
+    the fixture through the same serving helpers the registered query
+    uses (the registry entry itself serves the FROZEN sf0.001-trained
+    quantizer so it can carry a DuckDB oracle)."""
     sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
     from clustered_embeddings import write_parquet
 
+    from banksy_spark.operators.kmeans import kmeans_train
     from banksy_spark.suite.llm import _DOT_SPARK, _NORM_SPARK
     from banksy_spark.suite.registry import T
-    from banksy_spark.suite.round8 import _IVF_NQ
+    from banksy_spark.suite.round8 import (
+        _IVF_K,
+        _IVF_NQ,
+        ivf_parts_with_centroids,
+        ivf_probe_topk,
+    )
 
     d = str(tmp_path)
     write_parquet(f"{d}/embeddings.parquet")
 
-    got = _result(spark, d)
+    e = T(spark, d, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+    )
+    cents, _assigned, n_iter, _conv = kmeans_train(e, k=_IVF_K, max_iter=20)
+    nv = ivf_parts_with_centroids(spark, d, cents)
+    got = ivf_probe_topk(nv, n_iter)
     # in-engine brute-force ground truth over the same vectors
     n = (
         T(spark, d, "embeddings")

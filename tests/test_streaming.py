@@ -845,7 +845,7 @@ def test_space_saving_heavy_hitters_guarantees(spark, tmp_path):
     # truth per shard (same hash sharding)
     truth = (
         ev.select(
-            F.abs(F.xxhash64("event_type") % 2).cast("int").alias("shard"),
+            F.pmod(F.xxhash64("event_type"), F.lit(2)).cast("int").alias("shard"),
             F.col("event_type").alias("item"),
         )
         .groupBy("shard", "item")
