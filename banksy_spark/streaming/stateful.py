@@ -325,3 +325,153 @@ def heavy_hitters_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- Rolling bivariate correlation -------------------------------------------
+
+_RC_OUT_SCHEMA = (
+    "brand string, day string, x bigint, y bigint, corr7 double"
+)
+_RC_STATE_SCHEMA = (
+    "days array<string>, xs array<long>, ys array<long>, rn bigint"
+)
+
+
+def _rolling_corr_fold(window: int):
+    """Per-brand rolling-window Pearson fold shared by the streaming
+    state operator and the batch replay twin.
+
+    Window moments are computed in PYTHON INTS (arbitrary precision —
+    the same exactness class as the batch query's DECIMAL(38,0) sums),
+    and the final r runs the identical IEEE sequence as round8b's
+    _CORR7 expression: num and the two centered sum-of-squares convert
+    int->double independently (correctly rounded, same as Spark's
+    string-routed CAST), multiply, sqrt (correctly rounded in
+    java.lang.Math, glibc and CPython alike), divide — so stream,
+    batch-replay and the window query emit bit-identical doubles.
+    int64 state bounds: x (daily unit sum) and y (daily cent sum) fit
+    bigint far past sf100; the window MOMENTS would not, which is why
+    they are folded in Python ints and never stored."""
+    import math
+
+    def _step(buf: list[tuple[str, int, int]], rn: int, day: str, x: int, y: int):
+        buf.append((day, x, y))
+        if len(buf) > window:
+            buf.pop(0)
+        rn += 1
+        if rn < window:
+            return buf, rn, None
+        n = len(buf)
+        sx = sum(r[1] for r in buf)
+        sy = sum(r[2] for r in buf)
+        sxx = sum(r[1] * r[1] for r in buf)
+        syy = sum(r[2] * r[2] for r in buf)
+        sxy = sum(r[1] * r[2] for r in buf)
+        da = n * sxx - sx * sx
+        db = n * syy - sy * sy
+        if da > 0 and db > 0:
+            corr = float(n * sxy - sx * sy) / math.sqrt(float(da) * float(db))
+        else:
+            corr = None
+        return buf, rn, corr
+
+    def _fold(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            days, xs, ys, rn = state.get
+            buf = [(d, int(x), int(y)) for d, x, y in zip(days, xs, ys)]
+        else:
+            buf, rn = [], 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            # chunk order within a batch is arbitrary; event-time order
+            # across batches is the ingestion contract (as for SPRT/EWMA)
+            pdf = pdf.sort_values("day").reset_index(drop=True)
+            out: dict[str, list] = {"day": [], "x": [], "y": [], "corr7": []}
+            for day, x, y in zip(pdf["day"], pdf["x"], pdf["y"]):
+                buf, rn, corr = _step(buf, rn, str(day), int(x), int(y))
+                if rn >= window:
+                    out["day"].append(str(day))
+                    out["x"].append(int(x))
+                    out["y"].append(int(y))
+                    out["corr7"].append(corr)
+            if out["day"]:
+                yield pd.DataFrame(
+                    {
+                        "brand": key[0],
+                        "day": out["day"],
+                        "x": pd.array(out["x"], dtype="int64"),
+                        "y": pd.array(out["y"], dtype="int64"),
+                        "corr7": pd.array(out["corr7"], dtype="float64"),
+                    }
+                )
+        state.update(
+            (
+                [r[0] for r in buf[-(window - 1):]],
+                [r[1] for r in buf[-(window - 1):]],
+                [r[2] for r in buf[-(window - 1):]],
+                rn,
+            )
+        )
+
+    return _fold
+
+
+def rolling_corr_stateful(daily: DataFrame, window: int = 7) -> DataFrame:
+    """Streaming rolling 7-observation Pearson correlation per brand —
+    the state-incremental twin of the oracle-checked ``w_rolling_corr``
+    (suite/round8b.py): windowed moments fold one daily observation at
+    a time, so the state store carries only the last ``window - 1``
+    (day, x, y) rows + a row counter per brand, not the series.
+
+    Input: a (possibly streaming) frame of DAILY grains
+    (brand string, day string 'yyyy-MM-dd', x bigint, y bigint) — at
+    100 TB the daily aggregate runs upstream (watermarked windowed agg
+    or a foreachBatch rollup) and THIS operator sees one row per
+    (brand, day), i.e. calendar-bounded state and traffic.
+    """
+    return daily.groupBy("brand").applyInPandasWithState(
+        _rolling_corr_fold(window),
+        outputStructType=_RC_OUT_SCHEMA,
+        stateStructType=_RC_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def rolling_corr_batch(daily: DataFrame, window: int = 7) -> DataFrame:
+    """Batch replay of :func:`rolling_corr_stateful`: the SAME fold
+    (shared ``_rolling_corr_fold`` step) over a bounded daily frame via
+    repartition(brand) + sortWithinPartitions + applyInPandas, so the
+    DuckDB window-form oracle can value-check the per-observation fold
+    the state-store variant runs incrementally. Brand cardinality is
+    small and each group is calendar-bounded, so the per-group
+    applyInPandas overhead that pushed rate_limit_batch to the
+    mapInPandas form does not apply here."""
+    fold = _rolling_corr_fold(window)
+
+    def replay(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        class _Static:
+            exists = False
+
+            def update(self, _):
+                pass
+
+        frames = list(fold(key, iter([pdf]), _Static()))
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "brand": pd.array([], dtype="str"),
+                    "day": pd.array([], dtype="str"),
+                    "x": pd.array([], dtype="int64"),
+                    "y": pd.array([], dtype="int64"),
+                    "corr7": pd.array([], dtype="float64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return daily.groupBy("brand").applyInPandas(replay, _RC_OUT_SCHEMA)

@@ -355,6 +355,83 @@ def w_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_rolling_corr_stateful",
+    oracle=f"""
+    WITH daily AS (
+      SELECT p.p_brand AS brand,
+             CAST(l.l_shipdate AS DATE) AS day,
+             CAST(CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT)
+               AS DECIMAL(38,0)) AS x,
+             CAST(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS DECIMAL(38,0)) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand IN ('Brand#11', 'Brand#22', 'Brand#3')
+      GROUP BY 1, 2
+    ), winmom AS (
+      SELECT brand, day, x, y,
+             ROW_NUMBER() OVER w AS rn,
+             CAST(COUNT(*) OVER w7 AS DECIMAL(38,0)) AS nw,
+             SUM(x) OVER w7 AS sx, SUM(y) OVER w7 AS sy,
+             SUM(x * x) OVER w7 AS sxx, SUM(y * y) OVER w7 AS syy,
+             SUM(x * y) OVER w7 AS sxy
+      FROM daily
+      WINDOW w AS (PARTITION BY brand ORDER BY day),
+             w7 AS (PARTITION BY brand ORDER BY day
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT brand, day,
+           CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+           {_CORR7} AS corr7
+    FROM winmom WHERE rn >= 7
+    """,
+    note="Rolling 7-observation Pearson correlation, CUSTOM-STATEFUL "
+    "form (round-8 verdict item 6): the applyInPandas replay of the "
+    "applyInPandasWithState fold in streaming/stateful.py:"
+    "rolling_corr_stateful — windowed bivariate moments are "
+    "state-incremental (last 6 (day,x,y) rows + a counter per brand), "
+    "so the stream emits each day's r the micro-batch its grain "
+    "arrives. Verified against the SAME window-form oracle as "
+    "w_rolling_corr, proving the per-observation integer fold (Python "
+    "ints ≡ the DECIMAL(38,0) exactness class, identical IEEE tail) "
+    "rather than the window rewrite; the stream==batch contract across "
+    "micro-batch boundaries is tests/test_streaming.py. Scale: the "
+    "daily grain is calendar-bounded, groups are brands — per-group "
+    "applyInPandas overhead is nil (contrast rate_limit_batch's "
+    "mapInPandas form for million-key inputs).",
+)
+def stream_rolling_corr_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.streaming.stateful import rolling_corr_batch
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity", "l_extendedprice"
+    )
+    pt = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    daily = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .filter(F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#3"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_shipdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.round("l_quantity", 0).cast("bigint")).alias("x"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+            .alias("y"),
+        )
+        .select(
+            "brand", F.col("day").cast("string").alias("day"), "x", "y"
+        )
+    )
+    return rolling_corr_batch(daily, window=7).select(
+        "brand",
+        F.col("day").cast("date").alias("day"),
+        "x",
+        "y",
+        "corr7",
+    )
+
+
 # Spearman rho from exact doubled tie-averaged ranks: for a tie group
 # of size c whose running count is cum, min_rank + max_rank =
 # 2*cum - c + 1 (the ml_roc_auc identity), equal to the oracle's

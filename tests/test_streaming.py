@@ -860,3 +860,78 @@ def test_space_saving_heavy_hitters_guarantees(spark, tmp_path):
         if len(row):
             est, err = int(row.est_count.iloc[0]), int(row.max_err.iloc[0])
             assert t["count"] <= est <= t["count"] + err
+
+
+def test_stateful_rolling_corr_equals_batch_across_batches(spark, tmp_path):
+    """The streaming rolling-corr operator emits BIT-IDENTICAL
+    (brand, day, x, y, corr7) rows to the oracle-checked window query,
+    with the daily series split into two time-ordered chunks so the
+    (buffer, counter) state must carry across micro-batches."""
+    from banksy_spark.streaming.stateful import rolling_corr_stateful
+    from banksy_spark.suite import REGISTRY
+    from banksy_spark.suite.registry import T
+
+    li = T(spark, SF_SMOKE, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity", "l_extendedprice"
+    )
+    pt = T(spark, SF_SMOKE, "part").select("p_partkey", "p_brand")
+    daily = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .filter(F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#3"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_shipdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.round("l_quantity", 0).cast("bigint")).alias("x"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+            .alias("y"),
+        )
+        .select("brand", F.col("day").cast("string").alias("day"), "x", "y")
+    )
+    # median ISO day as the chunk boundary (string-ordered == date-ordered)
+    days = sorted(r[0] for r in daily.select("day").distinct().collect())
+    cut = days[len(days) // 2]
+    src = tmp_path / "rc_in"
+    src.mkdir()
+    import shutil
+
+    for flt, name in (
+        (F.col("day") <= cut, "0_first.parquet"),
+        (F.col("day") > cut, "1_second.parquet"),
+    ):
+        daily.filter(flt).coalesce(1).write.parquet(str(src / "tmp"))
+        part = next((src / "tmp").glob("part-*.parquet"))
+        shutil.move(str(part), str(src / name))
+        shutil.rmtree(src / "tmp")
+
+    stream = (
+        spark.readStream.schema(daily.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        rolling_corr_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("rc_mon")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish in time"
+    got = {
+        (r.brand, r.day): (r.x, r.y, r.corr7)
+        for r in spark.sql("SELECT * FROM rc_mon").collect()
+    }
+    want = {
+        (r.brand, str(r.day)): (r.x, r.y, r.corr7)
+        for r in REGISTRY["w_rolling_corr"].fn(spark, SF_SMOKE).collect()
+    }
+    assert len(want) >= 100
+    assert set(got) == set(want)
+    for k, (x, y, c) in want.items():
+        gx, gy, gc = got[k]
+        assert (gx, gy) == (x, y), k
+        # bit-exact float parity, NaN-free by construction
+        assert (gc is None and c is None) or gc == c, (k, gc, c)

@@ -1,0 +1,254 @@
+#!/usr/bin/env python
+"""Similarity-join scale curves (round-9, verdict item 5).
+
+The 100 TB argument for the exact similarity family rests on
+candidate-set reasoning: prefix filtering (j_similarity_prefix_join),
+deletion-neighborhood blocking (j_fuzzy_edit1_join) and min-hash
+bucketing (llm_dedup_containment) claim candidate counts that grow
+with REAL collisions, not corpus². SCALE.md's measured curves stopped
+at sf0.1 (5k docs / 15k customers); this tool generates sf0.3- and
+sf1.0-equivalent fixtures (3x / 10x rows, same token vocabulary,
+length distribution resampled from the real sf0.1 corpus, fixed 2%
+near-dup + 1% boilerplate-wrap injection so match structure does not
+drift with scale) and measures, per op per scale:
+
+  cand        candidate pairs entering exact verification
+  pairs       verified result pairs
+  possible    n*(n-1)/2 — what brute force would verify
+  sel         cand / possible (the filter's measured selectivity)
+  sec         end-to-end wall time of the registered query
+
+The candidate stages are re-declared inline (a measurement probe —
+the queries themselves stay unchanged and driver-checkable); they use
+the same helpers/expressions as the suite code they mirror
+(round5c.py, round8.py).
+
+Usage: python tools/bench_simjoin_scale.py  → one JSON line.
+Fixtures are written under /tmp/banksy_simjoin_sf{mult} and reused.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pyarrow as pa  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+MULTS = (1, 3, 10)  # sf0.1-, sf0.3-, sf1.0-equivalent row counts
+BASE_DOCS = 5_000
+BASE_CUST = 15_000
+NEAR_DUP_FRAC = 0.02     # copy an earlier doc, mutate one word
+CONTAIN_FRAC = 0.01      # earlier doc wrapped in boilerplate
+SEED = 20260815
+
+
+def _load_base_stats():
+    import duckdb
+
+    con = duckdb.connect()
+    vocab = [
+        r[0]
+        for r in con.sql(
+            f"SELECT DISTINCT w FROM (SELECT unnest(string_split(text,' ')) w "
+            f"FROM '{SF01}/documents.parquet') ORDER BY w"
+        ).fetchall()
+    ]
+    lengths = [
+        r[0]
+        for r in con.sql(
+            f"SELECT len(string_split(text,' ')) FROM '{SF01}/documents.parquet'"
+        ).fetchall()
+    ]
+    return vocab, np.asarray(lengths, dtype=np.int64)
+
+
+def build_fixture(mult: int) -> str:
+    out_dir = f"/tmp/banksy_simjoin_sf{mult}"
+    if os.path.exists(f"{out_dir}/_DONE"):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(SEED + mult)
+    vocab, lengths = _load_base_stats()
+    n_docs = BASE_DOCS * mult
+    texts: list[str] = []
+    for i in range(n_docs):
+        r = rng.random()
+        if i > 10 and r < NEAR_DUP_FRAC:
+            src = int(rng.integers(0, i))
+            words = texts[src].split(" ")
+            words[int(rng.integers(0, len(words)))] = vocab[
+                int(rng.integers(0, len(vocab)))
+            ]
+            texts.append(" ".join(words))
+        elif i > 10 and r < NEAR_DUP_FRAC + CONTAIN_FRAC:
+            src = int(rng.integers(0, i))
+            pad = " ".join(
+                vocab[int(j)] for j in rng.integers(0, len(vocab), 4)
+            )
+            texts.append(f"{pad} {texts[src]} {pad}")
+        else:
+            ln = int(lengths[int(rng.integers(0, len(lengths)))])
+            texts.append(
+                " ".join(vocab[int(j)] for j in rng.integers(0, len(vocab), ln))
+            )
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * n_docs),
+            "source": pa.array([f"src{i % 20}" for i in range(n_docs)]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, f"{out_dir}/documents.parquet")
+    n_cust = BASE_CUST * mult
+    cust = pa.table(
+        {
+            "c_custkey": pa.array(range(n_cust), pa.int64()),
+            "c_name": pa.array([f"Customer#{i:09d}" for i in range(n_cust)]),
+        }
+    )
+    pq.write_table(cust, f"{out_dir}/customer.parquet")
+    open(f"{out_dir}/_DONE", "w").write("ok")
+    return out_dir
+
+
+def _prefix_candidates(spark, sf_dir):
+    """The candidate stage of j_similarity_prefix_join (round5c.py)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from banksy_spark.suite.round5c import _TAU_DEN, _TAU_NUM, _shingle_sets
+
+    sets = _shingle_sets(spark, sf_dir).withColumn("n", F.size("sh"))
+    toks = sets.select("doc_id", "n", F.explode("sh").alias("tok"))
+    df_tok = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = toks.join(df_tok, "tok")
+    prefix_len = F.col("n") - F.floor(
+        (F.lit(_TAU_NUM) * F.col("n") + F.lit(_TAU_DEN - 1)) / F.lit(_TAU_DEN)
+    ) + 1
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    prefix = (
+        ranked.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "n", F.xxhash64("tok").alias("tok"))
+    )
+    return (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            F.lit(_TAU_NUM) * F.greatest(F.col("a.n"), F.col("b.n"))
+            <= F.lit(_TAU_DEN) * F.least(F.col("a.n"), F.col("b.n"))
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _edit1_candidates(spark, sf_dir):
+    """The candidate stage of j_fuzzy_edit1_join (round5c.py)."""
+    from pyspark.sql import functions as F
+
+    from banksy_spark.suite.registry import T
+
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    keys = c.select(
+        "c_custkey",
+        F.explode(
+            F.array_union(
+                F.array(F.col("c_name")),
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("c_name")),
+                        lambda i: F.concat(
+                            F.substring(F.col("c_name"), F.lit(1), i - 1),
+                            F.col("c_name").substr(i + 1, F.length("c_name") - i),
+                        ),
+                    )
+                ),
+            )
+        ).alias("blk"),
+    )
+    hashed = keys.select("c_custkey", F.xxhash64("blk").alias("h"))
+    a = hashed.select(F.col("c_custkey").alias("key_a"), "h")
+    b = hashed.select(F.col("c_custkey").alias("key_b"), "h")
+    return (
+        a.join(b, "h").filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+    )  # pre-distinct, pre-verify: what the verifier actually touches
+
+
+def _containment_candidates(spark, sf_dir):
+    """The candidate stage of llm_dedup_containment (round8.py)."""
+    from pyspark.sql import functions as F
+
+    from banksy_spark.suite.registry import T
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    sh = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.expr(
+                "transform(slice(w, 1, greatest(size(w) - 2, 0)), "
+                "(x, j) -> concat(x, ' ', w[j + 1], ' ', w[j + 2]))"
+            )).alias("_p", "s"),
+        )
+        .select("doc_id", F.md5(F.col("s").cast("binary")).alias("h"))
+        .distinct()
+    )
+    mk = sh.groupBy("doc_id").agg(F.min("h").alias("mk"))
+    a, b = mk.alias("a"), mk.alias("b")
+    return a.join(
+        b, (F.col("a.mk") == F.col("b.mk")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+
+
+def main() -> int:
+    from banksy_spark.session import get_spark
+    from banksy_spark.suite import REGISTRY
+
+    spark = get_spark("bench-simjoin")
+    ops = {
+        "j_similarity_prefix_join": ("documents", BASE_DOCS, _prefix_candidates),
+        "j_fuzzy_edit1_join": ("customer", BASE_CUST, _edit1_candidates),
+        "llm_dedup_containment": ("documents", BASE_DOCS, _containment_candidates),
+    }
+    out: dict = {"metric": "simjoin_scale", "unit": "sec", "scales": {}}
+    for mult in MULTS:
+        sf_dir = build_fixture(mult)
+        row: dict = {}
+        for name, (tbl, base_n, cand_fn) in ops.items():
+            n = base_n * mult
+            t0 = time.time()
+            pairs = REGISTRY[name].fn(spark, sf_dir).count()
+            sec = round(time.time() - t0, 2)
+            spark.catalog.clearCache()
+            cand = cand_fn(spark, sf_dir).count()
+            possible = n * (n - 1) // 2
+            row[name] = {
+                "n": n,
+                "cand": cand,
+                "pairs": pairs,
+                "possible": possible,
+                "sel": round(cand / possible, 8),
+                "sec": sec,
+            }
+            spark.catalog.clearCache()
+        out["scales"][f"x{mult}"] = row
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
