@@ -1,0 +1,127 @@
+"""Round-9 additions.
+
+- j_similarity_ppjoin_pos: the PPJoin POSITIONAL filter on top of the
+  round-5 prefix filter — the pruning stage the round-9 similarity
+  scale study (SCALE.md) names as the closed-vocabulary mitigation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from banksy_spark.suite.registry import T, query
+from banksy_spark.suite.round5c import (
+    _SHINGLE_DUCK,
+    _TAU_DEN,
+    _TAU_NUM,
+    _shingle_sets,
+)
+
+
+@query(
+    "j_similarity_ppjoin_pos",
+    oracle=f"""
+    WITH {_SHINGLE_DUCK}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+             AS jaccard
+    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
+    """,
+    note="PPJoin positional filter (Xiao et al. WWW'08) over the round-5 "
+    "prefix filter: prefix tokens carry their POSITION in the doc's "
+    "df-ordered shingle list, and for each candidate pair only the "
+    "EARLIEST prefix-prefix match (i*, j*) matters — both lists share "
+    "one global (df, token) total order, so every shared token sits at "
+    "positions >= i* in a and >= j* in b (a shared token before i* "
+    "would itself be an earlier prefix-prefix match), giving the "
+    "lossless overlap bound ubound = 1 + min(n_a - i*, n_b - j*). "
+    "Pairs with ubound < alpha = ceil(tau/(1+tau) * (n_a+n_b)) "
+    "(integer form: (3(n_a+n_b)+7) div 8 for tau=3/5, exact since "
+    "J >= tau <=> overlap >= alpha) are pruned BEFORE the exact "
+    "verify — measured 61-65% fewer exact verifications and ~2.4x "
+    "lower wall time than j_similarity_prefix_join on the "
+    "closed-vocabulary scale fixtures (tools/bench_simjoin_scale.py, "
+    "SCALE.md round-9 section) where every token is frequent and the "
+    "plain prefix filter is at its worst. Same brute-force O(n^2) "
+    "oracle: the composition must stay exact. Scale: identical "
+    "shuffle structure to the prefix join (token-keyed candidates, "
+    "broadcast-free, never all-pairs) — the min-struct aggregate that "
+    "picks (i*, j*) is map-side combinable and replaces the plain "
+    "form's distinct, so the filter adds no new exchange.",
+)
+def j_similarity_ppjoin_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sets = _shingle_sets(spark, sf_dir).withColumn("n", F.size("sh")).persist()
+    toks = sets.select("doc_id", "n", F.explode("sh").alias("tok"))
+    df_tok = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = toks.join(df_tok, "tok")
+    prefix_len = F.col("n") - F.floor(
+        (F.lit(_TAU_NUM) * F.col("n") + F.lit(_TAU_DEN - 1)) / F.lit(_TAU_DEN)
+    ) + 1
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    prefix = (
+        ranked.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "n", "pos", F.xxhash64("tok").alias("tok"))
+    )
+    # earliest prefix-prefix match per pair: min over (pos_a, pos_b)
+    # structs == the (i*, j*) PPJoin scans to first (pos_a is unique
+    # per (doc, token), so the lexicographic min is well-defined)
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            F.lit(_TAU_NUM) * F.greatest(F.col("a.n"), F.col("b.n"))
+            <= F.lit(_TAU_DEN) * F.least(F.col("a.n"), F.col("b.n"))
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("a.pos").alias("ia"),
+                    F.col("b.pos").alias("jb"),
+                    F.col("a.n").alias("n_a"),
+                    F.col("b.n").alias("n_b"),
+                )
+            ).alias("m")
+        )
+        .select("doc_a", "doc_b", "m.ia", "m.jb", "m.n_a", "m.n_b")
+        # positional filter: ubound = 1 + min(n_a - i*, n_b - j*),
+        # alpha = ceil(3/8 * (n_a + n_b)) as (3(n_a+n_b)+7) div 8
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("n_a") - F.col("ia"), F.col("n_b") - F.col("jb")
+            )
+            >= F.floor(
+                (F.lit(3) * (F.col("n_a") + F.col("n_b")) + F.lit(7))
+                / F.lit(8)
+            )
+        )
+        .select("doc_a", "doc_b")
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
+        F.col("n").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
+        F.col("n").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b", "jaccard")
+    )

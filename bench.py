@@ -167,6 +167,7 @@ HEADLINE = [
     "a_q13_order_distribution", # TPC-H Q13: pre-agg before outer join
     "j_q20_dominant_suppliers", # TPC-H Q20 shape: agg+window, semi probe
     "j_similarity_prefix_join", # exact prefix-filtered similarity join
+    "j_similarity_ppjoin_pos",  # + PPJoin positional filter (round 9)
     "j_fuzzy_edit1_join",       # deletion-neighborhood edit-1 matching
     "llm_stratified_split",     # exact per-stratum 80/10/10 split
     "w_linear_interpolate",     # time interpolation (ffill+bfill windows)
@@ -218,6 +219,9 @@ HEADLINE = [
     "ml_linreg_normal",         # one-pass OLS via exact-decimal Cramer
     "a_theil_sen_monthly",      # pairwise-median robust trend, calendar-bounded
     "w_rolling_corr",           # rolling Pearson from exact window moments
+    "stream_rolling_corr_stateful",  # same stat, per-observation stateful fold
+    "ml_kmeans_converged",      # frozen-quantizer serving pass (round 9)
+    "llm_ann_ivf_trained",      # trained-IVF probe over frozen inverted lists
     "ml_spearman_corr",         # rank correlation, aggregate-first tie spans
     "ml_mutual_info",           # PMI/MI cell grid, quantized ln outputs
     "ml_kendall_tau",           # tau-b from exact pair-sign counts
