@@ -69,35 +69,50 @@ def _load_base_stats():
     return vocab, np.asarray(lengths, dtype=np.int64)
 
 
-def build_fixture(mult: int) -> str:
-    out_dir = f"/tmp/banksy_simjoin_sf{mult}"
+def build_fixture(mult: int, heaps: bool = False) -> str:
+    """Synthetic corpus at ``mult``x the sf0.1 row counts.
+
+    ``heaps=False``: the CLOSED-vocabulary corpus (the sf0.1 token set,
+    31 words at every scale) — the worst case for df-ordered prefixes.
+    ``heaps=True``: vocabulary grows with the corpus as |V| ~ n^0.5
+    (Heaps' law, beta=0.5), drawn Zipf-weighted so the df distribution
+    is realistic — the regime a real 100 TB corpus sits in."""
+    tag = "heaps" if heaps else "sf"
+    out_dir = f"/tmp/banksy_simjoin_{tag}{mult}"
     if os.path.exists(f"{out_dir}/_DONE"):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(SEED + mult)
     vocab, lengths = _load_base_stats()
+    if heaps:
+        n_vocab = max(len(vocab), int(31 * (mult * 1.0) ** 0.5 * 10))
+        vocab = [f"w{i}" for i in range(n_vocab)]
+        # Zipf-ish draw weights (s=1.1) so rare tokens exist at every n
+        w = 1.0 / np.arange(1, n_vocab + 1) ** 1.1
+        weights = w / w.sum()
     n_docs = BASE_DOCS * mult
     texts: list[str] = []
+    def draw(k: int) -> list[str]:
+        if heaps:
+            idx = rng.choice(len(vocab), size=k, p=weights)
+        else:
+            idx = rng.integers(0, len(vocab), k)
+        return [vocab[int(j)] for j in idx]
+
     for i in range(n_docs):
         r = rng.random()
         if i > 10 and r < NEAR_DUP_FRAC:
             src = int(rng.integers(0, i))
             words = texts[src].split(" ")
-            words[int(rng.integers(0, len(words)))] = vocab[
-                int(rng.integers(0, len(vocab)))
-            ]
+            words[int(rng.integers(0, len(words)))] = draw(1)[0]
             texts.append(" ".join(words))
         elif i > 10 and r < NEAR_DUP_FRAC + CONTAIN_FRAC:
             src = int(rng.integers(0, i))
-            pad = " ".join(
-                vocab[int(j)] for j in rng.integers(0, len(vocab), 4)
-            )
+            pad = " ".join(draw(4))
             texts.append(f"{pad} {texts[src]} {pad}")
         else:
             ln = int(lengths[int(rng.integers(0, len(lengths)))])
-            texts.append(
-                " ".join(vocab[int(j)] for j in rng.integers(0, len(vocab), ln))
-            )
+            texts.append(" ".join(draw(ln)))
     docs = pa.table(
         {
             "doc_id": pa.array(range(n_docs), pa.int64()),
@@ -214,8 +229,18 @@ def _containment_candidates(spark, sf_dir):
 
 
 def main() -> int:
+    import argparse
+
     from banksy_spark.session import get_spark
     from banksy_spark.suite import REGISTRY
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--heaps", action="store_true",
+        help="growing-vocabulary (Heaps-law, Zipf-weighted) corpus "
+        "instead of the closed-vocabulary worst case",
+    )
+    args = ap.parse_args()
 
     spark = get_spark("bench-simjoin")
     ops = {
@@ -223,9 +248,12 @@ def main() -> int:
         "j_fuzzy_edit1_join": ("customer", BASE_CUST, _edit1_candidates),
         "llm_dedup_containment": ("documents", BASE_DOCS, _containment_candidates),
     }
-    out: dict = {"metric": "simjoin_scale", "unit": "sec", "scales": {}}
+    if args.heaps:  # documents-based ops only; vocab doesn't affect FastSS
+        ops.pop("j_fuzzy_edit1_join")
+    metric = "simjoin_scale_heaps" if args.heaps else "simjoin_scale"
+    out: dict = {"metric": metric, "unit": "sec", "scales": {}}
     for mult in MULTS:
-        sf_dir = build_fixture(mult)
+        sf_dir = build_fixture(mult, heaps=args.heaps)
         row: dict = {}
         for name, (tbl, base_n, cand_fn) in ops.items():
             n = base_n * mult
