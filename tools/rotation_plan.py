@@ -1,0 +1,134 @@
+"""Pre-committed driver-window rotation plan (round-8 verdict item 2).
+
+The driver verifies the FIRST 50 registry entries each round
+(suite/__init__.py `_FRONT`). This module pins the NEXT two windows by
+name so rotating is a copy-paste, and tests/test_contract.py asserts
+the plan stays consistent with the live registry and the verified
+union (no typos, no wasted slots, full coverage by round 11).
+
+Ordering within each window is by residual risk, same discipline as
+rounds 8-9: hand-rolled arithmetic and stateful/iterative operators
+first, mechanical shapes last.
+"""
+
+# Round 10: the 50 riskiest never-driver-verified queries left after
+# the round-9 window lands — the newly literal-centroid-oracled
+# trainers and round-9 additions first (their oracles are new), then
+# multimodal decoders, converged iterative ops, sketches, streaming
+# twins, temporal joins, CDC, and the remaining hand-rolled statistics.
+R10 = [
+    # newly-oracled / new this round
+    "ml_kmeans_converged",
+    "llm_ann_ivf_trained",
+    "stream_rolling_corr_stateful",
+    "j_similarity_ppjoin_pos",
+    # multimodal Arrow decode paths
+    "llm_audio_frames",
+    "llm_image_patches",
+    "llm_video_keyframes",
+    # converged iterative operators
+    "j_ancestry_converged",
+    "graph_bfs_converged",
+    "graph_bfs_distance",
+    # sketches
+    "a_heavy_hitters_cms",
+    "llm_kmv_algebra",
+    "llm_distinct_sketch_hll",
+    "a_bitmap_distinct",
+    # streaming-semantics twins
+    "stream_markov_transitions",
+    "stream_attribution",
+    "stream_top_paths",
+    "stream_interval_left_join",
+    "stream_hopping_window",
+    "stream_session_window_native",
+    "stream_funnel_steps",
+    # temporal / interval / spatial joins
+    "j_asof_tolerance",
+    "j_interval_overlap",
+    "j_spatial_grid_join",
+    "j_temporal_scd2_lookup",
+    # CDC family
+    "llm_cdc_chunks",
+    "llm_dedup_cdc",
+    "o_cdc_merge_apply",
+    # windows / SCD2 / rank
+    "w_rank_family",
+    "w_scd2_intervals",
+    "w_distinct_over_window",
+    "w_ewma",
+    "w_time_weighted_avg",
+    "w_capped_running_sum",
+    "w_rolling_range",
+    # ANN variants
+    "llm_ann_pq",
+    "llm_ann_recall_pq",
+    "llm_ann_ivf_multiprobe",
+    "llm_ann_recall_multiprobe",
+    # skew / bloom join machinery
+    "j_salted_skew_join",
+    "j_bloom_prune_join",
+    # dedup / decontam / retrieval
+    "llm_dedup_incremental",
+    "llm_dedup_lsh_recall",
+    "llm_dedup_spans",
+    "llm_decontam_overlap",
+    "llm_bm25_topk",
+    # hand-rolled statistics
+    "a_mad_outliers",
+    "a_histogram_quantiles",
+    "ml_zscore_scaling",
+    "a_retention_cohorts",
+]
+
+# Round 11: the tail — everything never driver-verified after R10.
+R11 = [
+    "llm_quality_repetition",
+    "llm_domain_mix",
+    "llm_rank_fusion",
+    "a_decorrelated_avg",
+    "llm_mix_temperature",
+    "j_decorrelated_exists",
+    "o_zorder_key",
+    "llm_chunk_overlap",
+    "llm_bpe_pairs",
+    "llm_quality_classifier",
+    "llm_dsir_importance",
+    "llm_lm_fluency",
+    "llm_pmi_cooc",
+    "llm_embed_feature_hash",
+    "llm_tokenize_ids",
+    "w_gap_fill_resample",
+    "llm_sample_pps",
+    "a_incremental_view",
+    "j_argmin_supplier",
+    "o_compaction_plan",
+    "llm_epoch_shuffle",
+    "llm_bpe_merges",
+    "f_array_hof",
+    "f_null_semantics",
+    "j_hierarchy_unroll",
+    "o_snapshot_diff",
+    "a_seasonal_anomaly",
+    "w_activity_streaks",
+    "llm_langid_trained",
+    "j_basket_pairs",
+    "a_topn_others_rollup",
+    "o_union_evolved",
+    "a_yoy_growth",
+    "llm_span_corruption",
+    "llm_boundary_overlap",
+    "w_gap_alerts",
+    "a_rolling_dau_7d",
+    "llm_boilerplate_ngrams",
+    "a_ship_latency_pct",
+    "j_basket_lift",
+    "dq_partition_checksum",
+    "graph_degree_histogram",
+    "a_dow_hour_grid",
+    "dq_k_anonymity",
+    "llm_e2e_prepare",
+    "a_xyz_classification",
+    "a_dau_mau_stickiness",
+    "dq_merkle_root",
+]
