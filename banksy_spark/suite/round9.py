@@ -42,16 +42,19 @@ from banksy_spark.suite.round5c import (
     "Pairs with ubound < alpha = ceil(tau/(1+tau) * (n_a+n_b)) "
     "(integer form: (3(n_a+n_b)+7) div 8 for tau=3/5, exact since "
     "J >= tau <=> overlap >= alpha) are pruned BEFORE the exact "
-    "verify — measured 61-65% fewer exact verifications and ~2.4x "
+    "verify — measured 61-65% fewer exact verifications and 2.3-3.5x "
     "lower wall time than j_similarity_prefix_join on the "
     "closed-vocabulary scale fixtures (tools/bench_simjoin_scale.py, "
     "SCALE.md round-9 section) where every token is frequent and the "
     "plain prefix filter is at its worst. Same brute-force O(n^2) "
     "oracle: the composition must stay exact. Scale: identical "
     "shuffle structure to the prefix join (token-keyed candidates, "
-    "broadcast-free, never all-pairs) — the min-struct aggregate that "
-    "picks (i*, j*) is map-side combinable and replaces the plain "
-    "form's distinct, so the filter adds no new exchange.",
+    "broadcast-free, never all-pairs) — the positional test runs PER "
+    "MATCH ROW before the pair-dedup exchange (lossless: a pair's "
+    "earliest match carries its largest ubound, so the pair survives "
+    "row filtering iff PPJoin's pair test passes), dropping match rows "
+    "map-side; the filter adds no new exchange and SHRINKS the "
+    "existing one.",
 )
 def j_similarity_ppjoin_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = _shingle_sets(spark, sf_dir).withColumn("n", F.size("sh")).persist()
@@ -67,9 +70,15 @@ def j_similarity_ppjoin_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") <= prefix_len)
         .select("doc_id", "n", "pos", F.xxhash64("tok").alias("tok"))
     )
-    # earliest prefix-prefix match per pair: min over (pos_a, pos_b)
-    # structs == the (i*, j*) PPJoin scans to first (pos_a is unique
-    # per (doc, token), so the lexicographic min is well-defined)
+    # positional filter PER MATCH ROW, before the pair dedup: for a
+    # match at (ia, jb), ubound = 1 + min(n_a - ia, n_b - jb); the
+    # EARLIEST match of a pair has the LARGEST ubound (ubound falls as
+    # positions grow), so per-row pruning keeps a pair iff its earliest
+    # match passes — exactly PPJoin's pair-level test — while shrinking
+    # the dedup exchange map-side instead of shuffling every candidate
+    # row into a min-struct aggregate first (the x10 fixture's 23.7M
+    # match rows drop before the wire, not after).
+    # alpha = ceil(tau/(1+tau)(n_a+n_b)) = (3(n_a+n_b)+7) div 8
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "tok")
@@ -78,33 +87,20 @@ def j_similarity_ppjoin_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_TAU_NUM) * F.greatest(F.col("a.n"), F.col("b.n"))
             <= F.lit(_TAU_DEN) * F.least(F.col("a.n"), F.col("b.n"))
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(
-            F.min(
-                F.struct(
-                    F.col("a.pos").alias("ia"),
-                    F.col("b.pos").alias("jb"),
-                    F.col("a.n").alias("n_a"),
-                    F.col("b.n").alias("n_b"),
-                )
-            ).alias("m")
-        )
-        .select("doc_a", "doc_b", "m.ia", "m.jb", "m.n_a", "m.n_b")
-        # positional filter: ubound = 1 + min(n_a - i*, n_b - j*),
-        # alpha = ceil(3/8 * (n_a + n_b)) as (3(n_a+n_b)+7) div 8
         .filter(
             F.lit(1)
             + F.least(
-                F.col("n_a") - F.col("ia"), F.col("n_b") - F.col("jb")
+                F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
             )
             >= F.floor(
-                (F.lit(3) * (F.col("n_a") + F.col("n_b")) + F.lit(7))
+                (F.lit(3) * (F.col("a.n") + F.col("b.n")) + F.lit(7))
                 / F.lit(8)
             )
         )
-        .select("doc_a", "doc_b")
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
     )
     sa = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
