@@ -168,6 +168,49 @@ def _prefix_candidates(spark, sf_dir):
     )
 
 
+def _ppjoin_candidates(spark, sf_dir):
+    """The candidate stage of j_similarity_ppjoin_pos (round9.py):
+    prefix candidates surviving the per-row positional filter."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from banksy_spark.suite.round5c import _TAU_DEN, _TAU_NUM, _shingle_sets
+
+    sets = _shingle_sets(spark, sf_dir).withColumn("n", F.size("sh"))
+    toks = sets.select("doc_id", "n", F.explode("sh").alias("tok"))
+    df_tok = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = toks.join(df_tok, "tok")
+    prefix_len = F.col("n") - F.floor(
+        (F.lit(_TAU_NUM) * F.col("n") + F.lit(_TAU_DEN - 1)) / F.lit(_TAU_DEN)
+    ) + 1
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    prefix = (
+        ranked.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "n", "pos", F.xxhash64("tok").alias("tok"))
+    )
+    return (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            F.lit(_TAU_NUM) * F.greatest(F.col("a.n"), F.col("b.n"))
+            <= F.lit(_TAU_DEN) * F.least(F.col("a.n"), F.col("b.n"))
+        )
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+            )
+            >= F.floor(
+                (F.lit(3) * (F.col("a.n") + F.col("b.n")) + F.lit(7)) / F.lit(8)
+            )
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def _edit1_candidates(spark, sf_dir):
     """The candidate stage of j_fuzzy_edit1_join (round5c.py)."""
     from pyspark.sql import functions as F
@@ -245,6 +288,7 @@ def main() -> int:
     spark = get_spark("bench-simjoin")
     ops = {
         "j_similarity_prefix_join": ("documents", BASE_DOCS, _prefix_candidates),
+        "j_similarity_ppjoin_pos": ("documents", BASE_DOCS, _ppjoin_candidates),
         "j_fuzzy_edit1_join": ("customer", BASE_CUST, _edit1_candidates),
         "llm_dedup_containment": ("documents", BASE_DOCS, _containment_candidates),
     }

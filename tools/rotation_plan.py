@@ -9,6 +9,11 @@ union (no typos, no wasted slots, full coverage by round 11).
 Ordering within each window is by residual risk, same discipline as
 rounds 8-9: hand-rolled arithmetic and stateful/iterative operators
 first, mechanical shapes last.
+
+Pre-validation (round 9 close): all 50 R10 names pass the vanilla-ANSI
+driver-simulation probe (tools/ansi_check.py, sf0.01, 50/50) in
+addition to the standing tuned-session sweeps — the rotation carries
+no session-config risk.
 """
 
 # Round 10: the 50 riskiest never-driver-verified queries left after
