@@ -475,3 +475,118 @@ def rolling_corr_batch(daily: DataFrame, window: int = 7) -> DataFrame:
         return pd.concat(frames, ignore_index=True)
 
     return daily.groupBy("brand").applyInPandas(replay, _RC_OUT_SCHEMA)
+
+
+# --- Rolling Bollinger bands --------------------------------------------------
+
+_BB_OUT_SCHEMA = (
+    "pri string, day string, cents bigint, mid double, "
+    "lower_band double, upper_band double, breakout_up boolean"
+)
+_BB_STATE_SCHEMA = "vals array<long>"
+
+
+def _bollinger_fold(window: int):
+    """Per-series trailing mean ± 2σ fold shared by the streaming
+    operator and the batch replay twin — the state-incremental form of
+    w_bollinger_bands (suite/round5o.py). Moments are Python ints
+    (≡ the batch DECIMAL(38,0) sums exactly); the IEEE tail mirrors
+    the batch expression: int→double conversions are correctly
+    rounded (same as the string-routed CAST), sqrt is correctly
+    rounded, and ((2.0 · sqrt)/k) preserves the operation order, so
+    stream, replay and window query emit bit-identical bands. Unlike
+    the gated rolling-corr, Bollinger emits EVERY row (partial leading
+    windows use k = rows so far, matching the batch frame)."""
+    import math
+
+    def _fold(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        buf = [int(v) for v in state.get[0]] if state.exists else []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = pdf.sort_values("day").reset_index(drop=True)
+            out: dict[str, list] = {
+                "day": [], "cents": [], "mid": [],
+                "lower_band": [], "upper_band": [], "breakout_up": [],
+            }
+            for day, cents in zip(pdf["day"], pdf["cents"]):
+                x = int(cents)
+                frame = buf[-(window - 1):] + [x]
+                k = len(frame)
+                s1 = sum(frame)
+                s2 = sum(v * v for v in frame)
+                mid = float(s1) / k
+                sd = 2.0 * math.sqrt(float(k * s2 - s1 * s1)) / k
+                out["day"].append(str(day))
+                out["cents"].append(x)
+                out["mid"].append(mid)
+                out["lower_band"].append(mid - sd)
+                out["upper_band"].append(mid + sd)
+                out["breakout_up"].append(float(x) > mid + sd)
+                buf = frame
+            yield pd.DataFrame(
+                {
+                    "pri": key[0],
+                    "day": out["day"],
+                    "cents": pd.array(out["cents"], dtype="int64"),
+                    "mid": pd.array(out["mid"], dtype="float64"),
+                    "lower_band": pd.array(out["lower_band"], dtype="float64"),
+                    "upper_band": pd.array(out["upper_band"], dtype="float64"),
+                    "breakout_up": pd.array(out["breakout_up"], dtype="boolean"),
+                }
+            )
+        state.update(([int(v) for v in buf[-(window - 1):]],))
+
+    return _fold
+
+
+def bollinger_stateful(daily: DataFrame, window: int = 20) -> DataFrame:
+    """Streaming Bollinger bands per series key — the state-incremental
+    twin of the oracle-checked ``w_bollinger_bands``: the state store
+    carries only the last ``window - 1`` integer observations per key.
+    Input: a (possibly streaming) daily frame (pri string, day string
+    'yyyy-MM-dd', cents bigint); at 100 TB the daily rollup runs
+    upstream, so state and traffic are calendar-bounded per key."""
+    return daily.groupBy("pri").applyInPandasWithState(
+        _bollinger_fold(window),
+        outputStructType=_BB_OUT_SCHEMA,
+        stateStructType=_BB_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def bollinger_batch(daily: DataFrame, window: int = 20) -> DataFrame:
+    """Batch replay of :func:`bollinger_stateful` (same shared fold)
+    via groupBy(pri).applyInPandas, so the DuckDB window-form oracle
+    value-checks the per-observation fold the state store runs
+    incrementally. Series keys are few and calendar-bounded."""
+    fold = _bollinger_fold(window)
+
+    def replay(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        class _Static:
+            exists = False
+
+            def update(self, _):
+                pass
+
+        frames = list(fold(key, iter([pdf]), _Static()))
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "pri": pd.array([], dtype="str"),
+                    "day": pd.array([], dtype="str"),
+                    "cents": pd.array([], dtype="int64"),
+                    "mid": pd.array([], dtype="float64"),
+                    "lower_band": pd.array([], dtype="float64"),
+                    "upper_band": pd.array([], dtype="float64"),
+                    "breakout_up": pd.array([], dtype="boolean"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return daily.groupBy("pri").applyInPandas(replay, _BB_OUT_SCHEMA)

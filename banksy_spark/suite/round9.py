@@ -121,3 +121,69 @@ def j_similarity_ppjoin_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.6)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+# --- Streaming Bollinger twin ------------------------------------------------
+
+from banksy_spark.suite.round5o import _BB_WIN, _DAILY_DUCK, _daily  # noqa: E402
+
+
+@query(
+    "stream_bollinger_stateful",
+    oracle=f"""
+    WITH daily AS ({_DAILY_DUCK})
+    SELECT pri, day, cents,
+           CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / k AS mid,
+           CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / k
+             - 2e0 * sqrt(CAST(CAST(k * s2 - s1 * s1 AS VARCHAR) AS DOUBLE))
+                   / k AS lower_band,
+           CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / k
+             + 2e0 * sqrt(CAST(CAST(k * s2 - s1 * s1 AS VARCHAR) AS DOUBLE))
+                   / k AS upper_band,
+           CAST(cents AS DOUBLE) >
+             CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / k
+               + 2e0 * sqrt(CAST(CAST(k * s2 - s1 * s1 AS VARCHAR) AS DOUBLE))
+                     / k AS breakout_up
+    FROM (
+      SELECT pri, day, cents,
+             COUNT(*) OVER wk AS k,
+             SUM(CAST(cents AS DECIMAL(38,0))) OVER wk AS s1,
+             SUM(CAST(cents AS DECIMAL(38,0))
+                 * CAST(cents AS DECIMAL(38,0))) OVER wk AS s2
+      FROM daily
+      WINDOW wk AS (PARTITION BY pri ORDER BY day
+                    ROWS BETWEEN {_BB_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    """,
+    note=f"Bollinger bands, CUSTOM-STATEFUL form: the applyInPandas "
+    "replay of streaming/stateful.py:bollinger_stateful "
+    f"(applyInPandasWithState, state = last {_BB_WIN - 1} integer "
+    "observations per series) — completes the streaming-twin arc of "
+    "the rolling-diagnostics family (EWMA, SPRT, CUSUM, rolling-corr, "
+    "now Bollinger). Verified against the SAME window-form oracle as "
+    "w_bollinger_bands: Python-int moments ≡ the DECIMAL(38,0) sums, "
+    "identical IEEE tail (correctly-rounded int→double, sqrt, same "
+    "operation order), so stream, replay and window query are "
+    "bit-identical; the cross-micro-batch contract is "
+    "tests/test_streaming.py. Scale: daily grain upstream, few "
+    "calendar-bounded series keys — applyInPandas per-group overhead "
+    "is nil here.",
+)
+def stream_bollinger_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.streaming.stateful import bollinger_batch
+
+    # _daily's day is a session-UTC timestamp (midnight) — route it
+    # through the fold as its canonical string and restore the SAME
+    # type on the way out so the twin's schema matches the window form
+    daily = _daily(spark, sf_dir).select(
+        "pri", F.col("day").cast("string").alias("day"), "cents"
+    )
+    return bollinger_batch(daily, window=_BB_WIN).select(
+        "pri",
+        F.col("day").cast("timestamp").alias("day"),
+        "cents",
+        "mid",
+        "lower_band",
+        "upper_band",
+        "breakout_up",
+    )

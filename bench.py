@@ -220,6 +220,7 @@ HEADLINE = [
     "a_theil_sen_monthly",      # pairwise-median robust trend, calendar-bounded
     "w_rolling_corr",           # rolling Pearson from exact window moments
     "stream_rolling_corr_stateful",  # same stat, per-observation stateful fold
+    "stream_bollinger_stateful",     # bands via the state-incremental fold
     "ml_kmeans_converged",      # frozen-quantizer serving pass (round 9)
     "llm_ann_ivf_trained",      # trained-IVF probe over frozen inverted lists
     "ml_spearman_corr",         # rank correlation, aggregate-first tie spans

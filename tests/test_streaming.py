@@ -935,3 +935,58 @@ def test_stateful_rolling_corr_equals_batch_across_batches(spark, tmp_path):
         assert (gx, gy) == (x, y), k
         # bit-exact float parity, NaN-free by construction
         assert (gc is None and c is None) or gc == c, (k, gc, c)
+
+
+def test_stateful_bollinger_equals_batch_across_batches(spark, tmp_path):
+    """The streaming Bollinger operator emits BIT-IDENTICAL
+    (pri, day, cents, mid, bands, breakout) rows to the oracle-checked
+    window query, with the daily series split into two time-ordered
+    chunks so the value buffer must carry across micro-batches."""
+    from banksy_spark.streaming.stateful import bollinger_stateful
+    from banksy_spark.suite import REGISTRY
+    from banksy_spark.suite.round5o import _BB_WIN, _daily
+
+    daily = _daily(spark, SF_SMOKE).select(
+        "pri", F.col("day").cast("string").alias("day"), "cents"
+    )
+    days = sorted(r[0] for r in daily.select("day").distinct().collect())
+    cut = days[len(days) // 2]
+    src = tmp_path / "bb_in"
+    src.mkdir()
+    import shutil
+
+    for flt, name in (
+        (F.col("day") <= cut, "0_first.parquet"),
+        (F.col("day") > cut, "1_second.parquet"),
+    ):
+        daily.filter(flt).coalesce(1).write.parquet(str(src / "tmp"))
+        part = next((src / "tmp").glob("part-*.parquet"))
+        shutil.move(str(part), str(src / name))
+        shutil.rmtree(src / "tmp")
+
+    stream = (
+        spark.readStream.schema(daily.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        bollinger_stateful(stream, window=_BB_WIN)
+        .writeStream.format("memory")
+        .queryName("bb_mon")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish in time"
+    got = {
+        (r.pri, r.day): (r.cents, r.mid, r.lower_band, r.upper_band, r.breakout_up)
+        for r in spark.sql("SELECT * FROM bb_mon").collect()
+    }
+    want = {
+        (r.pri, str(r.day)): (r.cents, r.mid, r.lower_band, r.upper_band, r.breakout_up)
+        for r in REGISTRY["w_bollinger_bands"].fn(spark, SF_SMOKE).collect()
+    }
+    assert len(want) >= 100
+    assert set(got) == set(want)
+    assert got == want  # bit-exact floats, no tolerance

@@ -10,10 +10,10 @@ Ordering within each window is by residual risk, same discipline as
 rounds 8-9: hand-rolled arithmetic and stateful/iterative operators
 first, mechanical shapes last.
 
-Pre-validation (round 9 close): all 50 R10 names pass the vanilla-ANSI
-driver-simulation probe (tools/ansi_check.py, sf0.01, 50/50) in
-addition to the standing tuned-session sweeps — the rotation carries
-no session-config risk.
+Pre-validation (round 9 close): every R10 AND R11 name passes the
+vanilla-ANSI driver-simulation probe (tools/ansi_check.py, sf0.01 —
+50/50 and 48/48) in addition to the standing tuned-session sweeps —
+the remaining rotations carry no session-config risk.
 """
 
 # Round 10: the 50 riskiest never-driver-verified queries left after
@@ -83,11 +83,13 @@ R10 = [
     "a_mad_outliers",
     "a_histogram_quantiles",
     "ml_zscore_scaling",
-    "a_retention_cohorts",
+    # round-9-close stateful twin (new oracle — verify first)
+    "stream_bollinger_stateful",
 ]
 
 # Round 11: the tail — everything never driver-verified after R10.
 R11 = [
+    "a_retention_cohorts",
     "llm_quality_repetition",
     "llm_domain_mix",
     "llm_rank_fusion",
