@@ -70,3 +70,30 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_caches(spark: SparkSession) -> int:
+    """Release EVERY cached/persisted artifact the session holds:
+    DataFrame-layer caches (``catalog.clearCache``) AND the
+    persistent-RDD registry, which additionally contains
+    ``localCheckpoint`` RDDs that the CacheManager cannot see
+    (operators/graph.py truncates the dup-graph lineage with lazy
+    local checkpoints; kmeans.py likewise). Returns the number of
+    registry entries released.
+
+    Call between queries, never mid-query: a localCheckpointed RDD's
+    lineage is truncated, so unpersisting it destroys the only copy —
+    any still-live plan built on it would fail on its next action.
+    Every harness (bench.py, tools/check.py, tools/ansi_check.py,
+    tools/plan_audit.py, tests/conftest.py) rebuilds each query's
+    DataFrame from scratch per run, so between-query release is safe;
+    tests/test_persist_hygiene.py pins that this leaves the registry
+    empty after the heaviest persisting queries.
+    """
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    for jrdd in list(jmap.values()):
+        jrdd.unpersist(False)
+        n += 1
+    return n

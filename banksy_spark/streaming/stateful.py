@@ -309,7 +309,18 @@ def heavy_hitters_stateful(
     exact streaming count (whose state grows with distinct keys).
     Consumers merge the shard summaries (sum est/err per item) for the
     global view; the update-mode emission re-publishes each shard's
-    summary whenever it changes."""
+    summary whenever it changes.
+
+    .. warning:: State-compatibility break (round-9 fix). The shard key
+       changed from ``abs(xxhash64 % n)`` to ``pmod(xxhash64, n)`` —
+       the abs form folded the +k/-k residues onto one shard. Because
+       state is keyed by shard (NoTimeout, update mode), a query
+       RESTARTED from a pre-fix checkpoint would rehash items onto new
+       shards while the old shards retain their stale Space-Saving
+       summaries and never re-emit; consumers merging per-shard
+       summaries would double-count those items. Upgrading requires a
+       FRESH checkpoint location (or a new queryName): do not resume a
+       pre-fix checkpoint across this change."""
     # pmod, not abs(%): abs folds residues +k and -k onto one shard,
     # halving every shard's share except 0's — pmod keeps them uniform
     keyed = events.select(
@@ -590,3 +601,169 @@ def bollinger_batch(daily: DataFrame, window: int = 20) -> DataFrame:
         return pd.concat(frames, ignore_index=True)
 
     return daily.groupBy("pri").applyInPandas(replay, _BB_OUT_SCHEMA)
+
+
+# --- Capped running balance (saturating token bucket) -----------------------
+
+_CB_OUT_SCHEMA = "event_id bigint, user_id bigint, capped_balance double"
+_CB_STATE_SCHEMA = "balance double"
+
+
+def _capped_fold(cap: float, base: float, offset: float):
+    """Per-user saturating-balance fold: acc' = clamp(acc + (value -
+    offset), 0, cap). The clamp makes the recurrence NON-LINEAR — no
+    window frame expresses it — and also makes it PERFECTLY
+    state-incremental: the entire history compresses into one double.
+    The float sequence is the oracle's: one IEEE add then min/max per
+    event, identical operation order to w_capped_running_sum's
+    list_reduce lambda, so batch, replay and stream are bit-exact."""
+
+    def _fold(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        acc = float(state.get[0]) if state.exists else base
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+            out: list[float] = []
+            for v in pdf["value"]:
+                acc = max(0.0, min(cap, acc + (float(v) - offset)))
+                out.append(acc)
+            yield pd.DataFrame(
+                {
+                    "event_id": pd.array(pdf["event_id"], dtype="int64"),
+                    "user_id": key[0],
+                    "capped_balance": pd.array(out, dtype="float64"),
+                }
+            )
+        state.update((acc,))
+
+    return _fold
+
+
+def capped_balance_stateful(
+    events: DataFrame, cap: float = 100.0, offset: float = 50.0
+) -> DataFrame:
+    """Streaming token-bucket balance per user — the state-incremental
+    twin of the oracle-checked ``w_capped_running_sum``. State is ONE
+    double per user regardless of history length (the clamp saturates,
+    so no buffer is ever needed) — the classic streaming primitive:
+    rate limiters, inventory levels, prepaid balances. Input columns:
+    event_id bigint, user_id bigint, ts timestamp, value double."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _capped_fold(cap, 0.0, offset),
+        outputStructType=_CB_OUT_SCHEMA,
+        stateStructType=_CB_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def capped_balance_batch(
+    events: DataFrame, cap: float = 100.0, offset: float = 50.0
+) -> DataFrame:
+    """Batch replay of :func:`capped_balance_stateful` (same shared
+    fold) via groupBy(user_id).applyInPandas, so the DuckDB
+    list_reduce oracle value-checks the per-event fold the state store
+    runs incrementally."""
+    fold = _capped_fold(cap, 0.0, offset)
+
+    def replay(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        class _Static:
+            exists = False
+
+            def update(self, _):
+                pass
+
+        frames = list(fold(key, iter([pdf]), _Static()))
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.array([], dtype="int64"),
+                    "user_id": pd.array([], dtype="int64"),
+                    "capped_balance": pd.array([], dtype="float64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return events.groupBy("user_id").applyInPandas(replay, _CB_OUT_SCHEMA)
+
+
+# --- Markov transition pairs (last-event keyed state) ------------------------
+
+_MK_OUT_SCHEMA = "from_type string, to_type string"
+_MK_STATE_SCHEMA = "last_type string"
+
+
+def _markov_fold():
+    """Per-user successor pairing: each event forms the pair
+    (previous event_type, current event_type); state carries ONLY the
+    last event_type per user, so the first event of a later
+    micro-batch pairs with the last event of the previous one —
+    exactly lead() over the per-user total order, computed
+    incrementally. Transition COUNTS need no state at all downstream:
+    they are an ordinary streaming-aggregatable groupBy over the
+    emitted pairs (counts are associative), which is why the operator
+    emits pairs, not counts."""
+
+    def _fold(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+            types = list(pdf["event_type"])
+            seq = ([last] if last is not None else []) + types
+            if len(seq) >= 2:
+                yield pd.DataFrame(
+                    {"from_type": seq[:-1], "to_type": seq[1:]}
+                )
+            last = types[-1]
+        state.update((last,))
+
+    return _fold
+
+
+def markov_pairs_stateful(events: DataFrame) -> DataFrame:
+    """Streaming first-order transition pairs per user — the
+    state-incremental twin of ``stream_markov_transitions``'s lead()
+    stage. State is one string per user."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _markov_fold(),
+        outputStructType=_MK_OUT_SCHEMA,
+        stateStructType=_MK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def markov_pairs_batch(events: DataFrame) -> DataFrame:
+    """Batch replay of :func:`markov_pairs_stateful` (same shared
+    fold)."""
+    fold = _markov_fold()
+
+    def replay(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        class _Static:
+            exists = False
+
+            def update(self, _):
+                pass
+
+        frames = list(fold(key, iter([pdf]), _Static()))
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "from_type": pd.array([], dtype="str"),
+                    "to_type": pd.array([], dtype="str"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return events.groupBy("user_id").applyInPandas(replay, _MK_OUT_SCHEMA)

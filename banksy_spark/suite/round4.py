@@ -475,7 +475,11 @@ def _pr_iter_duck(k: int) -> str:
     "node count enters as a broadcast 1-row aggregate, never a .count(). Scale: "
     "each iteration shuffles contribution rows on dst — the edge list, degree "
     "table, and rank vector all partition on node id; at 100 TB this is vanilla "
-    "Pregel-style PageRank with |E| shuffle rows per iteration.",
+    "Pregel-style PageRank with |E| shuffle rows per iteration. Persist "
+    "lifecycle: edges/ed are consumed by the RETURNED lazy plan (4 iterations "
+    "each), so in-function unpersist would kill the cache before the caller's "
+    "action — release is the harness's job via session.release_caches() "
+    "(tests/test_persist_hygiene.py pins that it drains everything).",
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")

@@ -601,7 +601,7 @@ _BRIER_CAP_CENTS = 50_000_000  # 500000.00 in cents
                AS sq
       FROM s
     )
-    SELECT n, CAST(sq AS DECIMAL(38,0)) AS sq_cents,
+    SELECT n, CAST(sq AS VARCHAR) AS sq_cents,
            CAST(CAST(sq AS VARCHAR) AS DOUBLE)
              / (CAST(n AS DOUBLE) * {_BRIER_CAP_CENTS}e0 * {_BRIER_CAP_CENTS}e0)
              AS brier
@@ -616,7 +616,12 @@ _BRIER_CAP_CENTS = 50_000_000  # 500000.00 in cents
     "order-free — and the single final division is two IEEE ops both "
     "engines round identically (the denominator product exceeds 2^53 "
     "but correctly-rounded double multiply is deterministic). One "
-    "aggregate pass, scale-free.",
+    "aggregate pass, scale-free. sq_cents is emitted as VARCHAR on "
+    "both engines: its magnitude exceeds int64, which puts DuckDB on "
+    "a HUGEINT materialization path whose hash rendering differs from "
+    "Spark's DECIMAL even when the values are bit-identical (the "
+    "round-7 HUGEINT class, here on an output column) — the suite's "
+    "standing DECIMAL-to-VARCHAR discipline (see corpus.py).",
 )
 def ml_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = T(spark, sf_dir, "orders").select(
@@ -632,7 +637,7 @@ def ml_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "n",
-        F.col("sq").cast("decimal(38,0)").alias("sq_cents"),
+        F.col("sq").cast("decimal(38,0)").cast("string").alias("sq_cents"),
         (
             F.col("sq").cast("string").cast("double")
             / (

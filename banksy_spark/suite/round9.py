@@ -78,7 +78,11 @@ def j_similarity_ppjoin_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the dedup exchange map-side instead of shuffling every candidate
     # row into a min-struct aggregate first (the x10 fixture's 23.7M
     # match rows drop before the wire, not after).
-    # alpha = ceil(tau/(1+tau)(n_a+n_b)) = (3(n_a+n_b)+7) div 8
+    # alpha = ceil(tau/(1+tau)(n_a+n_b)); with tau = NUM/DEN that is
+    # ceil(NUM(n_a+n_b)/(NUM+DEN)) = (NUM(n_a+n_b)+NUM+DEN-1) div
+    # (NUM+DEN) — derived from the SAME shared constants as prefix_len
+    # and the length filter, so retuning tau in round5c retunes the
+    # positional prune losslessly with it (round-9 ADVICE).
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "tok")
@@ -93,8 +97,11 @@ def j_similarity_ppjoin_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
             )
             >= F.floor(
-                (F.lit(3) * (F.col("a.n") + F.col("b.n")) + F.lit(7))
-                / F.lit(8)
+                (
+                    F.lit(_TAU_NUM) * (F.col("a.n") + F.col("b.n"))
+                    + F.lit(_TAU_NUM + _TAU_DEN - 1)
+                )
+                / F.lit(_TAU_NUM + _TAU_DEN)
             )
         )
         .select(

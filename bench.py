@@ -243,7 +243,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    from banksy_spark.session import get_spark
+    from banksy_spark.session import get_spark, release_caches
     from banksy_spark.suite import REGISTRY
 
     spark = get_spark("banksy-bench")
@@ -251,7 +251,7 @@ def main() -> None:
     def run(name: str) -> float:
         # clear cached plans so run #2 re-executes for real — without this
         # the persist()-ing fuzzy-dedup queries would measure cache reads
-        spark.catalog.clearCache()
+        release_caches(spark)
         t0 = time.time()
         REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0

@@ -55,8 +55,12 @@ def _release_persisted_frames(request):
     edges/degree, MinHash signature frames — and, returning lazy
     DataFrames, cannot unpersist them in-function without killing the
     cache before the caller's action). bench.py and tools/check.py
-    clearCache per query; this gives the pytest session the same
-    no-leak guarantee."""
+    release_caches per query; this gives the pytest session the same
+    no-leak guarantee. release_caches (banksy_spark.session) also
+    drains the persistent-RDD registry, which holds the localCheckpoint
+    RDDs (graph.py lineage cuts) that catalog.clearCache cannot see."""
     yield
     if "spark" in request.fixturenames:
-        request.getfixturevalue("spark").catalog.clearCache()
+        from banksy_spark.session import release_caches
+
+        release_caches(request.getfixturevalue("spark"))

@@ -54,6 +54,32 @@ def test_no_hugeint_oracle_outputs(con):
     )
 
 
+def test_no_decimal_output_exceeding_int64(con):
+    """Round-9 verdict item 1: the HUGEINT hash-rendering class also
+    covers OUTPUT columns, not just uncast integer SUMs. ml_brier_score
+    emitted sq_cents as DECIMAL(38,0) with a value > 2^63-1; DuckDB
+    materializes such decimals on an int128 (HUGEINT-backed) path whose
+    driver hash rendering differs from Spark's DECIMAL even when the
+    values are bit-identical. Rule: no oracle may emit a DECIMAL column
+    whose integer-digit capacity (precision - scale) exceeds 18 — i.e.
+    whose magnitude can exceed int64. Such columns must be string-routed
+    (CAST(... AS VARCHAR) on both engines) or narrowed."""
+    offenders = {}
+    for name, sql in entry.oracle_sql().items():
+        rel = con.sql(sql)
+        for c, t in zip(rel.columns, rel.types):
+            ts = str(t)
+            if ts.startswith("DECIMAL"):
+                p, s = map(int, ts[ts.index("(") + 1:ts.index(")")].split(","))
+                if p - s > 18:
+                    offenders.setdefault(name, []).append((c, ts))
+    assert not offenders, (
+        "oracle DECIMAL outputs whose magnitude can exceed int64 (driver "
+        "HUGEINT hash hazard — string-route with CAST(... AS VARCHAR) on "
+        f"both engines, see ml_brier_score): {offenders}"
+    )
+
+
 def _paren_span(sql: str, open_idx: int) -> tuple[int, int]:
     """[open_idx, close] span of the balanced paren starting there."""
     depth = 0

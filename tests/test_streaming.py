@@ -990,3 +990,97 @@ def test_stateful_bollinger_equals_batch_across_batches(spark, tmp_path):
     assert len(want) >= 100
     assert set(got) == set(want)
     assert got == want  # bit-exact floats, no tolerance
+
+
+def _events_two_chunks(spark, tmp_path, cols):
+    """The shared two-chunk split for events-table stateful twins:
+    write the normalized events as two time-ordered parquet files so
+    maxFilesPerTrigger=1 forces the state to carry across micro-batches
+    (same discipline as the Bollinger test above)."""
+    from banksy_spark.suite.registry import T
+
+    e = T(spark, SF_SMOKE, "events").select(*cols)
+    cut = e.agg(F.expr("percentile_approx(ts, 0.5)")).first()[0]
+    src = tmp_path / "ev_in"
+    src.mkdir()
+    for flt, name in (
+        (F.col("ts") <= cut, "0_first.parquet"),
+        (F.col("ts") > cut, "1_second.parquet"),
+    ):
+        e.filter(flt).coalesce(1).write.parquet(str(src / "tmp"))
+        part = next((src / "tmp").glob("part-*.parquet"))
+        shutil.move(str(part), str(src / name))
+        shutil.rmtree(src / "tmp")
+    return (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+
+
+def test_stateful_capped_balance_equals_batch_across_batches(spark, tmp_path):
+    """The streaming token bucket emits BIT-IDENTICAL
+    (event_id, user_id, capped_balance) rows to the oracle-checked
+    w_capped_running_sum, with the events split into two time-ordered
+    chunks so every user's one-double balance must carry across
+    micro-batches."""
+    from banksy_spark.streaming.stateful import capped_balance_stateful
+    from banksy_spark.suite import REGISTRY
+
+    stream = _events_two_chunks(
+        spark, tmp_path, ["event_id", "user_id", "ts", "value"]
+    )
+    q = (
+        capped_balance_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("cb_mon")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish in time"
+    got = {
+        r.event_id: (r.user_id, r.capped_balance)
+        for r in spark.sql("SELECT * FROM cb_mon").collect()
+    }
+    want = {
+        r.event_id: (r.user_id, r.capped_balance)
+        for r in REGISTRY["w_capped_running_sum"].fn(spark, SF_SMOKE).collect()
+    }
+    assert len(want) >= 1000
+    assert got == want  # bit-exact floats, no tolerance
+
+
+def test_stateful_markov_pairs_equal_batch_across_batches(spark, tmp_path):
+    """The streaming last-event pairing emits the SAME transition
+    multiset as stream_markov_transitions' lead() window, with the
+    per-user last event carried across two micro-batches."""
+    import collections
+
+    from banksy_spark.streaming.stateful import markov_pairs_stateful
+    from banksy_spark.suite import REGISTRY
+
+    stream = _events_two_chunks(
+        spark, tmp_path, ["event_id", "user_id", "ts", "event_type"]
+    )
+    q = (
+        markov_pairs_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("mk_mon")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish in time"
+    got = collections.Counter(
+        (r.from_type, r.to_type)
+        for r in spark.sql("SELECT * FROM mk_mon").collect()
+    )
+    want = {
+        (r.from_type, r.to_type): r.n
+        for r in REGISTRY["stream_markov_transitions"].fn(spark, SF_SMOKE).collect()
+    }
+    assert sum(want.values()) >= 900
+    assert dict(got) == want

@@ -16,6 +16,8 @@ import sys
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tools")
 
+from banksy_spark.session import release_caches  # noqa: E402
+
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -52,7 +54,7 @@ def main() -> int:
     n_fail = 0
     for name in names:
         spec = REGISTRY[name]
-        spark.catalog.clearCache()
+        release_caches(spark)
         try:
             df = spec.fn(spark, args.sf)
             scols = df.columns

@@ -271,10 +271,49 @@ def _containment_candidates(spark, sf_dir):
     ).select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
 
 
+def _containment_k3_candidates(spark, sf_dir):
+    """The candidate stage of llm_dedup_containment_k3 (round8.py):
+    each doc indexes its k=3 smallest shingle hashes (OR-composition
+    — a RECALL dial, so candidates are a superset of the k=1 stage
+    by construction; measured here to pin the cost of that recall in
+    both vocabulary regimes, round-9 verdict item 4)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from banksy_spark.suite.registry import T
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    sh = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.expr(
+                "transform(slice(w, 1, greatest(size(w) - 2, 0)), "
+                "(x, j) -> concat(x, ' ', w[j + 1], ' ', w[j + 2]))"
+            )).alias("_p", "s"),
+        )
+        .select("doc_id", F.md5(F.col("s").cast("binary")).alias("h"))
+        .distinct()
+    )
+    wk = Window.partitionBy("doc_id").orderBy("h")
+    mk = (
+        sh.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "h")
+    )
+    a, b = mk.alias("a"), mk.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
 def main() -> int:
     import argparse
 
-    from banksy_spark.session import get_spark
+    from banksy_spark.session import get_spark, release_caches
     from banksy_spark.suite import REGISTRY
 
     ap = argparse.ArgumentParser()
@@ -291,6 +330,7 @@ def main() -> int:
         "j_similarity_ppjoin_pos": ("documents", BASE_DOCS, _ppjoin_candidates),
         "j_fuzzy_edit1_join": ("customer", BASE_CUST, _edit1_candidates),
         "llm_dedup_containment": ("documents", BASE_DOCS, _containment_candidates),
+        "llm_dedup_containment_k3": ("documents", BASE_DOCS, _containment_k3_candidates),
     }
     if args.heaps:  # documents-based ops only; vocab doesn't affect FastSS
         ops.pop("j_fuzzy_edit1_join")
@@ -304,7 +344,7 @@ def main() -> int:
             t0 = time.time()
             pairs = REGISTRY[name].fn(spark, sf_dir).count()
             sec = round(time.time() - t0, 2)
-            spark.catalog.clearCache()
+            release_caches(spark)
             cand = cand_fn(spark, sf_dir).count()
             possible = n * (n - 1) // 2
             row[name] = {
@@ -315,7 +355,7 @@ def main() -> int:
                 "sel": round(cand / possible, 8),
                 "sec": sec,
             }
-            spark.catalog.clearCache()
+            release_caches(spark)
         out["scales"][f"x{mult}"] = row
     print(json.dumps(out))
     spark.stop()

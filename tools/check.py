@@ -72,7 +72,7 @@ def main() -> int:
 
     import duckdb
 
-    from banksy_spark.session import get_spark
+    from banksy_spark.session import get_spark, release_caches
     from banksy_spark.suite import REGISTRY
 
     spark = get_spark("banksy-check")
@@ -103,7 +103,7 @@ def main() -> int:
             # SemDeDup membership) and the ordinal operators persist
             # directories — release them between queries so a 298-query
             # sweep doesn't accumulate cached blocks all session
-            spark.catalog.clearCache()
+            release_caches(spark)
             df = spec.fn(spark, args.sf)
             scols = df.columns
             srows = [tuple(r) for r in df.collect()]

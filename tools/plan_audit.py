@@ -126,7 +126,7 @@ def main() -> None:
     ap.add_argument("--out", default="/root/repo/PLANS.md")
     args = ap.parse_args()
 
-    from banksy_spark.session import get_spark
+    from banksy_spark.session import get_spark, release_caches
     from banksy_spark.suite import REGISTRY
 
     spark = get_spark("plan-audit")
@@ -134,7 +134,7 @@ def main() -> None:
     for name, spec in sorted(REGISTRY.items()):
         # building ordinal plans runs bounded driver jobs that persist
         # directory frames — release them per query (see tools/check.py)
-        spark.catalog.clearCache()
+        release_caches(spark)
         df = spec.fn(spark, args.sf)
         plan = df._jdf.queryExecution().executedPlan().toString()
         rows.append(

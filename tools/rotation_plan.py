@@ -14,6 +14,14 @@ Pre-validation (round 9 close): every R10 AND R11 name passes the
 vanilla-ANSI driver-simulation probe (tools/ansi_check.py, sf0.01 —
 50/50 and 48/48) in addition to the standing tuned-session sweeps —
 the remaining rotations carry no session-config risk.
+
+Round-10 execution state: R10 below IS the live _FRONT window
+(tests/test_contract.py pins the equality), with two adjustments vs
+the round-9 plan: ml_brier_score re-enters first (round 9's single
+red row — driver HUGEINT hash rendering on a >int64 DECIMAL output,
+value-exact, now string-routed) and ml_zscore_scaling moves to R11.
+R11 is the final window: after it lands, union(CORRECTNESS_r*) covers
+the entire 322-name registry.
 """
 
 # Round 10: the 50 riskiest never-driver-verified queries left after
@@ -22,6 +30,10 @@ the remaining rotations carry no session-config risk.
 # multimodal decoders, converged iterative ops, sketches, streaming
 # twins, temporal joins, CDC, and the remaining hand-rolled statistics.
 R10 = [
+    # round-9 red-row re-entry: driver HUGEINT hash-rendering on a
+    # >int64 DECIMAL output, adjudicated value-exact, now string-routed
+    # (suite/round8.py) — must show a green row in CORRECTNESS_r10
+    "ml_brier_score",
     # newly-oracled / new this round
     "ml_kmeans_converged",
     "llm_ann_ivf_trained",
@@ -82,13 +94,15 @@ R10 = [
     # hand-rolled statistics
     "a_mad_outliers",
     "a_histogram_quantiles",
-    "ml_zscore_scaling",
     # round-9-close stateful twin (new oracle — verify first)
     "stream_bollinger_stateful",
 ]
 
 # Round 11: the tail — everything never driver-verified after R10.
 R11 = [
+    # displaced from R10 by the ml_brier_score re-entry (mechanical
+    # shape, lowest residual risk of the planned 50)
+    "ml_zscore_scaling",
     "a_retention_cohorts",
     "llm_quality_repetition",
     "llm_domain_mix",
@@ -138,4 +152,17 @@ R11 = [
     "a_xyz_classification",
     "a_dau_mau_stickiness",
     "dq_merkle_root",
+]
+
+
+# Round 12+: post-plan additions. The R10/R11 plan retires the original
+# 322-name backlog; queries registered AFTER the plan was cut queue
+# here and rotate into the window once R11 lands (they are pytest- and
+# sweep-verified meanwhile). tests/test_contract.py includes R12 in the
+# every-query-has-a-window coverage check.
+R12 = [
+    # round-10 streaming twins (stream==batch bit-exact pytests +
+    # window-form oracles)
+    "stream_capped_balance_stateful",
+    "stream_markov_stateful",
 ]
