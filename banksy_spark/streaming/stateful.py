@@ -465,7 +465,8 @@ def rolling_corr_batch(daily: DataFrame, window: int = 7) -> DataFrame:
     mapInPandas form does not apply here."""
     fold = _rolling_corr_fold(window)
 
-    def replay(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def replay(key, pdf):  # no type hints: applyInPandas infers
+        # eval type from the schema; hints trigger a UserWarning probe
         class _Static:
             exists = False
 
@@ -578,7 +579,8 @@ def bollinger_batch(daily: DataFrame, window: int = 20) -> DataFrame:
     incrementally. Series keys are few and calendar-bounded."""
     fold = _bollinger_fold(window)
 
-    def replay(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def replay(key, pdf):  # no type hints: applyInPandas infers
+        # eval type from the schema; hints trigger a UserWarning probe
         class _Static:
             exists = False
 
@@ -671,7 +673,8 @@ def capped_balance_batch(
     runs incrementally."""
     fold = _capped_fold(cap, 0.0, offset)
 
-    def replay(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def replay(key, pdf):  # no type hints: applyInPandas infers
+        # eval type from the schema; hints trigger a UserWarning probe
         class _Static:
             exists = False
 
@@ -749,7 +752,8 @@ def markov_pairs_batch(events: DataFrame) -> DataFrame:
     fold)."""
     fold = _markov_fold()
 
-    def replay(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def replay(key, pdf):  # no type hints: applyInPandas infers
+        # eval type from the schema; hints trigger a UserWarning probe
         class _Static:
             exists = False
 

@@ -107,3 +107,104 @@ def stream_markov_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(wn)).alias("p"),
     )
+
+
+@query(
+    "llm_dedup_containment_g5",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                 || w[i+3] || ' ' || w[i+4]) AS h
+      FROM w, unnest(generate_series(1, len(w) - 4)) AS t(i)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    mk AS (SELECT doc_id, MIN(h) AS mk FROM sh GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM mk a JOIN mk b ON a.mk = b.mk AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.a_id, c.b_id, COUNT(*) AS inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.a_id
+      JOIN sh sb ON sb.doc_id = c.b_id AND sb.h = sa.h
+      GROUP BY c.a_id, c.b_id
+    )
+    SELECT i.a_id, i.b_id, CAST(i.inter AS BIGINT) AS inter,
+           CAST(za.sz AS BIGINT) AS sz_a, CAST(zb.sz AS BIGINT) AS sz_b,
+           CAST(i.inter AS DOUBLE) / za.sz AS cont_a_in_b,
+           CAST(i.inter AS DOUBLE) / zb.sz AS cont_b_in_a
+    FROM inter i
+    JOIN sz za ON za.doc_id = i.a_id
+    JOIN sz zb ON zb.doc_id = i.b_id
+    WHERE 5 * i.inter >= 4 * za.sz OR 5 * i.inter >= 4 * zb.sz
+    """,
+    note="Containment dedup over word 5-shingles — the MEASURED scale "
+    "path for the containment family (round-9 verdict item 4; docs "
+    "under 5 words are out of scope by construction, same as the "
+    "3-gram form excludes under-3-word docs). The round-10 scale study "
+    "(tools/bench_simjoin_scale.py, SCALE.md) settles the lever "
+    "question empirically: k=3 min-hash banding "
+    "(llm_dedup_containment_k3) is a RECALL dial — ~4x the candidates "
+    "for +13-15% result pairs, never cheaper at any measured size in "
+    "either vocabulary regime — while LENGTHENING the shingle is the "
+    "COST dial: 5-gram single-min-hash candidates are near-LINEAR in "
+    "corpus size (closed-vocab 158/441/2,239 at 5k/15k/50k docs vs "
+    "10k/90k/963k for 3-gram, a 430x cut at 50k; Heaps-law regime "
+    "301/1,257/7,487 vs 55k/331k/2.84M) because the 5-gram key space "
+    "is vast in ANY vocabulary, so the global-minimum hash barely "
+    "concentrates. Identical plan shape to llm_dedup_containment "
+    "(min-hash bucket candidates, exact intersection only over "
+    "candidates, integer tau=4/5 gate) — at 100 TB run THIS form, and "
+    "add k-min banding on top only where recall is worth 4x "
+    "verification.",
+)
+def llm_dedup_containment_g5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    sh = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.expr(
+                "transform(slice(w, 1, greatest(size(w) - 4, 0)), "
+                "(x, j) -> concat_ws(' ', x, w[j + 1], w[j + 2], "
+                "w[j + 3], w[j + 4]))"
+            )).alias("_p", "s"),
+        )
+        .select("doc_id", F.md5(F.col("s").cast("binary")).alias("h"))
+        .distinct()
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    mk = sh.groupBy("doc_id").agg(F.min("h").alias("mk"))
+    a, b = mk.alias("a"), mk.alias("b")
+    cand = a.join(
+        b, (F.col("a.mk") == F.col("b.mk")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+    sa = sh.select(F.col("doc_id").alias("a_id"), "h")
+    sb = sh.select(F.col("doc_id").alias("b_id"), "h")
+    inter = (
+        cand.join(sa, "a_id")
+        .join(sb, ["b_id", "h"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sz.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sz_a"))
+    zb = sz.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sz_b"))
+    keep = (5 * F.col("inter") >= 4 * F.col("sz_a")) | (
+        5 * F.col("inter") >= 4 * F.col("sz_b")
+    )
+    return (
+        inter.join(za, "a_id")
+        .join(zb, "b_id")
+        .filter(keep)
+        .select(
+            "a_id", "b_id", "inter", "sz_a", "sz_b",
+            (F.col("inter").cast("double") / F.col("sz_a")).alias("cont_a_in_b"),
+            (F.col("inter").cast("double") / F.col("sz_b")).alias("cont_b_in_a"),
+        )
+    )

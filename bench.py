@@ -235,6 +235,9 @@ HEADLINE = [
     "llm_dedup_tau_curve",      # jaccard-decile histogram for tau tuning
     "a_tail_risk_var_es",       # nearest-rank VaR95 + expected shortfall
     "a_neyman_allocation",      # variance-optimal stratified sample quotas
+    "stream_capped_balance_stateful",  # token-bucket fold, one double of state
+    "stream_markov_stateful",   # transition matrix from last-event state
+    "llm_dedup_containment_g5", # 5-gram containment: the measured scale path
 ]
 
 

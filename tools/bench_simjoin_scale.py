@@ -310,6 +310,42 @@ def _containment_k3_candidates(spark, sf_dir):
     )
 
 
+def _containment_g5_candidates(spark, sf_dir):
+    """Cost-lever probe: the SAME single-min-hash candidate stage as
+    llm_dedup_containment but over 5-gram (not 3-gram) word shingles.
+    Longer shingles explode the key space back to sparse in a closed
+    vocabulary (31 tokens give 31^3 = 29.8k possible 3-grams but
+    31^5 = 28.6M possible 5-grams), so the global minimum hash
+    concentrates far less — the 'longer shingles' lever SCALE.md
+    names, measured. Not a registered query: candidate-stage cost
+    measurement only (a 5-gram containment variant would define a
+    different — also valid — containment measure)."""
+    from pyspark.sql import functions as F
+
+    from banksy_spark.suite.registry import T
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    sh = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.expr(
+                "transform(slice(w, 1, greatest(size(w) - 4, 0)), "
+                "(x, j) -> concat_ws(' ', x, w[j + 1], w[j + 2], "
+                "w[j + 3], w[j + 4]))"
+            )).alias("_p", "s"),
+        )
+        .select("doc_id", F.md5(F.col("s").cast("binary")).alias("h"))
+        .distinct()
+    )
+    mk = sh.groupBy("doc_id").agg(F.min("h").alias("mk"))
+    a, b = mk.alias("a"), mk.alias("b")
+    return a.join(
+        b, (F.col("a.mk") == F.col("b.mk")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+
+
 def main() -> int:
     import argparse
 
@@ -331,6 +367,9 @@ def main() -> int:
         "j_fuzzy_edit1_join": ("customer", BASE_CUST, _edit1_candidates),
         "llm_dedup_containment": ("documents", BASE_DOCS, _containment_candidates),
         "llm_dedup_containment_k3": ("documents", BASE_DOCS, _containment_k3_candidates),
+        # candidate-stage-only probe (no registered query): the
+        # longer-shingle cost lever for the containment family
+        "containment_g5_probe": ("documents", BASE_DOCS, _containment_g5_candidates),
     }
     if args.heaps:  # documents-based ops only; vocab doesn't affect FastSS
         ops.pop("j_fuzzy_edit1_join")
@@ -341,9 +380,12 @@ def main() -> int:
         row: dict = {}
         for name, (tbl, base_n, cand_fn) in ops.items():
             n = base_n * mult
-            t0 = time.time()
-            pairs = REGISTRY[name].fn(spark, sf_dir).count()
-            sec = round(time.time() - t0, 2)
+            if name in REGISTRY:
+                t0 = time.time()
+                pairs = REGISTRY[name].fn(spark, sf_dir).count()
+                sec = round(time.time() - t0, 2)
+            else:  # candidate-stage-only probe (e.g. the g5 lever)
+                pairs, sec = None, None
             release_caches(spark)
             cand = cand_fn(spark, sf_dir).count()
             possible = n * (n - 1) // 2

@@ -165,4 +165,7 @@ R12 = [
     # window-form oracles)
     "stream_capped_balance_stateful",
     "stream_markov_stateful",
+    # round-10 containment scale path (measured: near-linear candidates
+    # in both vocabulary regimes, SCALE.md round-10 section)
+    "llm_dedup_containment_g5",
 ]
