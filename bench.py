@@ -262,11 +262,19 @@ def main() -> None:
     # Warm-up: JVM/codegen/parquet-footer caches.
     REGISTRY["a_grouped_sum"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Best of two genuine runs per query: one-shot numbers carry ±30%
-    # noise from JIT/IO warmup on local mode.
+    # Best of two genuine runs per query (one-shot numbers carry ±30%
+    # noise from JIT/IO warmup on local mode), with an adaptive THIRD
+    # run when the first two disagree by >1.4x: round-10 measured that
+    # host-load spikes can double a single run's time for a random
+    # subset of queries (two back-to-back full benches each produced a
+    # DIFFERENT set of >2x outliers vs round 9, min-combined geomean
+    # 1.07 with none >1.7x) — one retry collapses exactly those.
     per_query: dict[str, float] = {}
     for name in HEADLINE:
-        per_query[name] = round(min(run(name), run(name)), 3)
+        a, b = run(name), run(name)
+        if max(a, b) > 1.4 * min(a, b):
+            a = min(a, run(name))
+        per_query[name] = round(min(a, b), 3)
 
     total = round(sum(per_query.values()), 3)
     full = {
