@@ -667,32 +667,45 @@ def capped_balance_stateful(
 def capped_balance_batch(
     events: DataFrame, cap: float = 100.0, offset: float = 50.0
 ) -> DataFrame:
-    """Batch replay of :func:`capped_balance_stateful` (same shared
-    fold) via groupBy(user_id).applyInPandas, so the DuckDB
-    list_reduce oracle value-checks the per-event fold the state store
-    runs incrementally."""
-    fold = _capped_fold(cap, 0.0, offset)
+    """Batch replay of :func:`capped_balance_stateful`: the identical
+    clamp recurrence (same IEEE op order — one add then min/max per
+    event), run in the ``repartition(user_id) + sortWithinPartitions +
+    mapInPandas`` shape rather than ``groupBy().applyInPandas`` — the
+    same reshape :func:`rate_limit_batch` documents: with ~1.5k users
+    the per-group invocation overhead of applyInPandas dominated
+    (measured 3.25 s vs 1.2 s at sf0.1; the Python fold itself is
+    ~30 ms per 200k rows). A user's rows all land in one partition
+    (hash repartition), so the fold carries (user, balance) across
+    Arrow batches exactly like the state store carries it across
+    micro-batches; partition boundaries never split a user."""
 
-    def replay(key, pdf):  # no type hints: applyInPandas infers
-        # eval type from the schema; hints trigger a UserWarning probe
-        class _Static:
-            exists = False
-
-            def update(self, _):
-                pass
-
-        frames = list(fold(key, iter([pdf]), _Static()))
-        if not frames:
-            return pd.DataFrame(
+    def fold_map(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        last_uid, acc = None, 0.0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            uids = pdf["user_id"].to_numpy()
+            vals = pdf["value"].to_numpy().tolist()
+            out: list[float] = []
+            for u, v in zip(uids.tolist(), vals):
+                if u != last_uid:
+                    last_uid, acc = u, 0.0
+                acc = max(0.0, min(cap, acc + (v - offset)))
+                out.append(acc)
+            yield pd.DataFrame(
                 {
-                    "event_id": pd.array([], dtype="int64"),
-                    "user_id": pd.array([], dtype="int64"),
-                    "capped_balance": pd.array([], dtype="float64"),
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "user_id": uids,
+                    "capped_balance": pd.array(out, dtype="float64"),
                 }
             )
-        return pd.concat(frames, ignore_index=True)
 
-    return events.groupBy("user_id").applyInPandas(replay, _CB_OUT_SCHEMA)
+    return (
+        events.select("event_id", "user_id", "ts", "value")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(fold_map, _CB_OUT_SCHEMA)
+    )
 
 
 # --- Markov transition pairs (last-event keyed state) ------------------------
@@ -748,26 +761,36 @@ def markov_pairs_stateful(events: DataFrame) -> DataFrame:
 
 
 def markov_pairs_batch(events: DataFrame) -> DataFrame:
-    """Batch replay of :func:`markov_pairs_stateful` (same shared
-    fold)."""
-    fold = _markov_fold()
+    """Batch replay of :func:`markov_pairs_stateful`: identical
+    successor pairing in the mapInPandas carry shape (see
+    :func:`capped_balance_batch` for why) — state is (user, last
+    event_type), carried across Arrow batches within the user-hashed,
+    (user, ts, event_id)-sorted partition."""
 
-    def replay(key, pdf):  # no type hints: applyInPandas infers
-        # eval type from the schema; hints trigger a UserWarning probe
-        class _Static:
-            exists = False
-
-            def update(self, _):
-                pass
-
-        frames = list(fold(key, iter([pdf]), _Static()))
-        if not frames:
-            return pd.DataFrame(
+    def pair_map(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        last_uid, last_type = None, None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            uids = pdf["user_id"].to_numpy().tolist()
+            types = list(pdf["event_type"])
+            fr: list[str] = []
+            to: list[str] = []
+            for u, t in zip(uids, types):
+                if u == last_uid and last_type is not None:
+                    fr.append(last_type)
+                    to.append(t)
+                last_uid, last_type = u, t
+            yield pd.DataFrame(
                 {
-                    "from_type": pd.array([], dtype="str"),
-                    "to_type": pd.array([], dtype="str"),
+                    "from_type": pd.array(fr, dtype="str"),
+                    "to_type": pd.array(to, dtype="str"),
                 }
             )
-        return pd.concat(frames, ignore_index=True)
 
-    return events.groupBy("user_id").applyInPandas(replay, _MK_OUT_SCHEMA)
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(pair_map, _MK_OUT_SCHEMA)
+    )

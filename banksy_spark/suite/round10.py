@@ -49,9 +49,14 @@ from banksy_spark.suite.registry import T, query
     "fold applies one IEEE add then min/max per event in the oracle's "
     "operation order, so stream, replay and the window-collect form "
     "are bit-identical; the cross-micro-batch contract is "
-    "tests/test_streaming.py. Scale: state is O(active users) doubles, "
-    "traffic shuffles once on user_id — strictly cheaper than the "
-    "batch form's collect_list frame.",
+    "tests/test_streaming.py. The batch replay runs the recurrence in "
+    "the repartition+sortWithinPartitions+mapInPandas carry shape "
+    "(rate_limit_batch's documented reshape: per-group applyInPandas "
+    "invocation overhead dominated at ~1.5k users — 3.25 s vs 1.2 s "
+    "at sf0.1 — while the Python fold itself is ~30 ms/200k rows). "
+    "Scale: state is O(active users) doubles, traffic shuffles once "
+    "on user_id — strictly cheaper than the batch form's "
+    "collect_list frame.",
 )
 def stream_capped_balance_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from banksy_spark.streaming.stateful import capped_balance_batch
@@ -86,9 +91,11 @@ def stream_capped_balance_stateful(spark: SparkSession, sf_dir: str) -> DataFram
     "associative aggregation (streamable in update mode with no "
     "further state). Verified against the SAME lead()-window oracle "
     "as stream_markov_transitions; integer counts and one "
-    "BIGINT/BIGINT->DOUBLE division, bit-exact. Scale: state is one "
-    "string per active user; pair traffic shuffles once on user_id "
-    "then aggregates map-side onto the tiny |types|^2 matrix.",
+    "BIGINT/BIGINT->DOUBLE division, bit-exact. The batch replay uses "
+    "the same mapInPandas carry shape as capped_balance_batch. Scale: "
+    "state is one string per active user; pair traffic shuffles once "
+    "on user_id then aggregates map-side onto the tiny |types|^2 "
+    "matrix.",
 )
 def stream_markov_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from banksy_spark.streaming.stateful import markov_pairs_batch

@@ -367,9 +367,9 @@ def main() -> int:
         "j_fuzzy_edit1_join": ("customer", BASE_CUST, _edit1_candidates),
         "llm_dedup_containment": ("documents", BASE_DOCS, _containment_candidates),
         "llm_dedup_containment_k3": ("documents", BASE_DOCS, _containment_k3_candidates),
-        # candidate-stage-only probe (no registered query): the
-        # longer-shingle cost lever for the containment family
-        "containment_g5_probe": ("documents", BASE_DOCS, _containment_g5_candidates),
+        # the longer-shingle cost lever, registered round 10 as the
+        # containment family's scale path
+        "llm_dedup_containment_g5": ("documents", BASE_DOCS, _containment_g5_candidates),
     }
     if args.heaps:  # documents-based ops only; vocab doesn't affect FastSS
         ops.pop("j_fuzzy_edit1_join")
