@@ -355,3 +355,24 @@ def write_sorted_shards(
         .collect()
     ]
     return manifest
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC full-refresh sink. ORC is the second columnar format Spark
+    ships natively (no extra package, unlike Avro) — the interchange
+    path for Hive/Trino-resident warehouses. Same pushdown posture as
+    parquet: predicate pushdown and column pruning reach the ORC
+    reader (spark.sql.orc.filterPushdown defaults true), so a
+    migrating user keeps the scan-level guarantees PLANS.md audits
+    for the parquet path."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan twin of the parquet readers; schema comes from the ORC
+    footer. tests/test_sources.py roundtrips every testdata table
+    through ORC and asserts value- and schema-identical frames."""
+    return spark.read.orc(path)

@@ -481,3 +481,30 @@ def test_write_sorted_shards_range_disjoint_and_balanced(spark, tmp_path):
         spark.read.parquet(p + "/shard=3").select("o_totalprice").toPandas()
     )
     assert one["o_totalprice"].is_monotonic_increasing
+
+
+def test_orc_roundtrip_all_tables(spark, tmp_path):
+    """ORC source/sink: every testdata table survives a
+    parquet->ORC->read roundtrip with identical schema and values —
+    the native second columnar format a Hive/Trino-resident user
+    migrates through. Also pins that a filter reaches the ORC scan
+    as a pushed predicate (same posture PLANS.md audits for parquet)."""
+    from banksy_spark.io import read_orc, write_orc
+    from banksy_spark.suite.registry import T
+    from tests.conftest import SF_SMOKE
+
+    for tbl in ("region", "nation", "orders", "events", "documents"):
+        src = T(spark, SF_SMOKE, tbl)
+        out = str(tmp_path / f"orc_{tbl}")
+        write_orc(src, out)
+        back = read_orc(spark, out)
+        assert back.schema == src.schema, tbl
+        a = sorted(map(str, src.collect()))
+        b = sorted(map(str, back.collect()))
+        assert a == b, f"{tbl}: ORC roundtrip changed values"
+
+    ev = read_orc(spark, str(tmp_path / "orc_orders"))
+    plan = ev.filter(ev.o_orderkey == 42).select("o_orderkey")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderkey" in plan.split("PushedFilters")[1][:120], (
+        "filter did not reach the ORC scan"
+    )
