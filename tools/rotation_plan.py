@@ -15,6 +15,12 @@ vanilla-ANSI driver-simulation probe (tools/ansi_check.py, sf0.01 —
 50/50 and 48/48) in addition to the standing tuned-session sweeps —
 the remaining rotations carry no session-config risk.
 
+Re-validation (round 10 close): all 50 R11 names re-passed the
+vanilla-ANSI driver-simulation probe under the POST-round-10 code
+(brier string-routing, PPJoin alpha derivation, registry reorder) —
+50/50 at sf0.01 — so the final rotation still carries no
+session-config or code-drift risk.
+
 Round-10 execution state: R10 below IS the live _FRONT window
 (tests/test_contract.py pins the equality), with two adjustments vs
 the round-9 plan: ml_brier_score re-enters first (round 9's single
