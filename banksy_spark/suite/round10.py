@@ -40,8 +40,8 @@ from banksy_spark.suite.registry import T, query
       FROM events
     )
     """,
-    note="Capped running sum, CUSTOM-STATEFUL form: the applyInPandas "
-    "replay of streaming/stateful.py:capped_balance_stateful "
+    note="Capped running sum, CUSTOM-STATEFUL form: the batch replay "
+    "of streaming/stateful.py:capped_balance_stateful "
     "(applyInPandasWithState, state = ONE double per user — the clamp "
     "saturates, so unlike every windowed twin no buffer is needed; "
     "this is the token-bucket/inventory-balance primitive). Verified "
@@ -82,8 +82,8 @@ def stream_capped_balance_stateful(spark: SparkSession, sf_dir: str) -> DataFram
            CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
     FROM cnt
     """,
-    note="Markov transition matrix, CUSTOM-STATEFUL form: the "
-    "applyInPandas replay of streaming/stateful.py:"
+    note="Markov transition matrix, CUSTOM-STATEFUL form: the batch "
+    "replay of streaming/stateful.py:"
     "markov_pairs_stateful (applyInPandasWithState, state = the last "
     "event_type per user) emits each event's (prev, cur) pair — "
     "exactly lead() over the per-user total order, computed "
