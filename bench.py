@@ -238,6 +238,7 @@ HEADLINE = [
     "stream_capped_balance_stateful",  # token-bucket fold, one double of state
     "stream_markov_stateful",   # transition matrix from last-event state
     "llm_dedup_containment_g5", # 5-gram containment: the measured scale path
+    "graph_kcore",              # fixed-depth k-core peel, lineage-cut rounds
 ]
 
 

@@ -41,6 +41,7 @@ from tests.conftest import SF_SMOKE
 # join, ANN/semantic, corpus pipeline). Each returns a plan whose
 # persisted intermediates are consumed >1 time at materialization.
 PERSISTING = [
+    "graph_kcore",
     "graph_pagerank",
     "j_similarity_ppjoin_pos",
     "llm_dedup_semantic",

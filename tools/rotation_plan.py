@@ -174,4 +174,7 @@ R12 = [
     # round-10 containment scale path (measured: near-linear candidates
     # in both vocabulary regimes, SCALE.md round-10 section)
     "llm_dedup_containment_g5",
+    # round-10 iterative-graph addition (fixed-depth peel, proven
+    # fixpoint budget)
+    "graph_kcore",
 ]
