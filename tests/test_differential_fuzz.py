@@ -377,6 +377,42 @@ FUZZ_QUERIES = [
     "llm_text_stats",
     "llm_sample_by_hash",
     "llm_split_assign",
+    # TPC-H shapes: date-literal predicates stay meaningful because the
+    # generator keeps the fixture calendar; random keys exercise the
+    # empty-group and no-match sides of every join
+    "a_q1_pricing_summary",
+    "a_q4_priority_exists",
+    "a_q6_forecast_revenue",
+    "a_q12_late_shipments",
+    "a_q13_order_distribution",
+    "a_q14_promo_share",
+    "a_q16_supplier_variety",
+    "a_q18_having_semijoin",
+    "a_q22_idle_customers",
+    "j_q3_shipping_priority",
+    "j_q5_regional_volume",
+    "j_q10_returned_items",
+    "j_q19_disjunctive_pred",
+    "a_decorrelated_avg",
+    "j_decorrelated_exists",
+    # dedup / similarity / retrieval on degenerate random corpora
+    "llm_simhash",
+    "llm_dedup_minhash_lsh",
+    "llm_dedup_spans",
+    "llm_quality_score",
+    "llm_langid",
+    "llm_keywords_tfidf",
+    "llm_term_freq",
+    "llm_bm25_topk",
+    "llm_decontam_overlap",
+    "llm_ann_bruteforce",
+    "llm_embed_near_dup",
+    # dq + graph on random key structure
+    "dq_constraint_report",
+    "dq_k_anonymity",
+    "dq_skew_report",
+    "graph_degree_histogram",
+    "graph_triangle_count",
 ]
 
 _REGIMES = [("ties", 101), ("ties", 202), ("sparse", 303), ("advtext", 404)]
