@@ -1,0 +1,203 @@
+"""Randomized stream==batch parity for the stateful twins.
+
+test_streaming.py proves each twin on the fixed fixtures with a
+two-chunk time split; this module re-proves the carry discipline on
+GENERATED event streams built to stress exactly what the fixtures
+can't:
+
+  - heavy (user_id, ts) collisions: a minute-grid clock over one day
+    gives every user many same-timestamp runs, so the (ts, event_id)
+    tie-break does real work in every fold;
+  - micro-batch boundaries that SPLIT a timestamp tie: chunks are cut
+    by global (ts, event_id) rank, not by a time threshold, so the
+    same (user, ts) pair can straddle two micro-batches — legal under
+    the twins' contract (cross-batch arrival must follow the
+    (ts, event_id) total order; WITHIN a batch order is arbitrary and
+    each fold re-sorts);
+  - rows shuffled randomly inside each chunk file (the in-batch
+    disorder the folds' sort_values must absorb);
+  - three micro-batches, not two: state survives a middle hop where
+    some users are absent (absent-key state retention).
+
+Batch sides are the registry's oracle-checked queries run over the
+same generated directory, so parity here chains to DuckDB parity via
+tests/test_differential_fuzz.py.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+_ETYPE = ["signup", "click", "error", "view", "purchase"]
+
+
+def _gen_events(seed: int, n: int = 600, users: int = 8) -> pd.DataFrame:
+    """Tie-heavy random events: 8 users on a one-day minute grid means
+    ~every user has same-minute runs; values on a coarse cent grid."""
+    rng = np.random.RandomState(seed)
+    epoch = datetime.datetime(2024, 1, 1)
+    ts = [
+        epoch + datetime.timedelta(minutes=int(m))
+        for m in rng.randint(0, 1440, n)
+    ]
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.Series(ts, dtype="datetime64[us]"),
+            "user_id": (rng.zipf(1.6, n) % users).astype(np.int64),
+            "event_type": rng.choice(_ETYPE, n),
+            "value": rng.choice(rng.randint(1, 20000, 40), n) / 100.0,
+            "props": [json.dumps({"k": int(k)}) for k in rng.randint(0, 100, n)],
+        }
+    )
+
+
+_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()),
+        ("event_type", pa.string()),
+        ("value", pa.float64()),
+        ("props", pa.string()),
+    ]
+)
+
+
+@pytest.fixture(scope="module", params=[11, 12])
+def fuzz_stream(request, tmp_path_factory):
+    """(batch_dir, stream_dir): batch_dir holds one events.parquet for
+    the registry queries; stream_dir holds three rank-cut, internally
+    shuffled chunks with increasing mtimes (FileStreamSource replays
+    them oldest-first, so maxFilesPerTrigger=1 gives three ordered
+    micro-batches)."""
+    seed = request.param
+    rng = np.random.RandomState(seed + 1000)
+    df = _gen_events(seed).sort_values(["ts", "event_id"]).reset_index(drop=True)
+    root = tmp_path_factory.mktemp(f"sfuzz_{seed}")
+    batch_dir = root / "batch"
+    stream_dir = root / "stream"
+    batch_dir.mkdir()
+    stream_dir.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(df, schema=_SCHEMA, preserve_index=False),
+        batch_dir / "events.parquet",
+    )
+    cuts = np.array_split(np.arange(len(df)), 3)
+    for i, idx in enumerate(cuts):
+        chunk = df.iloc[idx].sample(frac=1.0, random_state=rng)  # in-chunk disorder
+        path = stream_dir / f"{i}_chunk.parquet"
+        pq.write_table(
+            pa.Table.from_pandas(chunk, schema=_SCHEMA, preserve_index=False),
+            path,
+        )
+        t = 1_700_000_000 + i * 10  # strictly increasing mtimes
+        os.utime(path, (t, t))
+    return str(batch_dir), str(stream_dir)
+
+
+def _read_stream(spark, stream_dir: str, cols: list[str]):
+    schema = spark.read.parquet(f"{stream_dir}/0_chunk.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .select(*cols)
+    )
+
+
+def _run(spark, streaming_df, name: str, ckpt: str):
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not finish in time"
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def test_capped_balance_fuzz_stream_equals_query(spark, fuzz_stream, tmp_path):
+    from banksy_spark.streaming.stateful import capped_balance_stateful
+    from banksy_spark.suite import REGISTRY
+
+    batch_dir, stream_dir = fuzz_stream
+    stream = _read_stream(spark, stream_dir, ["event_id", "user_id", "ts", "value"])
+    rows = _run(
+        spark, capped_balance_stateful(stream), "cb_fuzz", str(tmp_path / "c1")
+    )
+    got = {r.event_id: (r.user_id, r.capped_balance) for r in rows}
+    want = {
+        r.event_id: (r.user_id, r.capped_balance)
+        for r in REGISTRY["w_capped_running_sum"].fn(spark, batch_dir).collect()
+    }
+    assert len(want) == 600
+    assert got == want  # bit-exact floats across 3 micro-batches
+
+
+def test_markov_pairs_fuzz_stream_equals_query(spark, fuzz_stream, tmp_path):
+    import collections
+
+    from banksy_spark.streaming.stateful import markov_pairs_stateful
+    from banksy_spark.suite import REGISTRY
+
+    batch_dir, stream_dir = fuzz_stream
+    stream = _read_stream(
+        spark, stream_dir, ["event_id", "user_id", "ts", "event_type"]
+    )
+    rows = _run(spark, markov_pairs_stateful(stream), "mk_fuzz", str(tmp_path / "c2"))
+    got = collections.Counter((r.from_type, r.to_type) for r in rows)
+    want = {
+        (r.from_type, r.to_type): r.n
+        for r in REGISTRY["stream_markov_transitions"].fn(spark, batch_dir).collect()
+    }
+    assert got == {k: v for k, v in want.items()} and sum(want.values()) > 0
+
+
+def test_rate_limit_fuzz_stream_equals_batch_replay(spark, fuzz_stream, tmp_path):
+    from banksy_spark.streaming.stateful import rate_limit_batch, rate_limit_stateful
+
+    batch_dir, stream_dir = fuzz_stream
+    stream = _read_stream(spark, stream_dir, ["user_id", "event_id", "ts"])
+    rows = _run(spark, rate_limit_stateful(stream), "rl_fuzz", str(tmp_path / "c3"))
+    got = sorted(r.event_id for r in rows)
+    batch = spark.read.parquet(f"{batch_dir}/events.parquet")
+    want = sorted(r.event_id for r in rate_limit_batch(batch).collect())
+    assert got == want and len(want) > 0
+
+
+def test_tumbling_daily_fuzz_stream_equals_batch(spark, fuzz_stream, tmp_path):
+    from banksy_spark.streaming import read_events_stream, tumbling_daily_counts
+
+    batch_dir, stream_dir = fuzz_stream
+    stream = read_events_stream(spark, stream_dir)
+    q = (
+        tumbling_daily_counts(stream)
+        .writeStream.format("memory")
+        .queryName("td_fuzz")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "c4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not finish in time"
+    got = {
+        (str(r.day), r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM td_fuzz").collect()
+    }
+    batch = spark.read.parquet(f"{batch_dir}/events.parquet")
+    want = {
+        (str(r.day), r.event_type): r.n_events
+        for r in tumbling_daily_counts(batch).collect()
+    }
+    assert got == want and len(want) > 0
