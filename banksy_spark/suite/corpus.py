@@ -771,7 +771,7 @@ _SESSION_GAP_US = 1_800_000_000  # 30 minutes
     WITH flagged AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {_SESSION_GAP_US}
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_SESSION_GAP_US}
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -790,10 +790,14 @@ _SESSION_GAP_US = 1_800_000_000  # 30 minutes
     FROM sess GROUP BY user_id, sid
     """,
     note="Native session windows: Spark's session_window(ts, '30 minutes') — "
-    "the engine merges an event into the running session iff it lands "
-    "strictly before previous_ts + gap, and reports end = last_ts + gap. The "
-    "oracle reproduces exactly that island rule at microsecond precision "
-    "(new session when the epoch-us delta >= gap). Complements "
+    "the engine merges an event into the running session iff it lands AT or "
+    "before previous_ts + gap (BOUNDARY-INCLUSIVE: a delta of exactly the "
+    "gap still merges — session merge is start <= current_end, not interval "
+    "overlap; found by the randomized differential sweep's minute-grid "
+    "regime, where exact-gap deltas actually occur), and reports end = "
+    "last_ts + gap. The oracle reproduces exactly that island rule at "
+    "microsecond precision (new session when the epoch-us delta > gap). "
+    "Complements "
     "stream_sessionize (the lag+running-sum formulation): same shuffle "
     "shape, but this form is streaming-native — the identical expression "
     "runs under readStream with a watermark and per-key merging state. "

@@ -413,6 +413,10 @@ FUZZ_QUERIES = [
     "dq_skew_report",
     "graph_degree_histogram",
     "graph_triangle_count",
+    # regression pin: native session_window merges at delta == gap
+    # (boundary-INCLUSIVE) — only the minute-grid regimes produce
+    # exact-gap deltas, which is how the sweep caught the >= oracle
+    "stream_session_window_native",
 ]
 
 _REGIMES = [("ties", 101), ("ties", 202), ("sparse", 303), ("advtext", 404)]
