@@ -417,6 +417,12 @@ FUZZ_QUERIES = [
     # (boundary-INCLUSIVE) — only the minute-grid regimes produce
     # exact-gap deltas, which is how the sweep caught the >= oracle
     "stream_session_window_native",
+    # regression pins: bigram builders crashed on single-token docs
+    # (Spark sequence(1, 0) is the descending [1, 0]); advtext's 1-2
+    # token documents are the trigger
+    "llm_dsir_importance",
+    "llm_lm_fluency",
+    "llm_pmi_cooc",
 ]
 
 _REGIMES = [("ties", 101), ("ties", 202), ("sparse", 303), ("advtext", 404)]
