@@ -75,6 +75,8 @@ def main() -> None:
     from banksy_spark.session import get_spark, release_caches
     from banksy_spark.suite import REGISTRY
 
+    names = sys.argv[1:] or QUERIES  # optional subset, e.g. the x30 trend run
+
     spark = get_spark("banksy-scaleup")
 
     def run(name: str, sf_dir: str) -> float:
@@ -90,7 +92,7 @@ def main() -> None:
     run("a_grouped_sum", BIG)
 
     out: dict[str, dict[str, float]] = {}
-    for name in QUERIES:
+    for name in names:
         t_small = min(run(name, SMALL), run(name, SMALL))
         t_big = min(run(name, BIG), run(name, BIG))
         out[name] = {
