@@ -87,6 +87,12 @@ def fuzz_stream(request, tmp_path_factory):
     stream_dir = root / "stream"
     batch_dir.mkdir()
     stream_dir.mkdir()
+    # full random table set (the daily-series twins aggregate
+    # lineitem x part), then overwrite events with the tie-heavy
+    # stream table so batch queries see exactly what streams
+    from tests.test_differential_fuzz import generate_tables
+
+    generate_tables(batch_dir, seed, "ties")
     pq.write_table(
         pa.Table.from_pandas(df, schema=_SCHEMA, preserve_index=False),
         batch_dir / "events.parquet",
@@ -125,6 +131,114 @@ def _run(spark, streaming_df, name: str, ckpt: str):
     )
     assert q.awaitTermination(180), "stream did not finish in time"
     return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def _daily_three_chunks(spark, daily, day_col, tmp_path, tag):
+    """Split a keyed daily frame into three day-tercile parquet chunks
+    (state folds in day order; the aggregated grain has no duplicate
+    (key, day), so a day-boundary cut preserves the fold order)."""
+    days = sorted(r[0] for r in daily.select(day_col).distinct().collect())
+    cuts = [days[len(days) // 3], days[2 * len(days) // 3]]
+    src = tmp_path / f"{tag}_in"
+    src.mkdir()
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    parts = [
+        F.col(day_col) <= cuts[0],
+        (F.col(day_col) > cuts[0]) & (F.col(day_col) <= cuts[1]),
+        F.col(day_col) > cuts[1],
+    ]
+    for i, flt in enumerate(parts):
+        daily.filter(flt).coalesce(1).write.parquet(str(src / "tmp"))
+        part = next((src / "tmp").glob("part-*.parquet"))
+        shutil.move(str(part), str(src / f"{i}_chunk.parquet"))
+        shutil.rmtree(src / "tmp")
+        t = 1_700_000_000 + i * 10
+        os.utime(src / f"{i}_chunk.parquet", (t, t))
+    return (
+        spark.readStream.schema(daily.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+
+
+def test_rolling_corr_fuzz_stream_equals_query(spark, fuzz_stream, tmp_path):
+    """Rolling-corr twin on RANDOM daily series: the coarse money grid
+    gives tied x/y runs (zero-variance windows → NULL corr on both
+    sides) and random brands give short series (< window length)."""
+    from pyspark.sql import functions as F
+
+    from banksy_spark.streaming.stateful import rolling_corr_stateful
+    from banksy_spark.suite import REGISTRY
+    from banksy_spark.suite.registry import T
+
+    batch_dir, _ = fuzz_stream
+    li = T(spark, batch_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity", "l_extendedprice"
+    )
+    pt = T(spark, batch_dir, "part").select("p_partkey", "p_brand")
+    daily = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .filter(F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#3"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_shipdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.round("l_quantity", 0).cast("bigint")).alias("x"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+            .alias("y"),
+        )
+        .select("brand", F.col("day").cast("string").alias("day"), "x", "y")
+    )
+    stream = _daily_three_chunks(spark, daily, "day", tmp_path, "rcf")
+    rows = _run(spark, rolling_corr_stateful(stream), "rc_fuzz", str(tmp_path / "c5"))
+    got = {(r.brand, r.day): (r.x, r.y, r.corr7) for r in rows}
+    want = {
+        (r.brand, str(r.day)): (int(r.x), int(r.y), r.corr7)
+        for r in REGISTRY["w_rolling_corr"].fn(spark, batch_dir).collect()
+    }
+    assert len(want) >= 10
+    assert set(got) == set(want)
+    for k, (x, y, c) in want.items():
+        gx, gy, gc = got[k]
+        assert (gx, gy) == (x, y), k
+        assert (gc is None and c is None) or gc == c, (k, gc, c)
+
+
+def test_bollinger_fuzz_stream_equals_query(spark, fuzz_stream, tmp_path):
+    """Bollinger twin on a RANDOM daily series: the 19-value buffer
+    carries across three micro-batches; coarse grids give flat windows
+    (zero stddev → band == mid, breakout comparisons on exact ties)."""
+    from pyspark.sql import functions as F
+
+    from banksy_spark.streaming.stateful import bollinger_stateful
+    from banksy_spark.suite import REGISTRY
+    from banksy_spark.suite.round5o import _BB_WIN, _daily
+
+    batch_dir, _ = fuzz_stream
+    daily = _daily(spark, batch_dir).select(
+        "pri", F.col("day").cast("string").alias("day"), "cents"
+    )
+    stream = _daily_three_chunks(spark, daily, "day", tmp_path, "bbf")
+    rows = _run(
+        spark,
+        bollinger_stateful(stream, window=_BB_WIN),
+        "bb_fuzz",
+        str(tmp_path / "c6"),
+    )
+    got = {
+        (r.pri, r.day): (r.cents, r.mid, r.lower_band, r.upper_band, r.breakout_up)
+        for r in rows
+    }
+    want = {
+        (r.pri, str(r.day)): (r.cents, r.mid, r.lower_band, r.upper_band, r.breakout_up)
+        for r in REGISTRY["w_bollinger_bands"].fn(spark, batch_dir).collect()
+    }
+    assert len(want) >= 10
+    assert got == want  # bit-exact floats, no tolerance
 
 
 def test_capped_balance_fuzz_stream_equals_query(spark, fuzz_stream, tmp_path):
