@@ -49,6 +49,12 @@ REGIMES = [("ties", 101), ("sparse", 303), ("advtext", 404)]
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--regime", choices=[r for r, _ in REGIMES])
+    ap.add_argument(
+        "--seed",
+        type=int,
+        help="override the generator seed (rotate per round: every seed "
+        "is a fresh full-registry validation dataset)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -59,7 +65,11 @@ def main() -> int:
 
     spark = get_spark("banksy-fuzz-sweep")
     names = args.names or [n for n in REGISTRY if n not in EXCLUDE]
-    regimes = [(r, s) for r, s in REGIMES if not args.regime or r == args.regime]
+    regimes = [
+        (r, args.seed if args.seed is not None else s)
+        for r, s in REGIMES
+        if not args.regime or r == args.regime
+    ]
 
     n_pass = n_fail = 0
     fails: list[str] = []
