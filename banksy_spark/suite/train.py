@@ -271,18 +271,18 @@ def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = d.select(
         "doc_id",
         "lang",
-        # zip_with over two shifted slices, NOT sequence(1, size-1):
-        # Spark's sequence(1, 0) is the DESCENDING [1, 0] (DuckDB's
-        # generate_series(1, 0) is empty), so a single-token document
-        # would hit element_at(th, 0) → INVALID_INDEX_OF_ZERO. The
-        # slice form degrades to an empty bigram list instead (found
-        # by the randomized differential sweep's advtext regime).
+        # CASE-guarded: Spark's sequence(1, 0) is the DESCENDING
+        # [1, 0] (DuckDB's generate_series(1, 0) is empty), so an
+        # unguarded transform would hit element_at(th, 0) →
+        # INVALID_INDEX_OF_ZERO on a single-token document (found by
+        # the randomized differential sweep's advtext regime)
         F.explode(
             F.expr(
-                "zip_with(slice(th, 1, greatest(size(th) - 1, 0)),"
-                " slice(th, 2, greatest(size(th) - 1, 0)),"
-                f" (a, b) -> ((a * 131 + b)"
+                "CASE WHEN size(th) >= 2 THEN"
+                " transform(sequence(1, size(th) - 1),"
+                f" i -> ((element_at(th, i) * 131 + element_at(th, i + 1))"
                 f" % 1000000007) % {_DSIR_BUCKETS})"
+                " ELSE array() END"
             )
         ).alias("bucket"),
     )
@@ -494,14 +494,15 @@ def llm_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dbg = tk.select(
         "doc_id",
-        # slice-zip bigrams: sequence(1, size-1) yields [1, 0] on a
-        # single-token doc (descending sequence) and crashes on
-        # element_at(th, 0); the slice form is empty instead
+        # CASE-guarded bigrams: sequence(1, size-1) yields [1, 0] on a
+        # single-token doc (descending sequence) and would crash on
+        # element_at(th, 0); the guard degrades to an empty list
         F.explode(
             F.expr(
-                "zip_with(slice(th, 1, greatest(size(th) - 1, 0)),"
-                " slice(th, 2, greatest(size(th) - 1, 0)),"
-                " (a, b) -> struct(a AS h1, b AS h2))"
+                "CASE WHEN size(th) >= 2 THEN"
+                " transform(sequence(1, size(th) - 1),"
+                " i -> struct(element_at(th, i) AS h1, element_at(th, i + 1) AS h2))"
+                " ELSE array() END"
             )
         ).alias("b"),
     ).select("doc_id", F.col("b.h1").alias("h1"), F.col("b.h2").alias("h2"))
@@ -585,18 +586,20 @@ def llm_pmi_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split("text", " ").alias("toks")
     )
     sg = tk.select(
-        # slice-zip skip-grams: sequence(1, size-k) is DESCENDING when
-        # size <= k (sequence(1, 0) = [1, 0]), so 1-2-token docs would
-        # crash on element_at(toks, 0); slices degrade to empty lists
+        # CASE-guarded skip-grams: sequence(1, size-k) is DESCENDING
+        # when size <= k (sequence(1, 0) = [1, 0]), so 1-2-token docs
+        # would crash on element_at(toks, 0); guards degrade to empty
         F.explode(
             F.expr(
                 "concat("
-                " zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
-                "          slice(toks, 2, greatest(size(toks) - 1, 0)),"
-                "   (a, b) -> struct(a AS w1, b AS w2)),"
-                " zip_with(slice(toks, 1, greatest(size(toks) - 2, 0)),"
-                "          slice(toks, 3, greatest(size(toks) - 2, 0)),"
-                "   (a, b) -> struct(a AS w1, b AS w2)))"
+                " CASE WHEN size(toks) >= 2 THEN"
+                "  transform(sequence(1, size(toks) - 1),"
+                "   i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
+                "  ELSE array() END,"
+                " CASE WHEN size(toks) >= 3 THEN"
+                "  transform(sequence(1, size(toks) - 2),"
+                "   i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 2) AS w2))"
+                "  ELSE array() END)"
             )
         ).alias("p")
     ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
