@@ -354,7 +354,8 @@ def _recall_oracle() -> str:
       FROM (SELECT doc_id,
                    list_transform(string_split(text, ' '),
                                   t -> {_POLY_DUCK.format(s='t')}) AS th
-            FROM documents WHERE doc_id < {_RECALL_SAMPLE})
+            FROM documents WHERE doc_id < {_RECALL_SAMPLE}
+              AND len(string_split(text, ' ')) >= 3)
     ),
     truth AS (
       SELECT doc_a, doc_b FROM (
@@ -410,7 +411,13 @@ def _recall_oracle() -> str:
     "all-pairs BY DESIGN — it is a measurement harness whose cost is capped by "
     "the fixed sample size, never by corpus size; the candidate side reuses the "
     "production _lsh_sigs/_band_pairs derivation, so this measures the exact "
-    "pipeline that ships.",
+    "pipeline that ships. The truth set covers INDEXABLE docs only (>= 3 "
+    "tokens, the 3-gram minhash index's own floor, mirrored on both engines): "
+    "this measures the LSH banding's recall, not the indexing filter — "
+    "sub-3-token docs can never be candidates and would deflate recall by a "
+    "constant unrelated to band/row tuning (surfaced by the randomized "
+    "differential sweep: a 2-token doc has a valid 2-gram truth shingle set "
+    "but no 3-gram signature).",
 )
 def llm_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = _lsh_sigs(spark, sf_dir, with_hs=True).filter(

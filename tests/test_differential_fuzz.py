@@ -54,6 +54,17 @@ _WORDS = (
     "join data slow filter customer line batch value row query group "
     "spark index range cache disk"
 ).split()
+# the unicode regime swaps in multibyte scripts: CJK (3-byte UTF-8),
+# Cyrillic and accented Latin (2-byte), an astral-plane emoji (4-byte,
+# a surrogate PAIR in the JVM's UTF-16), and a decomposed combining
+# sequence ("e" + U+0301) — the classes where code-point vs code-unit
+# vs grapheme disagreements between engines would surface in length(),
+# substring, split and binary collation
+_WORDS_UNICODE = _WORDS[:10] + [
+    "héllo", "naïve", "café", "ñandú", "Ωmega", "straße",
+    "москва", "данные", "東京", "データ", "漢字",
+    "🚀rocket", "🎯", "étoile", "ﬁligree", "Ａｂｃ",
+]
 _ADJ = ["new", "cold", "red", "blue", "old", "hot", "large", "small"]
 _NOUN = ["gizmo", "widget", "bolt", "plate", "rod", "ring", "gear", "anvil"]
 _PTYPE = ["ECONOMY", "SMALL", "STANDARD", "LARGE", "MEDIUM", "PROMO"]
@@ -79,9 +90,22 @@ def _ts(rng, n, epoch, span_days, grid_sec):
 
 
 def _docs(rng: np.random.RandomState, n: int, regime: str):
+    words = _WORDS_UNICODE if regime == "unicode" else _WORDS
     texts: list[str] = []
     for i in range(n):
-        if regime == "advtext":
+        if regime == "unicode":
+            # same shape mix as advtext (dups, near-dups, short docs)
+            # but over the multibyte vocabulary
+            kind = i % 4
+            if kind == 0:
+                texts.append(" ".join(rng.choice(words, rng.randint(10, 40))))
+            elif kind == 1:
+                texts.append(texts[-1])  # exact duplicate
+            elif kind == 2:
+                texts.append(texts[-2] + " " + str(rng.choice(words)))
+            else:
+                texts.append(" ".join(rng.choice(words, rng.randint(2, 6))))
+        elif regime == "advtext":
             kind = i % 6
             if kind == 0:  # normal
                 texts.append(" ".join(rng.choice(_WORDS, rng.randint(10, 40))))
@@ -423,9 +447,19 @@ FUZZ_QUERIES = [
     "llm_dsir_importance",
     "llm_lm_fluency",
     "llm_pmi_cooc",
+    # regression pin: recall truth set must cover INDEXABLE (>=3 token)
+    # docs only on BOTH engines — a 2-token doc has a 2-gram truth
+    # shingle set but no 3-gram signature (seed-777 advtext find)
+    "llm_dedup_lsh_recall",
 ]
 
-_REGIMES = [("ties", 101), ("ties", 202), ("sparse", 303), ("advtext", 404)]
+_REGIMES = [
+    ("ties", 101),
+    ("ties", 202),
+    ("sparse", 303),
+    ("advtext", 404),
+    ("unicode", 505),
+]
 
 
 @pytest.fixture(scope="module", params=[f"{r}-{s}" for r, s in _REGIMES])

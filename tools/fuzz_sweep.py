@@ -43,7 +43,12 @@ EXCLUDE = {
     "ml_kmeans_converged",
 }
 
-REGIMES = [("ties", 101), ("sparse", 303), ("advtext", 404)]
+REGIMES = [
+    ("ties", 101),
+    ("sparse", 303),
+    ("advtext", 404),
+    ("unicode", 505),
+]
 
 
 def main() -> int:
