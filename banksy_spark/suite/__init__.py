@@ -59,76 +59,66 @@ from banksy_spark.suite import round10  # noqa: E402,F401
 
 # Rotate the newest / highest-risk queries into the driver's ~50-query
 # verification window (it samples the FIRST 50 registry entries).
-# Round 10 = backlog-retirement window 2 of 3: the pre-committed R10
-# rotation (tools/rotation_plan.py, round-8 verdict item 2), executed
-# with two adjustments pinned by tests/test_contract.py:
-#   * ml_brier_score re-enters FIRST — round 9's single red row
-#     (driver HUGEINT hash-rendering on a >int64 DECIMAL output,
-#     adjudicated value-exact; now string-routed per the suite's
-#     DECIMAL->VARCHAR discipline) must show a green row this round.
-#   * ml_zscore_scaling (mechanical shape, lowest residual risk of the
-#     planned 50) moves to the R11 window to make room.
+# Round 11 = backlog-retirement window 3 of 3: the pre-committed R11
+# rotation (tools/rotation_plan.py), applied by tools/rotate.py once
+# CORRECTNESS_r10.json landed. After this window the driver-verified
+# union covers the ENTIRE pre-round-10 registry; round-12+ windows
+# rotate in the post-plan additions (rotation_plan.R12) and re-checks.
 # Every name below passed the vanilla-ANSI driver-simulation probe
-# (tools/ansi_check.py) AND the tuned-session three-SF sweep at the
-# round-9 close; ml_brier_score re-passed both after the VARCHAR fix.
-# Ordering within the window is by residual risk: the re-entry first,
-# then newly-oracled trainers / round-9 additions, multimodal Arrow
-# decode paths, converged iterative ops, sketches, streaming twins,
-# temporal/interval/spatial joins, CDC, windows, ANN variants, skew
-# machinery, dedup/decontam/retrieval, hand-rolled statistics.
+# (tools/ansi_check.py) and the tuned-session three-SF sweeps.
 # Python dicts preserve insertion order, so rebuilding the dict IS the
-# rotation. Round 11 (tools/rotation_plan.py R11) retires the final 50.
+# rotation.
 _FRONT = [
-    "ml_brier_score",
-    "ml_kmeans_converged",
-    "llm_ann_ivf_trained",
-    "stream_rolling_corr_stateful",
-    "j_similarity_ppjoin_pos",
-    "llm_audio_frames",
-    "llm_image_patches",
-    "llm_video_keyframes",
-    "j_ancestry_converged",
-    "graph_bfs_converged",
-    "graph_bfs_distance",
-    "a_heavy_hitters_cms",
-    "llm_kmv_algebra",
-    "llm_distinct_sketch_hll",
-    "a_bitmap_distinct",
-    "stream_markov_transitions",
-    "stream_attribution",
-    "stream_top_paths",
-    "stream_interval_left_join",
-    "stream_hopping_window",
-    "stream_session_window_native",
-    "stream_funnel_steps",
-    "j_asof_tolerance",
-    "j_interval_overlap",
-    "j_spatial_grid_join",
-    "j_temporal_scd2_lookup",
-    "llm_cdc_chunks",
-    "llm_dedup_cdc",
-    "o_cdc_merge_apply",
-    "w_rank_family",
-    "w_scd2_intervals",
-    "w_distinct_over_window",
-    "w_ewma",
-    "w_time_weighted_avg",
-    "w_capped_running_sum",
-    "w_rolling_range",
-    "llm_ann_pq",
-    "llm_ann_recall_pq",
-    "llm_ann_ivf_multiprobe",
-    "llm_ann_recall_multiprobe",
-    "j_salted_skew_join",
-    "j_bloom_prune_join",
-    "llm_dedup_incremental",
-    "llm_dedup_lsh_recall",
-    "llm_dedup_spans",
-    "llm_decontam_overlap",
-    "llm_bm25_topk",
-    "a_mad_outliers",
-    "a_histogram_quantiles",
-    "stream_bollinger_stateful",
+    "ml_zscore_scaling",
+    "a_retention_cohorts",
+    "llm_quality_repetition",
+    "llm_domain_mix",
+    "llm_rank_fusion",
+    "a_decorrelated_avg",
+    "llm_mix_temperature",
+    "j_decorrelated_exists",
+    "o_zorder_key",
+    "llm_chunk_overlap",
+    "llm_bpe_pairs",
+    "llm_quality_classifier",
+    "llm_dsir_importance",
+    "llm_lm_fluency",
+    "llm_pmi_cooc",
+    "llm_embed_feature_hash",
+    "llm_tokenize_ids",
+    "w_gap_fill_resample",
+    "llm_sample_pps",
+    "a_incremental_view",
+    "j_argmin_supplier",
+    "o_compaction_plan",
+    "llm_epoch_shuffle",
+    "llm_bpe_merges",
+    "f_array_hof",
+    "f_null_semantics",
+    "j_hierarchy_unroll",
+    "o_snapshot_diff",
+    "a_seasonal_anomaly",
+    "w_activity_streaks",
+    "llm_langid_trained",
+    "j_basket_pairs",
+    "a_topn_others_rollup",
+    "o_union_evolved",
+    "a_yoy_growth",
+    "llm_span_corruption",
+    "llm_boundary_overlap",
+    "w_gap_alerts",
+    "a_rolling_dau_7d",
+    "llm_boilerplate_ngrams",
+    "a_ship_latency_pct",
+    "j_basket_lift",
+    "dq_partition_checksum",
+    "graph_degree_histogram",
+    "a_dow_hour_grid",
+    "dq_k_anonymity",
+    "llm_e2e_prepare",
+    "a_xyz_classification",
+    "a_dau_mau_stickiness",
+    "dq_merkle_root",
 ]
 _rest = [n for n in REGISTRY if n not in set(_FRONT)]
 _reordered = {n: REGISTRY[n] for n in _FRONT + _rest}

@@ -9,14 +9,15 @@ rotation is one command instead of a hand edit:
     python tools/rotate.py          # dry-run: show the pending window
     python tools/rotate.py --apply  # rewrite suite/__init__.py
 
-"Next pending" = R11 iff CORRECTNESS_r10.json exists (the driver has
-consumed the R10 window), else R10 (already live — no-op). After R11
-lands there is nothing left to rotate mechanically: the union covers
-the full registry and later windows are a fresh judgment call.
+"Next pending" follows the CORRECTNESS files: R10 until
+CORRECTNESS_r10.json exists, then R11, then R12 (the post-plan
+additions padded to 50 with rotation_plan.R12_RECHECK_FILL — see
+rotation_plan.window_r12()). After R12 lands the driver-verified union
+covers the full registry including every post-plan addition; later
+windows are a fresh judgment call.
 
-tests/test_contract.py enforces the same schedule: once
-CORRECTNESS_r10.json exists, the suite fails until this rotation is
-applied.
+tests/test_contract.py enforces the same schedule: once a new
+CORRECTNESS file lands, the suite fails until this rotation is applied.
 """
 
 from __future__ import annotations
@@ -32,7 +33,8 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 INIT = os.path.join(REPO, "banksy_spark", "suite", "__init__.py")
 
-HEADER = """# Rotate the newest / highest-risk queries into the driver's ~50-query
+HEADER_BY_WINDOW = {
+    "R11": """# Rotate the newest / highest-risk queries into the driver's ~50-query
 # verification window (it samples the FIRST 50 registry entries).
 # Round 11 = backlog-retirement window 3 of 3: the pre-committed R11
 # rotation (tools/rotation_plan.py), applied by tools/rotate.py once
@@ -44,14 +46,29 @@ HEADER = """# Rotate the newest / highest-risk queries into the driver's ~50-que
 # Python dicts preserve insertion order, so rebuilding the dict IS the
 # rotation.
 _FRONT = [
-"""
+""",
+    "R12": """# Rotate the newest / highest-risk queries into the driver's ~50-query
+# verification window (it samples the FIRST 50 registry entries).
+# Round 12 = gap-closing window: every post-plan addition that has
+# never been in a driver window (rotation_plan.R12), padded to 50 with
+# the highest-residual-risk re-checks (rotation_plan.R12_RECHECK_FILL).
+# After this window the driver-verified union covers the FULL registry
+# including all post-plan additions. Applied by tools/rotate.py once
+# CORRECTNESS_r11.json landed.
+# Python dicts preserve insertion order, so rebuilding the dict IS the
+# rotation.
+_FRONT = [
+""",
+}
 
 
 def pending_window():
     import rotation_plan
 
-    if os.path.exists(os.path.join(REPO, "CORRECTNESS_r11.json")):
+    if os.path.exists(os.path.join(REPO, "CORRECTNESS_r12.json")):
         return None, None
+    if os.path.exists(os.path.join(REPO, "CORRECTNESS_r11.json")):
+        return "R12", rotation_plan.window_r12()
     if os.path.exists(os.path.join(REPO, "CORRECTNESS_r10.json")):
         return "R11", rotation_plan.R11
     return "R10", rotation_plan.R10
@@ -64,7 +81,7 @@ def main() -> int:
 
     name, window = pending_window()
     if name is None:
-        print("nothing to rotate: R11 already consumed (CORRECTNESS_r11.json)")
+        print("nothing to rotate: R12 already consumed (CORRECTNESS_r12.json)")
         return 0
 
     import banksy_spark.suite as suite
@@ -83,7 +100,8 @@ def main() -> int:
     m = re.search(r"# Rotate the newest.*?_FRONT = \[\n(?:    \"[a-z0-9_]+\",\n)+\]\n", src, re.S)
     assert m, "_FRONT block not found"
     body = "".join(f'    "{n}",\n' for n in window) + "]\n"
-    open(INIT, "w").write(src[: m.start()] + HEADER + body + src[m.end():])
+    header = HEADER_BY_WINDOW[name]
+    open(INIT, "w").write(src[: m.start()] + header + body + src[m.end():])
     print(f"rotated _FRONT to {name}; re-run pytest tests/test_contract.py")
     return 0
 
