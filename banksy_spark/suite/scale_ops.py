@@ -286,28 +286,50 @@ _PPS_K = 10  # samples per language stratum
     "occupying an interval equal to its n_chars weight; a doc is selected iff its "
     "interval crosses a multiple of total_weight/k — all BIGINT arithmetic (k*cum DIV "
     "total), zero floating point, so selection is bit-stable under any partitioning. "
-    "Scale: strata partition the windows (lang here; date buckets at 100 TB), and the "
-    "two-pass form — per-partition weight subtotals, then prefix offsets — replaces "
-    "the in-stratum cumulative window when one stratum outgrows an executor.",
+    "Scale: strata partition the windows (lang here; date buckets at 100 TB). Because "
+    "the order column IS a uniform hash, the in-stratum cumulative window uses FIXED "
+    "equal-width buckets on the hash prefix (balanced by construction — no sampled "
+    "sketch, no driver job): per-(lang,bucket) subtotals roll into exclusive prefix "
+    "offsets over the tiny directory, broadcast back, and each row's cum_w is "
+    "offset + an intra-bucket running sum. One action, one fact-side shuffle; raise "
+    "_PPS_BUCKET_HEX to 3-4 at 100 TB so each bucket cell stays task-sized.",
 )
 def llm_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents").select(
-        "lang", "doc_id", F.col("n_chars").alias("weight"), F.md5(F.col("text").cast("binary")).alias("h")
+        "lang",
+        "doc_id",
+        F.col("n_chars").alias("weight"),
+        F.md5(F.col("text").cast("binary")).alias("h"),
     )
-    from banksy_spark.operators.ordinals import grouped_ordinals
-
-    # few huge strata: the running weight rides grouped_ordinals'
-    # exact per-group cumsum; the hex hash orders through a monotone
-    # 13-hex-digit numeric prefix (52 bits, exact in DOUBLE)
-    keyed = d.withColumn(
-        "pfx", F.expr("CAST(conv(substring(h, 1, 13), 16, 10) AS DOUBLE)")
+    # md5 is uniform, so a fixed-width prefix bucket is balanced with no
+    # sketch: 2 hex digits = 256 cells per stratum (~n/256 rows each).
+    pre = d.withColumn(
+        "_b", F.expr("CAST(conv(substring(h, 1, 2), 16, 10) AS INT)")
     )
-    scored = grouped_ordinals(
-        keyed,
-        ["lang"],
-        ["pfx", "h", "doc_id"],
-        cumsum=[("weight", "cum_w")],
-        group_totals=[("weight", "tot_w")],
+    # tiny directory: per-(lang,bucket) weight subtotal -> exclusive
+    # prefix offset + stratum grand total (<= |langs|*256 rows, so the
+    # lang-keyed windows here run over the directory, not the corpus)
+    wlang = Window.partitionBy("lang").orderBy("_b")
+    bdir = pre.groupBy("lang", "_b").agg(F.sum("weight").alias("_bw"))
+    offs = bdir.select(
+        "lang",
+        "_b",
+        F.coalesce(
+            F.sum("_bw").over(wlang.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("bigint"),
+        ).alias("_off"),
+        F.sum("_bw").over(Window.partitionBy("lang")).alias("tot_w"),
+    )
+    # cum_w = bucket offset + intra-bucket running sum; (h, doc_id)
+    # within a bucket extends the global (md5, doc_id) order because
+    # _b is a prefix of h
+    wcell = (
+        Window.partitionBy("lang", "_b")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = pre.join(F.broadcast(offs), ["lang", "_b"]).withColumn(
+        "cum_w", F.col("_off") + F.sum("weight").over(wcell)
     )
     pick = F.expr(f"({_PPS_K} * cum_w) DIV tot_w")
     prev_pick = F.expr(f"({_PPS_K} * (cum_w - weight)) DIV tot_w")

@@ -67,6 +67,10 @@ LOWCARD_COLS = {
 KEYED_WINDOW_ALLOWLIST: dict[str, str] = {
     "a_histogram_quantiles": "cumulative window runs over the 64-bin "
     "per-flag histogram (bounded by the bin constant, not the fact)",
+    "llm_sample_pps": "lang-keyed prefix-offset window runs over the "
+    "per-(lang,bucket) weight DIRECTORY (≤ |langs|·256 rows, bounded "
+    "by the bucket constant, not the corpus); the corpus-side window "
+    "is keyed (lang, bucket)",
     "a_changepoint_binseg": "windows run over the per-(priority, day) "
     "daily series — bounded by the calendar, not the event count",
     "w_control_chart": "trailing 8-row window over the same calendar-"
