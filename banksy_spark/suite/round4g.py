@@ -147,6 +147,26 @@ def w_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Association rules: support / confidence / lift ------------------------
 
+# Pair-explode shuffle sizing: ~200k pair rows per task (the x30 run
+# measured 850k/task spilling and ~210k/task linear), estimating
+# ~2 pairs per lineitem row (TPC-H baskets average ~4 items -> C(4,2)=6
+# pairs per ~4 rows; the 27M pairs / 18M rows x30 measurement is 1.5).
+_PAIR_ROWS_PER_TASK = 200_000
+_PAIRS_PER_LINEITEM = 2
+
+
+def _pair_parallelism(spark: SparkSession, n_li: int) -> int:
+    """Partitions for the exploded-pair exchange: never below the
+    session shuffle parallelism (small SFs keep their plan unchanged),
+    scaling up with the estimated pair count when the data outgrows the
+    session constant — the in-plan form of the x30 diagnosis's manual
+    ``shuffle_partitions=128``. Capped at 4096 as a runaway guard (at
+    that size a real deployment resizes the session, and AQE coalesces
+    any overshoot)."""
+    conf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    est_pairs = _PAIRS_PER_LINEITEM * int(n_li)
+    return max(conf, min(4096, est_pairs // _PAIR_ROWS_PER_TASK))
+
 
 @query(
     "j_basket_lift",
@@ -179,7 +199,12 @@ def w_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "counts in the identical left-to-right association (a/b/c form, no "
     "reassociation), so parity is bit-exact. Scale: the HAVING prunes "
     "pairs before the marginal joins; everything after the pair agg is "
-    "pruned-pair-list sized.",
+    "pruned-pair-list sized. The pair-explode exchange is sized to the "
+    "DATA (memoized lineitem count -> _pair_parallelism), not the "
+    "session constant: the x30 scale run measured 27M exploded pairs "
+    "landing 850k/task on fixed 32 partitions (sort/spill, the one "
+    "steepening slope in SCALE.md) and 128 partitions restoring the "
+    "linear slope — this encodes that fix in-plan.",
 )
 def j_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -189,6 +214,9 @@ def j_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = op.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
+    from banksy_spark.operators.ordinals import memoized_count
+
+    n_pairs_part = _pair_parallelism(spark, memoized_count(li, "basket_li"))
     pairs = (
         sets.select(
             F.explode(
@@ -200,6 +228,7 @@ def j_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pr")
         )
         .select("pr.p1", "pr.p2")
+        .repartition(n_pairs_part, "p1", "p2")
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("pair_cnt"))
         .filter(F.col("pair_cnt") >= 3)

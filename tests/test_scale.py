@@ -202,3 +202,21 @@ def test_zorder_operator_n_dimensional(spark):
     assert base[(1, 1, 1)] != k0
     got_cols = set(z.columns)
     assert got_cols == {"a", "b", "c", "zkey"}, "helper cols must be dropped"
+
+
+def test_basket_pair_parallelism_scales_with_data(spark):
+    """j_basket_lift sizes the exploded-pair exchange to the data, not
+    the session constant — the in-plan form of the x30 diagnosis (27M
+    pairs / 32 fixed partitions spilled at 850k rows per task; 128
+    partitions restored the linear slope)."""
+    from banksy_spark.suite.round4g import _pair_parallelism
+
+    conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # small SFs: never below the session parallelism (plan unchanged)
+    assert _pair_parallelism(spark, 600_000) == conf
+    # the x30 replica (18M lineitem rows): at least the measured-good
+    # 128 tasks, i.e. <=300k estimated pairs per task
+    n = _pair_parallelism(spark, 18_000_000)
+    assert n >= 128
+    # runaway guard: planet-scale input stays bounded
+    assert _pair_parallelism(spark, 10**13) == 4096
