@@ -171,24 +171,36 @@ def clear_stats_cache() -> None:
     _STATS_CACHE.clear()
 
 
-def _memo_action(df: DataFrame, tag: str, compute):
+def _memo_action(df: DataFrame, tag: str, compute, stable_key: str | None = None):
     """Run ``compute()`` (a bounded driver action over ``df``) once per
-    (canonical plan, tag); replay the collected result afterwards."""
+    (canonical plan, tag); replay the collected result afterwards.
+
+    ``stable_key`` replaces the canonical-plan component of the cache
+    key with a caller-supplied string. Checkpointed inputs
+    (``localCheckpoint`` → LogicalRDD) canonicalize to a FRESH RDD id
+    on every execution, so their sketches miss the cache each run even
+    though the data is identical; a caller that can name the dataset
+    stably (query name + sf_dir) opts in here. Same safety contract as
+    the cache itself: a wrong entry can only unbalance buckets, never
+    change a result (tests/test_ordinals.py poisoning test)."""
     if not _stats_cache_on:
         return compute()
     import hashlib
 
-    try:
-        canon = df._jdf.queryExecution().analyzed().canonicalized().toString()
-    except Exception:  # unexpected plan state: just run the job
-        return compute()
-    if "LocalRelation" in canon:
-        # createDataFrame plans don't render their data in the
-        # canonical string — two different in-memory datasets with the
-        # same schema would collide and silently share boundaries/row
-        # counts. In-memory inputs are tiny by definition, so skip the
-        # cache rather than fingerprint the data.
-        return compute()
+    if stable_key is not None:
+        canon = "stable\x01" + stable_key
+    else:
+        try:
+            canon = df._jdf.queryExecution().analyzed().canonicalized().toString()
+        except Exception:  # unexpected plan state: just run the job
+            return compute()
+        if "LocalRelation" in canon:
+            # createDataFrame plans don't render their data in the
+            # canonical string — two different in-memory datasets with the
+            # same schema would collide and silently share boundaries/row
+            # counts. In-memory inputs are tiny by definition, so skip the
+            # cache rather than fingerprint the data.
+            return compute()
     key = hashlib.sha256((tag + "\x00" + canon).encode()).hexdigest()
     if key in _STATS_CACHE:
         return _STATS_CACHE[key][0]
@@ -225,7 +237,11 @@ def _auto_parallelism(spark, n_rows: int) -> int:
 
 
 def _sketch(
-    keyed: DataFrame, cols: Sequence[str], probs: list[float], rel_err: float
+    keyed: DataFrame,
+    cols: Sequence[str],
+    probs: list[float],
+    rel_err: float,
+    stable_key: str | None = None,
 ) -> tuple[int, list[list[float]]]:
     """Cut points for every dimension AND the total row count in ONE
     sampled aggregate job.  ``approx_percentile`` is the same
@@ -252,7 +268,7 @@ def _sketch(
         return int(row["_gon"]), raws
 
     tag = f"sketch|{list(cols)!r}|{len(probs)}|{acc}"
-    return _memo_action(keyed, tag, compute)
+    return _memo_action(keyed, tag, compute, stable_key=stable_key)
 
 
 def _sql_double(v: float) -> str:
@@ -365,6 +381,7 @@ def _bucket_cols(
     rel_err: float,
     skew_split: bool,
     rows_per_bucket: int = _ROWS_PER_TASK,
+    stats_key: str | None = None,
 ) -> tuple[Column, Column, int]:
     """(bucket, sub-bucket) expressions + total row count for a parsed
     order spec.
@@ -397,7 +414,7 @@ def _bucket_cols(
     v1 = _as_double_sql(c1, c1t)
     probs = [i / n_buckets for i in range(1, n_buckets)]
     keyed = df.withColumn("_goval", F.expr(v1))
-    n_rows, (raw,) = _sketch(keyed, ["_goval"], probs, rel_err)
+    n_rows, (raw,) = _sketch(keyed, ["_goval"], probs, rel_err, stable_key=stats_key)
     # floor 2: a single bucket would constant-fold the bucket keys and
     # re-plan the exchange as SinglePartition — the exact shape this
     # operator exists to avoid
@@ -438,7 +455,10 @@ def _bucket_cols(
                 ]
 
             sub_rows = _memo_action(
-                keyed, f"hotsub|{c2}|{kmax}|{sorted(hot)!r}", compute_sub
+                keyed,
+                f"hotsub|{c2}|{kmax}|{sorted(hot)!r}",
+                compute_sub,
+                stable_key=stats_key,
             )
             v2 = _as_double_sql(c2, c2t)
             branches = []
@@ -1337,6 +1357,7 @@ def grouped_ordinals(
     skew_split: bool = True,
     parallelism: int | None = None,
     rows_per_bucket: int = _ROWS_PER_TASK,
+    stats_key: str | None = None,
 ) -> DataFrame:
     """Per-group ordinals — ``ROW_NUMBER()/NTILE/SUM() OVER (PARTITION
     BY group ORDER BY …)`` — when the partition key has LOW CARDINALITY
@@ -1372,6 +1393,12 @@ def grouped_ordinals(
     consumer has NULL groups, validated by documentation like the
     naive form's own NULL-partition caveat).
 
+    ``stats_key``: stable memo identity for the bucket sketch when
+    ``df`` is checkpointed (LogicalRDD plans canonicalize to a fresh
+    RDD id per execution, so the sketch misses the cache every run).
+    Pass a string that names the dataset (query name + sf_dir);
+    boundary staleness is harmless by the cache's contract.
+
     Reference parity: the reference's per-sport/per-bet-type frame
     ops are pandas groupby-rank one-liners (arbitrage_scanner.py); this
     is the shape that survives when one group is most of the corpus.
@@ -1399,6 +1426,7 @@ def grouped_ordinals(
     bexpr, sexpr, n_rows = _bucket_cols(
         df, parsed, n_buckets=n_buckets, rel_err=rel_err,
         skew_split=skew_split, rows_per_bucket=rows_per_bucket,
+        stats_key=stats_key,
     )
     spark = df.sparkSession
     n_part = parallelism or _auto_parallelism(spark, n_rows)

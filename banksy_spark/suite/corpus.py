@@ -1317,11 +1317,16 @@ def a_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+    # stats_key: med_t is checkpointed, so without a stable identity
+    # the deviation sketch re-runs on every execution (fresh RDD id in
+    # the canonical plan) — the measured per-run overhead the memo
+    # exists to remove
     dev_t = grouped_ordinals(
         med_t,
         ["flag"],
         ["dev", "x", "rn"],
         row_number="drn",
+        stats_key=f"a_mad_outliers:dev|{sf_dir}",
     )
     mad_by_flag = dev_t.groupBy("flag").agg(
         F.max(F.when(F.col("drn") == lower_mid, F.col("dev"))).alias("mad")

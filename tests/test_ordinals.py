@@ -606,3 +606,42 @@ def test_grouped_row_number_double_group_falls_back(spark):
     want = df.select("k", F.row_number().over(w).alias("rn"))
     assert got.select("k", "rn").exceptAll(want).count() == 0
     assert want.exceptAll(got.select("k", "rn")).count() == 0
+
+
+def test_stats_key_memoizes_checkpointed_frames(spark):
+    """A checkpointed input canonicalizes to a fresh LogicalRDD id per
+    execution, so without a stable identity its sketch misses the memo
+    every run. stats_key opts into a caller-named key: the second call
+    over a DIFFERENT checkpoint of the same data must replay the cached
+    sketch (no new entry, no driver job) and stay bit-exact."""
+    from banksy_spark.operators import ordinals as O
+    from banksy_spark.operators.ordinals import grouped_ordinals
+
+    o = _orders(spark).withColumn("grp", F.col("o_custkey") % 3)
+    w = Window.partitionBy("grp").orderBy("price", "o_orderkey")
+    want = o.select("o_orderkey", F.row_number().over(w).alias("rn"))
+
+    O.clear_stats_cache()
+    got1 = grouped_ordinals(
+        o.localCheckpoint(), ["grp"], ["price", "o_orderkey"],
+        row_number="rn", n_buckets=16, stats_key="test:mad-style",
+    ).select("o_orderkey", "rn")
+    assert got1.exceptAll(want).count() == 0 and want.exceptAll(got1).count() == 0
+    n_entries = len(O._STATS_CACHE)
+    assert n_entries >= 1
+
+    got2 = grouped_ordinals(
+        o.localCheckpoint(), ["grp"], ["price", "o_orderkey"],
+        row_number="rn", n_buckets=16, stats_key="test:mad-style",
+    ).select("o_orderkey", "rn")
+    assert got2.exceptAll(want).count() == 0 and want.exceptAll(got2).count() == 0
+    assert len(O._STATS_CACHE) == n_entries, (
+        "same stats_key over a fresh checkpoint must hit the cache"
+    )
+
+    # a different stats_key is a different dataset: new entry
+    grouped_ordinals(
+        o.localCheckpoint(), ["grp"], ["price", "o_orderkey"],
+        row_number="rn", n_buckets=16, stats_key="test:other",
+    ).select("o_orderkey", "rn").count()
+    assert len(O._STATS_CACHE) > n_entries
