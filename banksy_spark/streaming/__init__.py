@@ -3,6 +3,7 @@
 from banksy_spark.streaming.core import (
     attribution_join,
     hopping_hourly_sums,
+    ohlc_candles,
     session_window_counts,
     rate_limited_alert_stream,
     read_events_stream,
@@ -13,6 +14,7 @@ __all__ = [
     "read_events_stream",
     "tumbling_daily_counts",
     "hopping_hourly_sums",
+    "ohlc_candles",
     "session_window_counts",
     "rate_limited_alert_stream",
     "attribution_join",

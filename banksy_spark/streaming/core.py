@@ -73,6 +73,39 @@ def hopping_hourly_sums(events: "DataFrame", watermark: str = "2 hours") -> "Dat
     )
 
 
+def ohlc_candles(events: "DataFrame", watermark: str = "2 hours") -> "DataFrame":
+    """OHLC candles per (event_type, tumbling hour) — identical logic to
+    the batch query suite.round11.w_ohlc_resample (window.start ==
+    date_trunc('hour')). open/close are min_by/max_by over the
+    (ts, event_id) order struct — DECLARATIVE arg-aggregates, so the
+    streaming state per open candle is one candidate row per extreme
+    (4 values + count), merged associatively across micro-batches; the
+    watermark finalizes and evicts closed candles. No custom state
+    needed: this is the showcase that first/last-per-bucket belongs in
+    the engine's windowed aggregation, not in applyInPandasWithState."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    okey = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", okey).alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max_by("value", okey).alias("close_value"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "open_value",
+            "high_value",
+            "low_value",
+            "close_value",
+            "n_events",
+        )
+    )
+
+
 def session_window_counts(events: "DataFrame", watermark: str = "2 hours") -> "DataFrame":
     """Native session windows (30-min gap) per user — identical logic to
     the batch query suite.corpus.stream_session_window_native; on a

@@ -239,6 +239,8 @@ HEADLINE = [
     "stream_markov_stateful",   # transition matrix from last-event state
     "llm_dedup_containment_g5", # 5-gram containment: the measured scale path
     "graph_kcore",              # fixed-depth k-core peel, lineage-cut rounds
+    "o_file_skipping_stats",    # min/max manifest + planner skip verdicts
+    "w_ohlc_resample",          # arg-min/max OHLC candles, window-free
 ]
 
 

@@ -1084,3 +1084,41 @@ def test_stateful_markov_pairs_equal_batch_across_batches(spark, tmp_path):
     }
     assert sum(want.values()) >= 900
     assert dict(got) == want
+
+
+def test_ohlc_candles_stream_equals_batch(spark, events_dir, tmp_path):
+    """OHLC via min_by/max_by is a DECLARATIVE windowed aggregation —
+    streaming state per open candle is one candidate per extreme and
+    the merge is associative, so the stream must equal the batch form
+    bit-for-bit (values pass through unsummed). Twin of the
+    oracle-checked suite query w_ohlc_resample (window.start ==
+    date_trunc hour)."""
+    from banksy_spark.streaming import ohlc_candles
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        ohlc_candles(stream)
+        .writeStream.format("memory")
+        .queryName("ohlc_candles")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ohlc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish in time"
+    got = {
+        (str(r.hour), r.event_type): (
+            r.open_value, r.high_value, r.low_value, r.close_value, r.n_events
+        )
+        for r in spark.sql("SELECT * FROM ohlc_candles").collect()
+    }
+    from banksy_spark.suite.registry import T
+
+    batch = ohlc_candles(T(spark, SF_SMOKE, "events"))
+    want = {
+        (str(r.hour), r.event_type): (
+            r.open_value, r.high_value, r.low_value, r.close_value, r.n_events
+        )
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 0

@@ -179,6 +179,9 @@ R12 = [
     # round-10 iterative-graph addition (fixed-depth peel, proven
     # fixpoint budget)
     "graph_kcore",
+    # round-11 additions (suite/round11.py)
+    "o_file_skipping_stats",
+    "w_ohlc_resample",
 ]
 
 # Re-check fill for the round-12 window: _FRONT must stay at 50 names
