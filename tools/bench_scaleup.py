@@ -58,6 +58,10 @@ QUERIES = [
     "ml_roc_auc",
     "a_rfm_segmentation",
     "a_retention_cohorts",
+    "llm_sample_pps",
+    "a_mad_outliers",
+    "o_file_skipping_stats",
+    "w_ohlc_resample",
     # iterative graph
     "graph_pagerank",
     "graph_kcore",
