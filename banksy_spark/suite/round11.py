@@ -131,3 +131,93 @@ def w_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", okey).alias("close_value"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
+
+
+# --- Audio silence segmentation (frame energy -> VAD -> island merge) ------
+
+_SIL_FRAME, _SIL_HOP = 32, 16
+_SIL_THRESHOLD = 480  # expected per-frame hex-digit sum is 64 * 7.5 = 480
+
+_SIL_PAYLOAD_HEX_DUCK = "repeat(sha256(text), (length(text) % 5) + 1)"
+
+
+@query(
+    "llm_audio_silence_segments",
+    oracle=f"""
+    WITH frames AS (
+      SELECT doc_id, CAST(s // {_SIL_HOP} AS BIGINT) AS frame_id,
+             substr(hexp, s * 2 + 1, {_SIL_FRAME * 2}) AS fh
+      FROM (
+        SELECT doc_id, {_SIL_PAYLOAD_HEX_DUCK} AS hexp,
+               octet_length(unhex({_SIL_PAYLOAD_HEX_DUCK})) AS n
+        FROM documents
+      ) t, LATERAL (SELECT unnest(range(0, t.n - {_SIL_FRAME - 1}, {_SIL_HOP})) AS s) u
+    ),
+    scored AS (
+      SELECT doc_id, frame_id,
+             CAST(list_sum(list_transform(range(1, {_SIL_FRAME * 2} + 1),
+                 i -> strpos('0123456789abcdef', substr(fh, CAST(i AS INTEGER), 1)) - 1))
+               AS BIGINT) AS energy
+      FROM frames
+    ),
+    silent AS (
+      SELECT doc_id, frame_id, energy,
+             frame_id - row_number() OVER (PARTITION BY doc_id ORDER BY frame_id)
+               AS island
+      FROM scored WHERE energy < {_SIL_THRESHOLD}
+    )
+    SELECT doc_id, MIN(frame_id) AS seg_start_frame, MAX(frame_id) AS seg_end_frame,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(energy) AS BIGINT) AS seg_energy
+    FROM silent GROUP BY doc_id, island
+    """,
+    note="Audio silence segmentation (the VAD/segment-trim pipeline shape): "
+    "slice the opaque binary payload into 32-byte/16-byte-hop frames (the "
+    "llm_audio_frames plumbing), featurize each frame with an INTEGER "
+    "energy (sum of hex-digit values via the shared strpos/locate trick — "
+    "bit-exact on both engines, standing in for the codec's RMS which "
+    "would be the import-gated decoder in operators/udfs.py), threshold "
+    "at the expected mean, and merge consecutive silent frames into "
+    "segments with the gaps-and-islands rewrite (frame_id - "
+    "row_number per doc). Scale: frame explode and energy are map-side; "
+    "the only shuffle keys on doc_id (fact-grain — never a "
+    "low-cardinality window); segments-per-doc is bounded by payload "
+    "size. A real corpus swaps the energy expression for the decoder "
+    "UDF and keeps the identical plan.",
+)
+def llm_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from banksy_spark.suite.llm import binary_payload
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", binary_payload().alias("payload")
+    )
+    frames = d.withColumn("n", F.octet_length("payload")).select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - _SIL_FRAME, F.lit(_SIL_HOP))
+        ).alias("s"),
+        F.lower(F.hex(F.expr(f"substring(payload, s + 1, {_SIL_FRAME})"))).alias(
+            "fh"
+        ),
+    )
+    energy = F.expr(
+        f"aggregate(sequence(1, {_SIL_FRAME * 2}), 0L, (acc, i) -> "
+        "acc + locate(substring(fh, i, 1), '0123456789abcdef') - 1)"
+    )
+    scored = frames.select(
+        "doc_id",
+        F.expr(f"CAST(s DIV {_SIL_HOP} AS BIGINT)").alias("frame_id"),
+        energy.alias("energy"),
+    ).filter(F.col("energy") < _SIL_THRESHOLD)
+    w = Window.partitionBy("doc_id").orderBy("frame_id")
+    islands = scored.withColumn(
+        "island", F.col("frame_id") - F.row_number().over(w)
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("frame_id").alias("seg_start_frame"),
+        F.max("frame_id").alias("seg_end_frame"),
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum("energy").cast("bigint").alias("seg_energy"),
+    ).drop("island")

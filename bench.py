@@ -241,6 +241,7 @@ HEADLINE = [
     "graph_kcore",              # fixed-depth k-core peel, lineage-cut rounds
     "o_file_skipping_stats",    # min/max manifest + planner skip verdicts
     "w_ohlc_resample",          # arg-min/max OHLC candles, window-free
+    "llm_audio_silence_segments",  # frame-energy VAD + island merge
 ]
 
 

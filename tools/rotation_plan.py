@@ -182,6 +182,7 @@ R12 = [
     # round-11 additions (suite/round11.py)
     "o_file_skipping_stats",
     "w_ohlc_resample",
+    "llm_audio_silence_segments",
 ]
 
 # Re-check fill for the round-12 window: _FRONT must stay at 50 names
