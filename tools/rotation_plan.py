@@ -21,6 +21,12 @@ vanilla-ANSI driver-simulation probe under the POST-round-10 code
 50/50 at sf0.01 — so the final rotation still carries no
 session-config or code-drift risk.
 
+Round-11 drift note: the two R11 names whose implementations changed
+AFTER the rotation was applied (llm_sample_pps — fixed-bucket prefix
+rewrite; j_basket_lift — in-plan pair-exchange sizing) were
+individually re-passed through the vanilla-ANSI probe and the
+three-SF sweep under the changed code before commit.
+
 Round-10 execution state: R10 below IS the live _FRONT window
 (tests/test_contract.py pins the equality), with two adjustments vs
 the round-9 plan: ml_brier_score re-enters first (round 9's single
