@@ -221,3 +221,97 @@ def llm_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_frames"),
         F.sum("energy").cast("bigint").alias("seg_energy"),
     ).drop("island")
+
+
+# --- Grid-bounded k-nearest-neighbor join ----------------------------------
+
+_KNN_GRID = 2.0  # cell size; search ring = 3x3 cells
+_KNN_K = 3
+
+
+@query(
+    "j_knn_grid_join",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS id, value AS x, CAST(user_id % 100 AS DOUBLE) AS y,
+             CAST(FLOOR(value / {_KNN_GRID}) AS BIGINT) AS cx,
+             CAST(FLOOR(CAST(user_id % 100 AS DOUBLE) / {_KNN_GRID}) AS BIGINT) AS cy
+      FROM events WHERE event_type = 'purchase'
+    ), probe AS (
+      SELECT p.id, p.x, p.y, p.cx + dx.d AS cx, p.cy + dy.d AS cy
+      FROM p, UNNEST([-1, 0, 1]) AS dx(d), UNNEST([-1, 0, 1]) AS dy(d)
+    ), cand AS (
+      SELECT a.id, b.id AS neighbor_id,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+      FROM probe a JOIN p b ON b.cx = a.cx AND b.cy = a.cy AND a.id <> b.id
+    )
+    SELECT id, neighbor_id, dist2, n_rank FROM (
+      SELECT id, neighbor_id, dist2,
+             row_number() OVER (PARTITION BY id ORDER BY dist2, neighbor_id)
+               AS n_rank
+      FROM cand
+    ) WHERE n_rank <= {_KNN_K}
+    """,
+    note="Grid-bounded k-nearest-neighbor join: each purchase point's "
+    f"{_KNN_K} nearest neighbors among candidates from its 3x3 grid ring "
+    "(cells sized to the search radius) — j_spatial_grid_join's radius "
+    "semantics upgraded to a RANKED kNN, the shape behind "
+    "nearest-store/nearest-sensor joins and geo feature engineering. "
+    "Bounded-search semantics are explicit (neighbors beyond the ring "
+    "are out of scope BY DEFINITION, stated identically in the oracle), "
+    "which is what makes the operator scale-honest: candidate volume is "
+    "bounded by local density, never all-pairs. dist2 is a single IEEE "
+    "expression (no accumulation) and (dist2, neighbor_id) ordering "
+    "breaks float ties deterministically, so both engines rank "
+    "identically. The rank window partitions by point id (fact grain) "
+    "and row_number <= k plans as WindowGroupLimit — per-map-partition "
+    "top-k bounds what any task sorts. Scale: 9x map-side blowup on the "
+    "probe side only; hot cells split with the suite's salting operator.",
+)
+def j_knn_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("id"),
+            F.col("value").alias("x"),
+            (F.col("user_id") % 100).cast("double").alias("y"),
+        )
+        .withColumn("cx", F.floor(F.col("x") / _KNN_GRID).cast("bigint"))
+        .withColumn("cy", F.floor(F.col("y") / _KNN_GRID).cast("bigint"))
+    )
+    probe = (
+        p.select(
+            "id", "x", "y", "cx", "cy",
+            F.explode(F.expr("array(-1, 0, 1)")).alias("dx"),
+        )
+        .select(
+            "id", "x", "y",
+            (F.col("cx") + F.col("dx")).alias("cx"), "cy",
+            F.explode(F.expr("array(-1, 0, 1)")).alias("dy"),
+        )
+        .select("id", "x", "y", "cx", (F.col("cy") + F.col("dy")).alias("cy"))
+    )
+    b = p.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        "cx",
+        "cy",
+    )
+    dist2 = (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx")) + (
+        F.col("y") - F.col("by")
+    ) * (F.col("y") - F.col("by"))
+    cand = (
+        probe.join(b, ["cx", "cy"])
+        .filter(F.col("id") != F.col("neighbor_id"))
+        .select("id", "neighbor_id", dist2.alias("dist2"))
+    )
+    w = Window.partitionBy("id").orderBy("dist2", "neighbor_id")
+    return (
+        cand.withColumn("n_rank", F.row_number().over(w))
+        .filter(F.col("n_rank") <= _KNN_K)
+        .select("id", "neighbor_id", "dist2", "n_rank")
+    )

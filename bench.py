@@ -242,6 +242,7 @@ HEADLINE = [
     "o_file_skipping_stats",    # min/max manifest + planner skip verdicts
     "w_ohlc_resample",          # arg-min/max OHLC candles, window-free
     "llm_audio_silence_segments",  # frame-energy VAD + island merge
+    "j_knn_grid_join",          # grid-ring kNN, WindowGroupLimit top-k
 ]
 
 

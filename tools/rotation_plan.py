@@ -189,6 +189,7 @@ R12 = [
     "o_file_skipping_stats",
     "w_ohlc_resample",
     "llm_audio_silence_segments",
+    "j_knn_grid_join",
 ]
 
 # Re-check fill for the round-12 window: _FRONT must stay at 50 names
