@@ -63,6 +63,13 @@ PROBES = [
     # windowed ANN ranks feeding a pivoted fixed-order float tree
     "llm_self_bleu",
     "llm_ann_ndcg",
+    # round-11 order-sensitive classes: arg-min/max candidate merge
+    # across partial aggregates (the picked row must be split-invariant),
+    # float-dist rank with integer tie-break, prefix-offset cumsum over
+    # fixed hash buckets
+    "w_ohlc_resample",
+    "j_knn_grid_join",
+    "llm_sample_pps",
 ]
 
 
