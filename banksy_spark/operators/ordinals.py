@@ -412,6 +412,15 @@ def _bucket_cols(
             "16, 10); see o_global_ntile)"
         )
     v1 = _as_double_sql(c1, c1t)
+    # Fold the parsed order spec into the caller's stable key: the sketch
+    # runs over the RENAMED _goval column, so its memo tag alone is
+    # order-column-blind — two grouped_ordinals calls sharing one
+    # stats_key but ordering by different columns would silently share
+    # sketch boundaries (round-11 ADVICE). The derived v1 SQL captures
+    # both the column and its monotone cast; asc is captured too since
+    # hot-value sub-splits depend on direction.
+    if stats_key is not None:
+        stats_key = f"{stats_key}|order:{v1}|asc:{asc1}"
     probs = [i / n_buckets for i in range(1, n_buckets)]
     keyed = df.withColumn("_goval", F.expr(v1))
     n_rows, (raw,) = _sketch(keyed, ["_goval"], probs, rel_err, stable_key=stats_key)

@@ -57,69 +57,69 @@ from banksy_spark.suite import round8b  # noqa: E402,F401
 from banksy_spark.suite import round9  # noqa: E402,F401
 from banksy_spark.suite import round10  # noqa: E402,F401
 from banksy_spark.suite import round11  # noqa: E402,F401
+from banksy_spark.suite import round12  # noqa: E402,F401
 
 # Rotate the newest / highest-risk queries into the driver's ~50-query
 # verification window (it samples the FIRST 50 registry entries).
-# Round 11 = backlog-retirement window 3 of 3: the pre-committed R11
-# rotation (tools/rotation_plan.py), applied by tools/rotate.py once
-# CORRECTNESS_r10.json landed. After this window the driver-verified
-# union covers the ENTIRE pre-round-10 registry; round-12+ windows
-# rotate in the post-plan additions (rotation_plan.R12) and re-checks.
-# Every name below passed the vanilla-ANSI driver-simulation probe
-# (tools/ansi_check.py) and the tuned-session three-SF sweeps.
+# Round 12 = gap-closing window: every post-plan addition that has
+# never been in a driver window (rotation_plan.R12), padded to 50 with
+# the highest-residual-risk re-checks (rotation_plan.R12_RECHECK_FILL).
+# After this window the driver-verified union covers the FULL registry
+# including all post-plan additions. Applied by tools/rotate.py once
+# CORRECTNESS_r11.json landed.
 # Python dicts preserve insertion order, so rebuilding the dict IS the
 # rotation.
 _FRONT = [
-    "ml_zscore_scaling",
-    "a_retention_cohorts",
-    "llm_quality_repetition",
-    "llm_domain_mix",
-    "llm_rank_fusion",
-    "a_decorrelated_avg",
-    "llm_mix_temperature",
-    "j_decorrelated_exists",
-    "o_zorder_key",
-    "llm_chunk_overlap",
-    "llm_bpe_pairs",
-    "llm_quality_classifier",
+    "stream_capped_balance_stateful",
+    "stream_markov_stateful",
+    "llm_dedup_containment_g5",
+    "graph_kcore",
+    "o_file_skipping_stats",
+    "w_ohlc_resample",
+    "llm_audio_silence_segments",
+    "j_knn_grid_join",
+    "f_array_hof",
+    "ml_brier_score",
+    "ml_kmeans_converged",
+    "llm_ann_ivf_trained",
+    "llm_langid_trained",
+    "stream_rolling_corr_stateful",
+    "stream_bollinger_stateful",
+    "j_similarity_ppjoin_pos",
+    "graph_pagerank",
+    "j_ancestry_converged",
+    "graph_bfs_converged",
+    "llm_dedup_lsh_recall",
+    "llm_dedup_cdc",
+    "llm_ann_pq",
+    "llm_ann_recall_pq",
+    "llm_ann_ivf_multiprobe",
+    "llm_ann_recall_multiprobe",
+    "a_heavy_hitters_cms",
+    "llm_kmv_algebra",
+    "llm_distinct_sketch_hll",
+    "a_bitmap_distinct",
+    "stream_markov_transitions",
+    "stream_attribution",
+    "stream_session_window_native",
+    "stream_interval_left_join",
+    "j_asof_tolerance",
+    "j_temporal_scd2_lookup",
+    "j_salted_skew_join",
+    "j_bloom_prune_join",
+    "j_fuzzy_edit1_join",
+    "j_similarity_prefix_join",
+    "llm_dedup_incremental",
+    "llm_dedup_spans",
+    "llm_decontam_overlap",
+    "llm_bm25_topk",
+    "a_mad_outliers",
+    "a_histogram_quantiles",
     "llm_dsir_importance",
     "llm_lm_fluency",
     "llm_pmi_cooc",
-    "llm_embed_feature_hash",
-    "llm_tokenize_ids",
-    "w_gap_fill_resample",
     "llm_sample_pps",
-    "a_incremental_view",
-    "j_argmin_supplier",
-    "o_compaction_plan",
-    "llm_epoch_shuffle",
-    "llm_bpe_merges",
-    "f_array_hof",
-    "f_null_semantics",
-    "j_hierarchy_unroll",
-    "o_snapshot_diff",
-    "a_seasonal_anomaly",
-    "w_activity_streaks",
-    "llm_langid_trained",
-    "j_basket_pairs",
-    "a_topn_others_rollup",
-    "o_union_evolved",
-    "a_yoy_growth",
-    "llm_span_corruption",
-    "llm_boundary_overlap",
-    "w_gap_alerts",
-    "a_rolling_dau_7d",
-    "llm_boilerplate_ngrams",
-    "a_ship_latency_pct",
-    "j_basket_lift",
-    "dq_partition_checksum",
-    "graph_degree_histogram",
-    "a_dow_hour_grid",
-    "dq_k_anonymity",
     "llm_e2e_prepare",
-    "a_xyz_classification",
-    "a_dau_mau_stickiness",
-    "dq_merkle_root",
 ]
 _rest = [n for n in REGISTRY if n not in set(_FRONT)]
 _reordered = {n: REGISTRY[n] for n in _FRONT + _rest}

@@ -1378,7 +1378,9 @@ def ml_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
                (a, b) -> a + b) AS sq_norm,
            CAST(len(list_filter(embedding, x -> x < 0)) AS BIGINT) AS n_neg,
            CAST(embedding[1] AS DOUBLE) AS first_dim,
-           list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)) AS head3
+           CAST(embedding[1] AS DOUBLE) AS head_1,
+           CAST(embedding[2] AS DOUBLE) AS head_2,
+           CAST(embedding[3] AS DOUBLE) AS head_3
     FROM embeddings
     """,
     note="Array higher-order-function surface over the embedding column, the "
@@ -1389,7 +1391,12 @@ def ml_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "size (negative-component count), 1-based element access and slice. All "
     "JVM-side codegen over the Arrow-read float array — zero shuffles, zero "
     "Python. The float→double cast is per-element BEFORE arithmetic in both "
-    "engines, which is what keeps float32 storage from perturbing parity.",
+    "engines, which is what keeps float32 storage from perturbing parity. "
+    "The slice surface is exercised via per-element scalar extraction "
+    "(head_1..head_3) rather than an ARRAY<DOUBLE> output column: the driver's "
+    "pandas-based canonicalizer cannot factorize list values (round-11 red), "
+    "so output columns must stay scalar — enforced registry-wide by "
+    "tools/oracle_types.py.",
 )
 def f_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
@@ -1403,9 +1410,9 @@ def f_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sq_norm"),
         F.expr("size(filter(embedding, x -> x < 0))").cast("bigint").alias("n_neg"),
         F.expr("CAST(element_at(embedding, 1) AS DOUBLE)").alias("first_dim"),
-        F.expr("transform(slice(embedding, 1, 3), x -> CAST(x AS DOUBLE))").alias(
-            "head3"
-        ),
+        F.expr("CAST(element_at(slice(embedding, 1, 3), 1) AS DOUBLE)").alias("head_1"),
+        F.expr("CAST(element_at(slice(embedding, 1, 3), 2) AS DOUBLE)").alias("head_2"),
+        F.expr("CAST(element_at(slice(embedding, 1, 3), 3) AS DOUBLE)").alias("head_3"),
     )
 
 

@@ -228,6 +228,13 @@ def j_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pr")
         )
         .select("pr.p1", "pr.p2")
+        # NB: this explicit exchange sits BELOW partial aggregation, so
+        # the shuffle carries raw exploded pairs with no map-side
+        # combine. Measured fine on the near-unique-pair ×30 replica
+        # (slope 8.02, SCALE.md); if duplicate-heavy basket regimes
+        # appear, prefer raising spark.sql.shuffle.partitions for the
+        # aggregate (keeping partial agg above the exchange) over this
+        # pre-aggregation repartition (round-11 ADVICE adjudication).
         .repartition(n_pairs_part, "p1", "p2")
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("pair_cnt"))

@@ -265,6 +265,10 @@ def _canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Systematic PPS (probability-proportional-to-size) sampling ------------
 
 _PPS_K = 10  # samples per language stratum
+# md5-prefix bucket width in hex digits: 2 → 256 cells per stratum.
+# Raise to 3-4 at 100 TB so each bucket cell stays task-sized (the
+# directory stays tiny: |langs| * 16^width rows).
+_PPS_BUCKET_HEX = 2
 
 
 @query(
@@ -302,13 +306,14 @@ def llm_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text").cast("binary")).alias("h"),
     )
     # md5 is uniform, so a fixed-width prefix bucket is balanced with no
-    # sketch: 2 hex digits = 256 cells per stratum (~n/256 rows each).
+    # sketch: _PPS_BUCKET_HEX hex digits = 16^width cells per stratum.
     pre = d.withColumn(
-        "_b", F.expr("CAST(conv(substring(h, 1, 2), 16, 10) AS INT)")
+        "_b",
+        F.expr(f"CAST(conv(substring(h, 1, {_PPS_BUCKET_HEX}), 16, 10) AS INT)"),
     )
     # tiny directory: per-(lang,bucket) weight subtotal -> exclusive
-    # prefix offset + stratum grand total (<= |langs|*256 rows, so the
-    # lang-keyed windows here run over the directory, not the corpus)
+    # prefix offset + stratum grand total (<= |langs| * 16^_PPS_BUCKET_HEX
+    # rows, so the lang-keyed windows run over the directory, not the corpus)
     wlang = Window.partitionBy("lang").orderBy("_b")
     bdir = pre.groupBy("lang", "_b").agg(F.sum("weight").alias("_bw"))
     offs = bdir.select(

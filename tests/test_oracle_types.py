@@ -54,6 +54,30 @@ def test_no_hugeint_oracle_outputs(con):
     )
 
 
+def test_no_nested_oracle_output_types(con):
+    """Round-11 verdict item 3: the driver's pandas-based canonicalizer
+    sorts result columns with ``sort_values``, which factorizes each
+    column — and list/struct/map cells are unhashable, so ANY nested
+    output column crashes the checker (f_array_hof's ARRAY<DOUBLE>
+    head3 was red in R11 despite passing three SF sweeps and ANSI
+    probes, because the builder's own checker canonicalizes lists and
+    the driver's does not). Rule: every oracle output column must be a
+    scalar type — serialize arrays at the boundary (array_join /
+    per-element scalar columns) in BOTH engines."""
+    offenders = {}
+    for name, sql in entry.oracle_sql().items():
+        rel = con.sql(sql)
+        for c, t in zip(rel.columns, rel.types):
+            ts = str(t)
+            if "[]" in ts or ts.startswith(("STRUCT", "MAP", "LIST", "UNION")):
+                offenders.setdefault(name, []).append((c, ts))
+    assert not offenders, (
+        "nested-typed oracle output columns (the driver's pandas "
+        "canonicalizer cannot hash list/struct/map cells — serialize to "
+        f"scalars at the boundary, see f_array_hof round 12): {offenders}"
+    )
+
+
 def test_no_decimal_output_exceeding_int64(con):
     """Round-9 verdict item 1: the HUGEINT hash-rendering class also
     covers OUTPUT columns, not just uncast integer SUMs. ml_brier_score

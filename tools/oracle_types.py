@@ -8,8 +8,15 @@ This tool binds each oracle with ``con.sql(...)`` against the sf parquet
 views and prints any column whose type is HUGEINT/UHUGEINT so the oracle
 can be wrapped in CAST(... AS BIGINT).
 
+It ALSO flags nested output types (LIST/ARRAY ``[]``, STRUCT, MAP,
+UNION): the driver's pandas-based canonicalizer sorts columns via
+``sort_values``, which cannot factorize list/struct/map cells — any
+nested output column crashes the checker outright (round-11:
+f_array_hof's ``head3 DOUBLE[]``). Serialize arrays at the boundary
+(array_join / per-element scalar columns) in BOTH engines.
+
 Usage: python tools/oracle_types.py [--sf DIR] [name ...]
-Exit 0 iff no oracle emits a HUGEINT/UHUGEINT column.
+Exit 0 iff no oracle emits a HUGEINT/UHUGEINT or nested-typed column.
 """
 
 from __future__ import annotations
@@ -63,7 +70,17 @@ def main() -> int:
         if flagged:
             bad += 1
             print(f"HUGEINT {name}: {flagged}")
-    print(f"checked {len(names)} oracles, {bad} with HUGEINT/UHUGEINT outputs")
+        nested = [
+            (c, t) for c, t in cols
+            if "[]" in t or t.startswith(("STRUCT", "MAP", "LIST", "UNION"))
+        ]
+        if nested:
+            bad += 1
+            print(f"NESTED {name}: {nested}")
+    print(
+        f"checked {len(names)} oracles, {bad} with "
+        "HUGEINT/UHUGEINT or nested outputs"
+    )
     return 1 if bad else 0
 
 

@@ -190,6 +190,12 @@ R12 = [
     "w_ohlc_resample",
     "llm_audio_silence_segments",
     "j_knn_grid_join",
+    # round-12 re-entry: only red driver row ever (R11 — the driver's
+    # pandas canonicalizer crashed on its ARRAY<DOUBLE> head3 column).
+    # Rewritten round 12 with scalar head_1..head_3 outputs in both
+    # engines; re-probed at three SFs + ANSI. RECHECK convention
+    # (tools/backlog.py:12-14): red-only names re-enter the next window.
+    "f_array_hof",
 ]
 
 # Re-check fill for the round-12 window: _FRONT must stay at 50 names
