@@ -2,6 +2,7 @@
 
 from banksy_spark.streaming.core import (
     attribution_join,
+    file_stats_manifest,
     hopping_hourly_sums,
     ohlc_candles,
     session_window_counts,
@@ -12,6 +13,7 @@ from banksy_spark.streaming.core import (
 
 __all__ = [
     "read_events_stream",
+    "file_stats_manifest",
     "tumbling_daily_counts",
     "hopping_hourly_sums",
     "ohlc_candles",

@@ -244,3 +244,25 @@ def purchase_attribution_stream(
         clicks.withWatermark("ts", "1 hour"),
         window_minutes,
     ).select("purchase_id", "click_id", "user_id")
+
+
+def file_stats_manifest(orders: "DataFrame", file_rows: int = 2048) -> "DataFrame":
+    """Incremental min/max file-stats manifest — identical logic to the
+    batch query suite.round12.o_manifest_prune's manifest CTE (and
+    suite.round11.o_file_skipping_stats): per synthetic file
+    (orderkey-range ingestion batch), row count plus min/max of the
+    clustering key and the date column. Every aggregate is associative
+    and mergeable (count, min, max), so the streaming state per file is
+    ONE bounded stats row updated in place across micro-batches — this
+    is exactly how a lakehouse sink maintains its pruning manifest
+    incrementally at write time instead of re-scanning the table.
+    Runs unchanged on a batch frame (the stream==batch pytest twin)."""
+    return orders.groupBy(
+        F.expr(f"o_orderkey DIV {file_rows}").alias("file_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+    )

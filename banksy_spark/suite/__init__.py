@@ -79,6 +79,8 @@ _FRONT = [
     "llm_audio_silence_segments",
     "j_knn_grid_join",
     "f_array_hof",
+    "f_point_in_polygon",
+    "o_manifest_prune",
     "ml_brier_score",
     "ml_kmeans_converged",
     "llm_ann_ivf_trained",
@@ -118,8 +120,6 @@ _FRONT = [
     "llm_dsir_importance",
     "llm_lm_fluency",
     "llm_pmi_cooc",
-    "llm_sample_pps",
-    "llm_e2e_prepare",
 ]
 _rest = [n for n in REGISTRY if n not in set(_FRONT)]
 _reordered = {n: REGISTRY[n] for n in _FRONT + _rest}

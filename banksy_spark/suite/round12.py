@@ -1,0 +1,245 @@
+"""Round-12 additions: spatial point-in-polygon and the storage-layer
+manifest-pruning twin.
+
+- f_point_in_polygon: exact point-in-polygon (crossing-number / ray
+  cast) against a broadcast-literal polygon set — the second spatial
+  shape after the grid joins (j_spatial_grid_join radius semantics,
+  j_knn_grid_join ranked kNN): region tagging / geofencing, the shape
+  behind "which delivery zone / census tract / geofence is this point
+  in". The polygon set is tiny by nature (a planner broadcasts it);
+  the per-point test is a pure columnar expression, so the operator is
+  map-side at any scale.
+- o_manifest_prune: the planner's file-pruning arithmetic as data —
+  join a literal query-predicate set against the min/max file-stats
+  manifest (o_file_skipping_stats' shape) and report files read vs
+  skipped and rows scanned per query. This is the measurable form of
+  "how much does clustering save THIS workload", computed from
+  metadata alone.
+
+Both are beyond-reference training/analytics-pipeline operators in the
+same spirit as the round-11 storage family (the reference, a
+single-node odds scraper, has no spatial or storage layer); design
+notes cite the brief's scale bar instead of reference lines. The
+streaming twin of the manifest (incremental per-file stats maintained
+across micro-batches) lives in banksy_spark/streaming/core.py
+(file_stats_manifest) with a stream==batch pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from banksy_spark.suite.registry import T, query
+
+# --- Point-in-polygon (crossing number over a literal polygon set) ---------
+
+# Vertices chosen so no edge is horizontal (no zero dy — the crossing
+# intercept never divides by zero) and every coordinate is an exactly-
+# representable x.5 double, while the probe grid (x = value, a 2-dp
+# double; y = user_id % 100, an integer cast) can never land ON a
+# vertex or an integer-crossing edge — the on-boundary ambiguity class
+# is excluded by construction, so both engines agree bit-for-bit.
+_POLY_STAR = [  # concave 4-pointed star, x/y in [10.5, 90.5]
+    (10.5, 10.5), (50.5, 30.5), (90.5, 10.5), (70.5, 50.5),
+    (90.5, 90.5), (50.5, 70.5), (10.5, 90.5), (30.5, 50.5),
+]
+_POLY_TRI = [(100.5, 20.5), (160.5, 80.5), (220.5, 10.5)]
+
+
+def _crossings_sql(verts: list[tuple[float, float]], px: str, py: str) -> str:
+    """Crossing-number SQL for point (px, py) vs the closed polygon:
+    one CASE term per edge, counted when the edge straddles the probe's
+    horizontal ray and the ray-edge intercept lies right of the point.
+    Every literal is CAST AS DOUBLE up front so both engines run the
+    identical IEEE expression (a bare 10.5 parses as DECIMAL in both
+    Spark and DuckDB, with engine-specific promotion rules)."""
+
+    def d(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
+    terms = []
+    n = len(verts)
+    for i in range(n):
+        x1, y1 = verts[i]
+        x2, y2 = verts[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({d(y1)} > {py}) <> ({d(y2)} > {py}))"
+            f" AND ({px} < {d(x1)} + ({py} - {d(y1)}) * ({d(x2)} - {d(x1)})"
+            f" / ({d(y2)} - {d(y1)})) THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_STAR_CROSS = _crossings_sql(_POLY_STAR, "x", "y")
+_TRI_CROSS = _crossings_sql(_POLY_TRI, "x", "y")
+
+
+@query(
+    "f_point_in_polygon",
+    oracle=f"""
+    SELECT event_id, x, y, n_cross_star, in_star, in_tri,
+           CASE WHEN in_star THEN 'star' WHEN in_tri THEN 'tri'
+                ELSE 'outside' END AS region
+    FROM (
+      SELECT event_id, x, y,
+             CAST({_STAR_CROSS} AS BIGINT) AS n_cross_star,
+             {_STAR_CROSS} % 2 = 1 AS in_star,
+             {_TRI_CROSS} % 2 = 1 AS in_tri
+      FROM (
+        SELECT event_id, value AS x, CAST(user_id % 100 AS DOUBLE) AS y
+        FROM events
+      )
+    )
+    """,
+    note="Exact point-in-polygon via the crossing-number (ray-cast) test "
+    "against a broadcast-literal polygon set: one CASE term per edge "
+    "counts ray/edge crossings, odd parity = inside — correct for the "
+    "CONCAVE star (a bbox or convex test would misclassify its notches). "
+    "The generated SQL is identical text in both engines: every literal "
+    "is pre-CAST to DOUBLE (no DECIMAL-promotion divergence) and the "
+    "intercept division is a single correctly-rounded IEEE op, so parity "
+    "is bit-exact; vertices sit on x.5 offsets while probes have 2-dp/"
+    "integer coordinates, excluding the on-boundary ambiguity class by "
+    "construction. Scale: the polygon set is metadata-sized by nature "
+    "(the planner inlines or broadcasts it) and the test is a pure "
+    "columnar expression — zero joins, zero shuffles, whole-stage "
+    "codegen over the scan; a large polygon CATALOG composes this with "
+    "the grid operator (j_spatial_grid_join) to bucket candidate "
+    "(point, polygon) pairs first, exactly like the kNN join bounds its "
+    "candidates.",
+)
+def f_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("value").alias("x"),
+        (F.col("user_id") % 100).cast("double").alias("y"),
+    )
+    scored = e.select(
+        "event_id",
+        "x",
+        "y",
+        F.expr(_STAR_CROSS).cast("bigint").alias("n_cross_star"),
+        F.expr(f"{_STAR_CROSS} % 2 = 1").alias("in_star"),
+        F.expr(f"{_TRI_CROSS} % 2 = 1").alias("in_tri"),
+    )
+    return scored.withColumn(
+        "region",
+        F.when(F.col("in_star"), F.lit("star"))
+        .when(F.col("in_tri"), F.lit("tri"))
+        .otherwise(F.lit("outside")),
+    )
+
+
+# --- Manifest pruning: per-query files-read / rows-scanned from stats ------
+
+_FILE_ROWS = 2048  # same synthetic file grain as o_file_skipping_stats
+
+# (query_id, key_lo, key_hi, date_lo, date_hi) — None = unbounded dim.
+# A file is skipped for a query iff ANY bounded dimension is disjoint
+# from the file's [min, max] stats range.
+_PRUNE_QUERIES = [
+    ("q_key_hot", 10_000, 14_000, None, None),
+    ("q_key_cold", 1, 2_000, None, None),
+    ("q_date_1995", None, None, "1995-01-01", "1995-12-31"),
+    ("q_key_date", 5_000, 8_000, "1996-01-01", "1996-06-30"),
+]
+
+
+def _skip_sql(key_lo, key_hi, date_lo, date_hi) -> str:
+    """Skip verdict for one query's predicate vs a manifest row —
+    identical SQL text in both engines (same column names)."""
+    parts = []
+    if key_lo is not None:
+        parts.append(f"max_key < {key_lo} OR min_key > {key_hi}")
+    if date_lo is not None:
+        parts.append(
+            f"max_date < DATE '{date_lo}' OR min_date > DATE '{date_hi}'"
+        )
+    return "(" + " OR ".join(parts) + ")"
+
+
+def _prune_oracle() -> str:
+    arms = "\n      UNION ALL ".join(
+        f"SELECT '{qid}' AS query_id, {_skip_sql(klo, khi, dlo, dhi)} AS skip,"
+        " n_rows FROM manifest"
+        for qid, klo, khi, dlo, dhi in _PRUNE_QUERIES
+    )
+    return f"""
+    WITH manifest AS (
+      SELECT o_orderkey // {_FILE_ROWS} AS file_id,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+             MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+      FROM orders GROUP BY 1
+    ), per_q AS (
+      {arms}
+    )
+    SELECT query_id,
+           CAST(COUNT(*) AS BIGINT) AS files_total,
+           CAST(SUM(CASE WHEN skip THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_skipped,
+           CAST(SUM(CASE WHEN skip THEN 0 ELSE 1 END) AS BIGINT)
+             AS files_read,
+           CAST(SUM(CASE WHEN skip THEN 0 ELSE n_rows END) AS BIGINT)
+             AS rows_scanned,
+           CAST(SUM(CASE WHEN skip THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS prune_ratio
+    FROM per_q GROUP BY query_id
+    """
+
+
+@query(
+    "o_manifest_prune",
+    oracle=_prune_oracle(),
+    note="The planner's file-pruning arithmetic as data: evaluate a "
+    "literal workload of predicate queries (key-range hot/cold, a date "
+    "year, a key+date conjunction) against the min/max file-stats "
+    "manifest (o_file_skipping_stats' shape) and report per query how "
+    "many files the stats alone skip and how many rows survive to be "
+    "scanned. A file is skipped iff ANY bounded predicate dimension is "
+    "disjoint from its stats range — the conjunction query shows pruning "
+    "composing across dimensions, and the date query shows the "
+    "clustering lesson again (uniform dates within key-ranged files "
+    "prune nothing). Implementation: the workload is unrolled as one "
+    "skip-verdict column per query over the manifest, then STACKed to "
+    "(query_id, skip, n_rows) rows and aggregated — zero joins (the "
+    "oracle states the same semantics as a UNION ALL), so the fact table "
+    "is touched once by the manifest aggregate and everything after is "
+    "metadata-sized. Scale: at 100 TB the manifest is ~10^6 listing "
+    "rows; per-query verdicts are map-side expressions over it and the "
+    "final aggregate is |workload|-row output — this is exactly the "
+    "work a lakehouse planner does per query, run here for the whole "
+    "workload in one pass.",
+)
+def o_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    manifest = o.groupBy(
+        F.expr(f"o_orderkey DIV {_FILE_ROWS}").alias("file_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+    stack_args = ", ".join(
+        f"'{qid}', {_skip_sql(klo, khi, dlo, dhi)}"
+        for qid, klo, khi, dlo, dhi in _PRUNE_QUERIES
+    )
+    per_q = manifest.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_PRUNE_QUERIES)}, {stack_args}) AS (query_id, skip)"
+        ),
+    )
+    skip_i = F.when(F.col("skip"), 1).otherwise(0)
+    return per_q.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("files_total"),
+        F.sum(skip_i).cast("bigint").alias("files_skipped"),
+        F.sum(1 - skip_i).cast("bigint").alias("files_read"),
+        F.sum(F.when(F.col("skip"), 0).otherwise(F.col("n_rows")))
+        .cast("bigint")
+        .alias("rows_scanned"),
+        (F.sum(skip_i).cast("double") / F.count(F.lit(1))).alias("prune_ratio"),
+    )

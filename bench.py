@@ -243,6 +243,8 @@ HEADLINE = [
     "w_ohlc_resample",          # arg-min/max OHLC candles, window-free
     "llm_audio_silence_segments",  # frame-energy VAD + island merge
     "j_knn_grid_join",          # grid-ring kNN, WindowGroupLimit top-k
+    "f_point_in_polygon",       # crossing-number ray cast, zero joins
+    "o_manifest_prune",         # per-query pruning math over the manifest
 ]
 
 

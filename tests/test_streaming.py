@@ -1122,3 +1122,48 @@ def test_ohlc_candles_stream_equals_batch(spark, events_dir, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_file_stats_manifest_stream_equals_batch(spark, tmp_path):
+    """Incremental file-stats manifest (the lakehouse pruning manifest
+    maintained AT WRITE TIME): orders arrive in three shuffled splits,
+    one per micro-batch (maxFilesPerTrigger=1), so most files' stats
+    rows are updated across multiple batches — count/min/max state
+    merges associatively and the final manifest must equal the batch
+    form bit-for-bit. Twin of the oracle-checked manifest CTE in
+    suite.round12.o_manifest_prune / round11.o_file_skipping_stats."""
+    from banksy_spark.streaming import file_stats_manifest
+    from banksy_spark.suite.registry import T
+
+    orders = T(spark, SF_SMOKE, "orders").select("o_orderkey", "o_orderdate")
+    d = tmp_path / "orders_in"
+    # deterministic 3-way split that interleaves every file's key range
+    # across batches: split by orderkey mod 3, write one file per split
+    for i in range(3):
+        orders.filter(F.col("o_orderkey") % 3 == i).coalesce(1).write.parquet(
+            str(d), mode="append"
+        )
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        file_stats_manifest(stream)
+        .writeStream.format("memory")
+        .queryName("file_manifest")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_manifest"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish in time"
+    got = {
+        r.file_id: (r.n_rows, r.min_key, r.max_key, str(r.min_date), str(r.max_date))
+        for r in spark.sql("SELECT * FROM file_manifest").collect()
+    }
+    want = {
+        r.file_id: (r.n_rows, r.min_key, r.max_key, str(r.min_date), str(r.max_date))
+        for r in file_stats_manifest(orders).collect()
+    }
+    assert got == want and len(want) > 0

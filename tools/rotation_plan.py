@@ -196,6 +196,10 @@ R12 = [
     # engines; re-probed at three SFs + ANSI. RECHECK convention
     # (tools/backlog.py:12-14): red-only names re-enter the next window.
     "f_array_hof",
+    # round-12 additions (suite/round12.py), registered before the R12
+    # driver run — appended so the gap-closing window verifies them too
+    "f_point_in_polygon",
+    "o_manifest_prune",
 ]
 
 # Re-check fill for the round-12 window: _FRONT must stay at 50 names
