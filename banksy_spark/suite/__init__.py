@@ -81,6 +81,8 @@ _FRONT = [
     "f_array_hof",
     "f_point_in_polygon",
     "o_manifest_prune",
+    "a_geofence_dwell",
+    "a_tile_pyramid",
     "ml_brier_score",
     "ml_kmeans_converged",
     "llm_ann_ivf_trained",
@@ -118,8 +120,6 @@ _FRONT = [
     "a_mad_outliers",
     "a_histogram_quantiles",
     "llm_dsir_importance",
-    "llm_lm_fluency",
-    "llm_pmi_cooc",
 ]
 _rest = [n for n in REGISTRY if n not in set(_FRONT)]
 _reordered = {n: REGISTRY[n] for n in _FRONT + _rest}

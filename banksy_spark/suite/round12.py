@@ -243,3 +243,157 @@ def o_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rows_scanned"),
         (F.sum(skip_i).cast("double") / F.count(F.lit(1))).alias("prune_ratio"),
     )
+
+
+# --- Geofence dwell time (point-in-polygon x ordered time attribution) -----
+
+
+@query(
+    "a_geofence_dwell",
+    oracle=f"""
+    WITH located AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN {_crossings_sql(_POLY_STAR,
+                 "value", "CAST(user_id % 100 AS DOUBLE)")} % 2 = 1
+                  THEN 'star' ELSE 'outside' END AS region
+      FROM events
+    ), hops AS (
+      SELECT user_id, region, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_ts
+      FROM located
+    )
+    SELECT user_id, region,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(epoch_us(next_ts) - epoch_us(ts)) AS BIGINT) AS dwell_us
+    FROM hops WHERE next_ts IS NOT NULL
+    GROUP BY user_id, region
+    """,
+    note="Geofence dwell time: how long each user spends inside the star "
+    "polygon — the telemetry/fleet-analytics composition of the spatial "
+    "test (f_point_in_polygon's crossing-number expression, inlined "
+    "identically in both engines) with ordered time attribution (each "
+    "inter-event interval is attributed to the region of its STARTING "
+    "point, the standard dwell convention; the user's last event opens "
+    "no interval). Interval lengths are exact integer microsecond "
+    "differences (unix_micros/epoch_us — no float time math), so the "
+    "per-(user, region) sums are bit-stable under any partitioning. "
+    "Scale: region tagging is map-side; the lead window and the "
+    "aggregate both key on user_id (fact-grain, never low-cardinality); "
+    "one shuffle total since the aggregate reuses the window's "
+    "partitioning keys.",
+)
+def a_geofence_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    star = _crossings_sql(_POLY_STAR, "value", "CAST(user_id % 100 AS DOUBLE)")
+    located = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.expr(f"{star} % 2 = 1"), F.lit("star"))
+        .otherwise(F.lit("outside"))
+        .alias("region"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = located.withColumn("next_ts", F.lead("ts").over(w)).filter(
+        F.col("next_ts").isNotNull()
+    )
+    return hops.groupBy("user_id", "region").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum(F.unix_micros("next_ts") - F.unix_micros("ts"))
+        .cast("bigint")
+        .alias("dwell_us"),
+    )
+
+
+# --- Tile pyramid: multi-resolution spatial rollup, coarse-from-fine -------
+
+_TILE_FINE = 4.0  # finest cell size; each coarser level doubles it
+
+
+@query(
+    "a_tile_pyramid",
+    oracle=f"""
+    WITH fine AS (
+      SELECT CAST(FLOOR(value / {_TILE_FINE}) AS BIGINT) AS cx,
+             CAST(FLOOR(CAST(user_id % 100 AS DOUBLE) / {_TILE_FINE}) AS BIGINT)
+               AS cy,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CAST(value * 100 AS DECIMAL(18,2)) AS DECIMAL(38,2)))
+               AS DECIMAL(38,2)) AS cents
+      FROM events GROUP BY 1, 2
+    ), mid AS (
+      SELECT cx // 2 AS cx, cy // 2 AS cy,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(cents) AS DECIMAL(38,2)) AS cents
+      FROM fine GROUP BY 1, 2
+    ), coarse AS (
+      SELECT cx // 2 AS cx, cy // 2 AS cy,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(cents) AS DECIMAL(38,2)) AS cents
+      FROM mid GROUP BY 1, 2
+    )
+    SELECT 0 AS level, cx, cy, n, CAST(cents AS DOUBLE) / 100 AS value_sum
+      FROM fine
+    UNION ALL SELECT 1, cx, cy, n, CAST(cents AS DOUBLE) / 100 FROM mid
+    UNION ALL SELECT 2, cx, cy, n, CAST(cents AS DOUBLE) / 100 FROM coarse
+    """,
+    note="Tile pyramid (map-tile / heatmap zoom levels): per-cell count "
+    "and value sum at three resolutions, each coarser level computed by "
+    "RE-AGGREGATING the next finer level's cells (cell id halves per "
+    "level) — never by re-scanning the fact. That is the pyramid "
+    "lesson at 100 TB: the fact is touched once by the finest "
+    "aggregate; levels above it run on metadata-sized tile layers "
+    "(bounded by the grid extent, independent of row count), unlike a "
+    "GROUPING SETS form which shuffles the fact once per grain "
+    "(a_cube_grouping states that contrast). value_sum stays on the "
+    "suite's EXACT DECIMAL cent grid through every pyramid level — "
+    "order-independent sums all the way up (re-adding DOUBLE cell sums "
+    "was measured order-sensitive even over 4 values) — and converts "
+    "to DOUBLE only at the output boundary, one identical division per "
+    "cell in both engines. Plan: one fact shuffle (fine cells), two "
+    "tiny re-aggregates, one union.",
+)
+def a_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events").select(
+        F.floor(F.col("value") / _TILE_FINE).cast("bigint").alias("cx"),
+        F.floor((F.col("user_id") % 100).cast("double") / _TILE_FINE)
+        .cast("bigint")
+        .alias("cy"),
+        "value",
+    )
+    cents = F.expr("CAST(CAST(value * 100 AS DECIMAL(18,2)) AS DECIMAL(38,2))")
+    # persist the finest tile layer: three consumers (its own output
+    # level, mid's build, and transitively coarse's) would otherwise
+    # each re-scan the FACT — the plan audit measured 3 scans/6
+    # shuffles unpersisted vs 1 fact scan persisted. The layer is
+    # grid-extent-bounded (metadata-sized), so caching it is free;
+    # check.py/bench/tests release suite caches per query.
+    fine = e.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents).cast("decimal(38,2)").alias("cents"),
+    ).persist()
+
+    def up(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.expr("cx DIV 2").alias("cx"), F.expr("cy DIV 2").alias("cy")
+        ).agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("cents").cast("decimal(38,2)").alias("cents"),
+        )
+
+    mid = up(fine)
+    coarse = up(mid)
+
+    def lvl(df: DataFrame, i: int) -> DataFrame:
+        return df.select(
+            F.lit(i).alias("level"),
+            "cx",
+            "cy",
+            "n",
+            (F.col("cents").cast("double") / 100).alias("value_sum"),
+        )
+
+    return lvl(fine, 0).unionByName(lvl(mid, 1)).unionByName(lvl(coarse, 2))

@@ -245,6 +245,8 @@ HEADLINE = [
     "j_knn_grid_join",          # grid-ring kNN, WindowGroupLimit top-k
     "f_point_in_polygon",       # crossing-number ray cast, zero joins
     "o_manifest_prune",         # per-query pruning math over the manifest
+    "a_geofence_dwell",         # spatial x ordered time attribution
+    "a_tile_pyramid",           # coarse-from-fine multi-resolution rollup
 ]
 
 

@@ -62,6 +62,10 @@ QUERIES = [
     "a_mad_outliers",
     "o_file_skipping_stats",
     "w_ohlc_resample",
+    "f_point_in_polygon",
+    "o_manifest_prune",
+    "a_geofence_dwell",
+    "a_tile_pyramid",
     # iterative graph
     "graph_pagerank",
     "graph_kcore",

@@ -124,6 +124,28 @@ def keyed_windows(plan: str) -> int:
     return sum(1 for h in hits if h not in protected)
 
 
+def visible(plan: str) -> str:
+    """Strip ``InMemoryRelation`` stored-build subtrees (same rule as
+    tests/conftest.visible_plan): a persisted frame's build plan prints
+    inline under EVERY InMemoryTableScan consumer, so raw scan/exchange
+    counts multiply once-executed (or zero-executed, on cache hit) work
+    by its consumer count — a_tile_pyramid's single fact scan read as 3
+    before this (round 12)."""
+    out: list[str] = []
+    skip_prefix: int | None = None
+    for line in plan.splitlines():
+        prefix = len(line) - len(line.lstrip(" :+-"))
+        if skip_prefix is not None:
+            if prefix > skip_prefix:
+                continue
+            skip_prefix = None
+        if "InMemoryRelation" in line:
+            skip_prefix = prefix
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -140,7 +162,7 @@ def main() -> None:
         # directory frames — release them per query (see tools/check.py)
         release_caches(spark)
         df = spec.fn(spark, args.sf)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = visible(df._jdf.queryExecution().executedPlan().toString())
         rows.append(
             {
                 "name": name,
@@ -161,6 +183,9 @@ def main() -> None:
         "# PLANS — physical-plan audit of every suite query",
         "",
         f"Generated by `tools/plan_audit.py` at sf dir `{args.sf}`.",
+        "Counts exclude `InMemoryRelation` stored-build subtrees (a",
+        "persisted frame's build prints under every consumer; it executes",
+        "at most once — same rule as tests/conftest.visible_plan).",
         "Columns: hash-partition exchanges (shuffles), joins by strategy,",
         "parquet scans, window operators, single-partition global windows",
         "(gwin — Sort over Exchange SinglePartition under a Window; the",

@@ -200,6 +200,8 @@ R12 = [
     # driver run — appended so the gap-closing window verifies them too
     "f_point_in_polygon",
     "o_manifest_prune",
+    "a_geofence_dwell",
+    "a_tile_pyramid",
 ]
 
 # Re-check fill for the round-12 window: _FRONT must stay at 50 names
