@@ -112,14 +112,17 @@ def main() -> int:
     if args.window:
         # Once the never-windowed backlog is smaller than the 50-slot
         # window, the balance is deliberately spent on the risk-ranked
-        # re-check fill (rotation_plan.R12_RECHECK_FILL) — those are
-        # planned re-checks, not wasted slots.
+        # re-check plans (rotation_plan.R12_RECHECK_FILL, and the pure
+        # re-check R13 window) — those are planned re-checks, not
+        # wasted slots.
         planned_fill: set[str] = set()
         try:
             sys.path.insert(0, os.path.join(repo, "tools"))
             import rotation_plan
 
-            planned_fill = set(getattr(rotation_plan, "R12_RECHECK_FILL", ()))
+            planned_fill = set(
+                getattr(rotation_plan, "R12_RECHECK_FILL", ())
+            ) | set(getattr(rotation_plan, "R13", ()))
         except ImportError:
             pass
         front = suite._FRONT

@@ -175,7 +175,11 @@ def main() -> None:
                 "windows": plan.count("Window"),
                 "gwin": global_windows(plan),
                 "kwin": keyed_windows(plan),
-                "wsc": plan.count("WholeStageCodegen"),
+                # executedPlan().toString() renders codegen spans as
+                # "*(n)" prefixes, not the word WholeStageCodegen —
+                # count DISTINCT span ids (the literal-string count
+                # read 0 for every query through round 11)
+                "wsc": len(set(re.findall(r"\*\((\d+)\)", plan))),
             }
         )
 
@@ -186,6 +190,11 @@ def main() -> None:
         "Counts exclude `InMemoryRelation` stored-build subtrees (a",
         "persisted frame's build prints under every consumer; it executes",
         "at most once — same rule as tests/conftest.visible_plan).",
+        "The codegen column counts `*(n)` span ids; AQE-wrapped plans",
+        "(anything with an exchange) print `AdaptiveSparkPlan` without",
+        "span annotations before execution, so it is meaningful only for",
+        "single-stage plans — tests/test_plans.py asserts codegen",
+        "directly on executed plans where it matters.",
         "Columns: hash-partition exchanges (shuffles), joins by strategy,",
         "parquet scans, window operators, single-partition global windows",
         "(gwin — Sort over Exchange SinglePartition under a Window; the",

@@ -59,14 +59,27 @@ _FRONT = [
 # rotation.
 _FRONT = [
 """,
+    "R13": """# Rotate the newest / highest-risk queries into the driver's ~50-query
+# verification window (it samples the FIRST 50 registry entries).
+# Round 13 = pure re-check window: the R12 gap-closing window completed
+# driver coverage of the FULL registry, so all 50 slots re-verify the
+# highest-residual-risk names not already re-checked inside the R12
+# window (rotation_plan.R13 states the risk ranking). Applied by
+# tools/rotate.py once CORRECTNESS_r12.json landed.
+# Python dicts preserve insertion order, so rebuilding the dict IS the
+# rotation.
+_FRONT = [
+""",
 }
 
 
 def pending_window():
     import rotation_plan
 
-    if os.path.exists(os.path.join(REPO, "CORRECTNESS_r12.json")):
+    if os.path.exists(os.path.join(REPO, "CORRECTNESS_r13.json")):
         return None, None
+    if os.path.exists(os.path.join(REPO, "CORRECTNESS_r12.json")):
+        return "R13", rotation_plan.R13
     if os.path.exists(os.path.join(REPO, "CORRECTNESS_r11.json")):
         return "R12", rotation_plan.window_r12()
     if os.path.exists(os.path.join(REPO, "CORRECTNESS_r10.json")):
@@ -81,7 +94,7 @@ def main() -> int:
 
     name, window = pending_window()
     if name is None:
-        print("nothing to rotate: R12 already consumed (CORRECTNESS_r12.json)")
+        print("nothing to rotate: R13 already consumed (CORRECTNESS_r13.json)")
         return 0
 
     import banksy_spark.suite as suite

@@ -264,6 +264,81 @@ R12_RECHECK_FILL = [
 ]
 
 
+# Round 13: pre-committed PURE RE-CHECK window (the R12 gap-closing
+# window completes driver coverage of the full registry, so R13 spends
+# all 50 slots on the highest-residual-risk names NOT already re-checked
+# inside window_r12()). Risk ranking, same discipline as R8-R12:
+# (1) the seven R12_RECHECK_FILL names the 50-slot cap squeezed out of
+#     the live R12 window (they were already risk-ranked);
+# (2) similarity/dedup variants whose only green rows date to r3-r9;
+# (3) gram-builder queries in the round-10 fuzz-defect class;
+# (4) global-ordinal / exact-rank machinery (holistic aggregates);
+# (5) hand-rolled statistics with transcendental/quantization hazards;
+# (6) ordered folds (list_reduce oracles) and remaining streaming twins;
+# (7) iterative graph + storage-layer queries.
+# Round-12-born queries all sit in the live R12 window, so none repeat
+# here. tools/rotate.py applies this once CORRECTNESS_r12.json lands.
+R13 = [
+    # (1) squeezed-out R12 fill
+    "llm_sample_pps",
+    "llm_e2e_prepare",
+    "w_scd2_intervals",
+    "o_cdc_merge_apply",
+    "llm_corpus_clean",
+    "llm_dedup_semantic",
+    "j_basket_lift",
+    # (2) similarity / dedup variants
+    "llm_dedup_minhash_lsh",
+    "llm_dedup_containment",
+    "llm_dedup_containment_k3",
+    "llm_dedup_ngram_jaccard",
+    "llm_simhash",
+    "llm_embed_near_dup",
+    "llm_dedup_tau_curve",
+    "llm_ann_recall",
+    "llm_ann_ndcg",
+    # (3) gram builders (round-10 fuzz-defect class)
+    "llm_bpe_pairs",
+    "llm_bpe_merges",
+    "llm_self_bleu",
+    "llm_boilerplate_ngrams",
+    # (4) global ordinals / exact ranks
+    "o_global_rownum",
+    "o_global_ntile",
+    "a_exact_median",
+    "a_exact_percentiles",
+    "a_weighted_percentiles_global",
+    "a_interpolated_percentiles",
+    # (5) hand-rolled statistics
+    "ml_mutual_info",
+    "ml_spearman_corr",
+    "ml_kendall_tau",
+    "ml_sprt_sequential",
+    "ml_linreg_normal",
+    "a_theil_sen_monthly",
+    "w_rolling_corr",
+    "a_chi2_contingency",
+    "a_tail_risk_var_es",
+    "a_neyman_allocation",
+    # (6) ordered folds + streaming twins
+    "w_ewma",
+    "w_holt_linear",
+    "w_cusum_changepoint",
+    "w_capped_sessions",
+    "w_max_drawdown",
+    "a_changepoint_binseg",
+    "a_survival_km",
+    "stream_rate_limit_stateful",
+    "stream_sessionize",
+    "stream_asof_join",
+    "stream_rollup_cascade",
+    # (7) iterative graph + storage
+    "graph_triangle_count",
+    "o_compaction_plan",
+    "o_zorder_key",
+]
+
+
 def window_r12():
     """The concrete 50-name round-12 window: every post-plan addition
     (R12, never driver-verified) first, then the highest-risk re-checks
