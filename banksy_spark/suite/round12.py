@@ -397,3 +397,152 @@ def a_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return lvl(fine, 0).unionByName(lvl(mid, 1)).unionByName(lvl(coarse, 2))
+
+
+# --- Polygon-table join: grid-blocked candidates + exact crossing test -----
+
+_PG_CELL = 8.0  # grid cell size for candidate blocking
+
+# Per-edge crossing term over COLUMNS (px,py point; x1,y1,x2,y2 edge) —
+# identical SQL text in both engines. Same ray-cast rule as
+# _crossings_sql, but data-driven: the polygon set is a TABLE here.
+_PG_EDGE_TERM = (
+    "(CASE WHEN ((y1 > py) <> (y2 > py))"
+    " AND (px < x1 + (py - y1) * (x2 - x1) / (y2 - y1))"
+    " THEN 1 ELSE 0 END)"
+)
+
+# Rhombus polygons derived from nation (integer-exact vertex math, all
+# coordinates on the x.5 grid, no horizontal edges by construction):
+# center (cx, cy), half-diagonals (dx, dy).
+_PG_POLY_SQL = """
+  SELECT n_nationkey AS poly_id,
+         CAST(10.5 AS DOUBLE) + (n_nationkey % 5) * 40 AS cx,
+         CAST(10.5 AS DOUBLE) + (n_nationkey // 5) * 18 AS cy,
+         CAST(3.5 AS DOUBLE) + (n_nationkey % 7) AS dx,
+         CAST(2.5 AS DOUBLE) + (n_nationkey % 5) AS dy
+  FROM nation
+"""
+
+
+
+@query(
+    "j_polygon_grid_join",
+    oracle=f"""
+    WITH polys AS ({_PG_POLY_SQL}),
+    edges AS (
+      SELECT poly_id, cx + dx AS x1, cy AS y1, cx AS x2, cy + dy AS y2 FROM polys
+      UNION ALL SELECT poly_id, cx, cy + dy, cx - dx, cy FROM polys
+      UNION ALL SELECT poly_id, cx - dx, cy, cx, cy - dy FROM polys
+      UNION ALL SELECT poly_id, cx, cy - dy, cx + dx, cy FROM polys
+    ),
+    coverage AS (
+      SELECT poly_id, cx, cy, dx, dy, ix.i AS ix, iy.i AS iy
+      FROM polys,
+           LATERAL (SELECT unnest(range(
+             CAST(FLOOR((cx - dx) / {_PG_CELL}) AS BIGINT),
+             CAST(FLOOR((cx + dx) / {_PG_CELL}) AS BIGINT) + 1)) AS i) ix,
+           LATERAL (SELECT unnest(range(
+             CAST(FLOOR((cy - dy) / {_PG_CELL}) AS BIGINT),
+             CAST(FLOOR((cy + dy) / {_PG_CELL}) AS BIGINT) + 1)) AS i) iy
+    ),
+    points AS (
+      SELECT event_id AS id, value AS px,
+             CAST(user_id % 100 AS DOUBLE) AS py,
+             CAST(FLOOR(value / {_PG_CELL}) AS BIGINT) AS ix,
+             CAST(FLOOR(CAST(user_id % 100 AS DOUBLE) / {_PG_CELL}) AS BIGINT)
+               AS iy
+      FROM events
+    ),
+    cand AS (
+      SELECT p.id, p.px, p.py, c.poly_id
+      FROM points p JOIN coverage c
+        ON c.ix = p.ix AND c.iy = p.iy
+       AND p.px >= c.cx - c.dx AND p.px <= c.cx + c.dx
+       AND p.py >= c.cy - c.dy AND p.py <= c.cy + c.dy
+    )
+    SELECT id, poly_id, px, py FROM (
+      SELECT cand.id, cand.poly_id, cand.px, cand.py,
+             SUM({_PG_EDGE_TERM}) AS n_cross
+      FROM cand JOIN edges ON edges.poly_id = cand.poly_id
+      GROUP BY 1, 2, 3, 4
+    ) WHERE n_cross % 2 = 1
+    """,
+    note="Point-in-polygon as a JOIN against a polygon TABLE — the scale "
+    "path f_point_in_polygon's note promises: 25 rhombus regions derived "
+    "from nation (integer-exact x.5-grid vertices, no horizontal edges "
+    "by construction), grid-cell coverage exploded per polygon "
+    "(metadata-sized: <= ~16 cells x 25 polygons), candidates = points "
+    "equi-joined to coverage on their ONE cell with the bbox prune "
+    "inside the join, then the exact crossing-number test evaluated "
+    "RELATIONALLY: candidates join the 100-row edge table (broadcast) "
+    "and crossings aggregate per (point, polygon), odd parity = inside. "
+    "Both joins broadcast the polygon side; the only shuffle is the "
+    "crossing aggregate, keyed on (point, polygon) — fact grain. "
+    "Candidate volume is bounded by cell-local density exactly like "
+    "j_knn_grid_join, never points x polygons; a point's cell meets a "
+    "polygon's coverage at most once, so candidate rows are unique by "
+    "construction. Parity: every coordinate derives from integer "
+    "columns + 0.5 offsets (exactly representable), and the per-edge "
+    "intercept is the same single-division IEEE expression text in both "
+    "engines.",
+)
+def j_polygon_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    polys = T(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey AS poly_id",
+        "CAST(10.5 AS DOUBLE) + (n_nationkey % 5) * 40 AS cx",
+        "CAST(10.5 AS DOUBLE) + (n_nationkey DIV 5) * 18 AS cy",
+        "CAST(3.5 AS DOUBLE) + (n_nationkey % 7) AS dx",
+        "CAST(2.5 AS DOUBLE) + (n_nationkey % 5) AS dy",
+    )
+    edges = polys.selectExpr(
+        "poly_id",
+        "stack(4, cx + dx, cy, cx, cy + dy,"
+        " cx, cy + dy, cx - dx, cy,"
+        " cx - dx, cy, cx, cy - dy,"
+        " cx, cy - dy, cx + dx, cy) AS (x1, y1, x2, y2)",
+    )
+    coverage = polys.select(
+        "poly_id",
+        "cx",
+        "cy",
+        "dx",
+        "dy",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("cx") - F.col("dx")) / _PG_CELL).cast("bigint"),
+                F.floor((F.col("cx") + F.col("dx")) / _PG_CELL).cast("bigint"),
+            )
+        ).alias("ix"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("cy") - F.col("dy")) / _PG_CELL).cast("bigint"),
+                F.floor((F.col("cy") + F.col("dy")) / _PG_CELL).cast("bigint"),
+            )
+        ).alias("iy"),
+    )
+    points = T(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        F.col("value").alias("px"),
+        (F.col("user_id") % 100).cast("double").alias("py"),
+        F.floor(F.col("value") / _PG_CELL).cast("bigint").alias("ix"),
+        F.floor((F.col("user_id") % 100).cast("double") / _PG_CELL)
+        .cast("bigint")
+        .alias("iy"),
+    )
+    cand = points.join(F.broadcast(coverage), ["ix", "iy"]).filter(
+        (F.col("px") >= F.col("cx") - F.col("dx"))
+        & (F.col("px") <= F.col("cx") + F.col("dx"))
+        & (F.col("py") >= F.col("cy") - F.col("dy"))
+        & (F.col("py") <= F.col("cy") + F.col("dy"))
+    ).select("id", "px", "py", "poly_id")
+    crossed = (
+        cand.join(F.broadcast(edges), "poly_id")
+        .groupBy("id", "poly_id", "px", "py")
+        .agg(F.sum(F.expr(_PG_EDGE_TERM)).alias("n_cross"))
+    )
+    return crossed.filter(F.col("n_cross") % 2 == 1).select(
+        "id", "poly_id", "px", "py"
+    )

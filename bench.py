@@ -247,6 +247,7 @@ HEADLINE = [
     "o_manifest_prune",         # per-query pruning math over the manifest
     "a_geofence_dwell",         # spatial x ordered time attribution
     "a_tile_pyramid",           # coarse-from-fine multi-resolution rollup
+    "j_polygon_grid_join",      # grid-blocked polygon-table containment join
 ]
 
 

@@ -66,6 +66,7 @@ QUERIES = [
     "o_manifest_prune",
     "a_geofence_dwell",
     "a_tile_pyramid",
+    "j_polygon_grid_join",
     # iterative graph
     "graph_pagerank",
     "graph_kcore",

@@ -202,6 +202,7 @@ R12 = [
     "o_manifest_prune",
     "a_geofence_dwell",
     "a_tile_pyramid",
+    "j_polygon_grid_join",
 ]
 
 # Re-check fill for the round-12 window: _FRONT must stay at 50 names
