@@ -451,6 +451,18 @@ FUZZ_QUERIES = [
     # docs only on BOTH engines — a 2-token doc has a 2-gram truth
     # shingle set but no 3-gram signature (seed-777 advtext find)
     "llm_dedup_lsh_recall",
+    # round-11/12 families: market-data resample on tie-heavy streams,
+    # storage manifests on random key layouts, spatial crossing tests /
+    # grid blocking on random coordinates, exact-DECIMAL pyramid sums,
+    # integer-microsecond dwell arithmetic over random timestamps
+    "w_ohlc_resample",
+    "o_file_skipping_stats",
+    "o_manifest_prune",
+    "j_knn_grid_join",
+    "f_point_in_polygon",
+    "j_polygon_grid_join",
+    "a_geofence_dwell",
+    "a_tile_pyramid",
 ]
 
 _REGIMES = [

@@ -279,6 +279,10 @@ R12_RECHECK_FILL = [
 # (7) iterative graph + storage-layer queries.
 # Round-12-born queries all sit in the live R12 window, so none repeat
 # here. tools/rotate.py applies this once CORRECTNESS_r12.json lands.
+# Pre-validation (round 12 close): all 50 R13 names passed the
+# vanilla-ANSI driver-simulation probe (tools/ansi_check.py, 50/50)
+# under the final round-12 code — the rotation carries no
+# session-config risk.
 R13 = [
     # (1) squeezed-out R12 fill
     "llm_sample_pps",
