@@ -84,6 +84,7 @@ _FRONT = [
     "a_geofence_dwell",
     "a_tile_pyramid",
     "j_polygon_grid_join",
+    "ml_cuped_adjustment",
     "ml_brier_score",
     "ml_kmeans_converged",
     "llm_ann_ivf_trained",
@@ -119,7 +120,6 @@ _FRONT = [
     "llm_decontam_overlap",
     "llm_bm25_topk",
     "a_mad_outliers",
-    "a_histogram_quantiles",
 ]
 _rest = [n for n in REGISTRY if n not in set(_FRONT)]
 _reordered = {n: REGISTRY[n] for n in _FRONT + _rest}

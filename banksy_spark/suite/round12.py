@@ -546,3 +546,159 @@ def j_polygon_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crossed.filter(F.col("n_cross") % 2 == 1).select(
         "id", "poly_id", "px", "py"
     )
+
+
+# --- CUPED variance-reduced experiment readout ------------------------------
+
+_CUPED_SPLIT = "2024-01-15"  # pre-period < split <= post-period
+
+# Shared SQL snippets (identical text in both engines). Every moment is
+# an EXACT integer-cent sum, so theta / means / rho^2 derive from
+# order-independent quantities via a handful of scalar IEEE ops — no
+# double accumulates across rows anywhere.
+_CUPED_PER_USER = f"""
+      SELECT user_id, user_id % 2 AS arm,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT} 00:00:00'
+                  THEN CAST(CAST(value * 100 AS DECIMAL(18,2)) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS pre_c,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT} 00:00:00'
+                  THEN CAST(CAST(value * 100 AS DECIMAL(18,2)) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS post_c
+      FROM events GROUP BY user_id
+"""
+
+# ALL moments (first + second, cross) aggregate per ARM in one pass
+# over per_user; the pooled scalars then derive from the 2-row arms
+# frame — exact integer sums are associative, so arm-sum == pooled
+# sum, and the fact is scanned ONCE (a pooled-scalars aggregate
+# directly over per_user was measured planning a second fact scan).
+# Second moments run in DECIMAL(38,0) (n*spt overflows BIGINT at
+# sf >= 0.1: 6e4 users x ~1e16 cents^2).
+_CUPED_ARMS = """
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(pre_c) AS BIGINT) AS sp_a,
+             CAST(SUM(post_c) AS BIGINT) AS st_a,
+             CAST(SUM(CAST(pre_c AS DECIMAL(38,0)) * pre_c) AS DECIMAL(38,0))
+               AS spp_a,
+             CAST(SUM(CAST(pre_c AS DECIMAL(38,0)) * post_c) AS DECIMAL(38,0))
+               AS spt_a,
+             CAST(SUM(CAST(post_c AS DECIMAL(38,0)) * post_c) AS DECIMAL(38,0))
+               AS stt_a
+      FROM per_user GROUP BY arm
+"""
+
+_CUPED_SCALARS = """
+      SELECT CAST(SUM(n_users) AS BIGINT) AS n,
+             CAST(SUM(sp_a) AS BIGINT) AS sp,
+             CAST(SUM(st_a) AS BIGINT) AS st,
+             CAST(SUM(spp_a) AS DECIMAL(38,0)) AS spp,
+             CAST(SUM(spt_a) AS DECIMAL(38,0)) AS spt,
+             CAST(SUM(stt_a) AS DECIMAL(38,0)) AS stt
+      FROM arms
+"""
+
+_CUPED_DERIVED = """
+      SELECT n, sp, st,
+             CAST(CAST(n AS DECIMAL(38,0)) * spt
+                  - CAST(sp AS DECIMAL(38,0)) * st AS DOUBLE) AS cov_n2,
+             CAST(CAST(n AS DECIMAL(38,0)) * spp
+                  - CAST(sp AS DECIMAL(38,0)) * sp AS DOUBLE) AS varp_n2,
+             CAST(CAST(n AS DECIMAL(38,0)) * stt
+                  - CAST(st AS DECIMAL(38,0)) * st AS DOUBLE) AS vart_n2
+      FROM scalars
+"""
+
+_CUPED_THETA = "(CASE WHEN varp_n2 = 0 THEN 0.0 ELSE cov_n2 / varp_n2 END)"
+_CUPED_RHO2 = (
+    "(CASE WHEN varp_n2 = 0 OR vart_n2 = 0 THEN 0.0"
+    " ELSE (cov_n2 * cov_n2) / (varp_n2 * vart_n2) END)"
+)
+# column names across arms x derived are disjoint, so the final
+# expressions are prefix-free — the SAME strings drive the oracle's
+# SELECT and the Spark selectExpr
+_CUPED_FINAL_COLS = [
+    "arm",
+    "n_users",
+    "CAST(st_a AS DOUBLE) / n_users / 100 AS mean_post",
+    f"(CAST(st_a AS DOUBLE) / n_users"
+    f" - {_CUPED_THETA} * (CAST(sp_a AS DOUBLE) / n_users"
+    f" - CAST(sp AS DOUBLE) / n)) / 100 AS mean_adjusted",
+    f"{_CUPED_THETA} AS theta",
+    f"{_CUPED_RHO2} AS rho2",
+]
+_CUPED_FINAL = (
+    "SELECT " + ",\n           ".join(_CUPED_FINAL_COLS)
+    + "\n    FROM arms CROSS JOIN derived"
+)
+
+
+@query(
+    "ml_cuped_adjustment",
+    oracle=f"""
+    WITH per_user AS ({_CUPED_PER_USER}),
+    arms AS ({_CUPED_ARMS}),
+    scalars AS ({_CUPED_SCALARS}),
+    derived AS ({_CUPED_DERIVED})
+    {_CUPED_FINAL}
+    """,
+    note="CUPED variance-reduced experiment readout (the standard "
+    "pre-period covariate adjustment every experimentation platform "
+    "runs): per-user pre/post spend split at a fixed date, pooled "
+    "theta = cov(pre, post)/var(pre), per-arm adjusted mean = "
+    "mean(post) - theta*(mean(pre) - pooled mean(pre)), and rho^2 (the "
+    "achieved variance-reduction fraction). Parity architecture: every "
+    "moment is an EXACT integer-cent sum (per-event cents are exact, "
+    "per-user sums are BIGINT, cross-moments run in DECIMAL(38,0) "
+    "because n*spt overflows int64 at sf0.1) — so theta, means, and "
+    "rho^2 derive from order-independent integers via a handful of "
+    "scalar IEEE ops written as the identical SQL text in both "
+    "engines; no double ever accumulates across rows. The arm means "
+    "use the algebraic identity mean_adj = mean_post_arm - "
+    "theta*(mean_pre_arm - mean_pre) instead of summing per-user "
+    "adjusted doubles (which would be order-sensitive). Zero-variance "
+    "regimes (all pre equal — sparse fuzz) take the theta=0 CASE arm "
+    "in both engines instead of producing 0/0 NaN. Scale: ONE fact "
+    "scan, one user-keyed shuffle builds per_user, one arm aggregate "
+    "over it computes every moment; the pooled scalars derive from "
+    "the 2-row arms frame (exact integer sums are associative), so "
+    "nothing re-reads the fact — the naive pooled-aggregate form was "
+    "measured planning a second fact scan and rewritten.",
+)
+def ml_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    e.createOrReplaceTempView("_cuped_events")
+    # materialize the 2-row arms frame and fan out from the SAME
+    # DataFrame object: a CTE (or a temp view over one) is re-inlined
+    # per consumer — arms feeds both the pooled scalars and the final
+    # join — which re-plans the whole per_user build and re-scans the
+    # FACT (the unpersisted form measured 2 scans/4 exchanges vs 1
+    # cached build). Same cached-bounded-frame discipline as
+    # a_tile_pyramid. The downstream expressions are the identical SQL
+    # snippet strings the oracle uses, applied via agg/selectExpr.
+    arms = spark.sql(
+        f"""
+    WITH events AS (SELECT * FROM _cuped_events),
+    per_user AS ({_CUPED_PER_USER})
+    {_CUPED_ARMS}
+    """
+    ).persist()
+    scalars = arms.agg(
+        F.expr("CAST(SUM(n_users) AS BIGINT) AS n"),
+        F.expr("CAST(SUM(sp_a) AS BIGINT) AS sp"),
+        F.expr("CAST(SUM(st_a) AS BIGINT) AS st"),
+        F.expr("CAST(SUM(spp_a) AS DECIMAL(38,0)) AS spp"),
+        F.expr("CAST(SUM(spt_a) AS DECIMAL(38,0)) AS spt"),
+        F.expr("CAST(SUM(stt_a) AS DECIMAL(38,0)) AS stt"),
+    )
+    derived = scalars.selectExpr(
+        "n",
+        "sp",
+        "st",
+        "CAST(CAST(n AS DECIMAL(38,0)) * spt"
+        " - CAST(sp AS DECIMAL(38,0)) * st AS DOUBLE) AS cov_n2",
+        "CAST(CAST(n AS DECIMAL(38,0)) * spp"
+        " - CAST(sp AS DECIMAL(38,0)) * sp AS DOUBLE) AS varp_n2",
+        "CAST(CAST(n AS DECIMAL(38,0)) * stt"
+        " - CAST(st AS DECIMAL(38,0)) * st AS DOUBLE) AS vart_n2",
+    )
+    return arms.crossJoin(F.broadcast(derived)).selectExpr(*_CUPED_FINAL_COLS)

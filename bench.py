@@ -248,6 +248,7 @@ HEADLINE = [
     "a_geofence_dwell",         # spatial x ordered time attribution
     "a_tile_pyramid",           # coarse-from-fine multi-resolution rollup
     "j_polygon_grid_join",      # grid-blocked polygon-table containment join
+    "ml_cuped_adjustment",      # CUPED variance-reduced A/B readout
 ]
 
 

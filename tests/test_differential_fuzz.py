@@ -463,6 +463,9 @@ FUZZ_QUERIES = [
     "j_polygon_grid_join",
     "a_geofence_dwell",
     "a_tile_pyramid",
+    # exact-integer-moment CUPED: sparse regimes exercise the
+    # zero-variance theta=0 CASE guard
+    "ml_cuped_adjustment",
 ]
 
 _REGIMES = [

@@ -315,3 +315,57 @@ def test_tumbling_daily_fuzz_stream_equals_batch(spark, fuzz_stream, tmp_path):
         for r in tumbling_daily_counts(batch).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_file_manifest_fuzz_stream_equals_batch(spark, fuzz_stream, tmp_path):
+    """Incremental file-stats manifest on RANDOM orders: the generated
+    orders table (random key layout, so per-file min/max stats and file
+    membership differ from the fixtures) streams in three key-shuffled
+    chunks — most files' stats rows update across all three
+    micro-batches — and the final manifest must equal the batch form
+    bit-for-bit (count/min/max merge associatively). Chains to DuckDB
+    parity via o_file_skipping_stats/o_manifest_prune in
+    tests/test_differential_fuzz.py over the same generator."""
+    import numpy as np
+
+    from banksy_spark.streaming import file_stats_manifest
+
+    batch_dir, _ = fuzz_stream
+    orders = spark.read.parquet(f"{batch_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate"
+    )
+    pdf = orders.toPandas()
+    rng = np.random.RandomState(77)
+    pdf = pdf.sample(frac=1.0, random_state=rng).reset_index(drop=True)
+    d = tmp_path / "orders_stream"
+    d.mkdir()
+    cuts = np.array_split(np.arange(len(pdf)), 3)
+    for i, idx in enumerate(cuts):
+        spark.createDataFrame(pdf.iloc[idx]).coalesce(1).write.parquet(
+            str(d / f"c{i}"), mode="overwrite"
+        )
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "c*"))
+    )
+    q = (
+        file_stats_manifest(stream)
+        .writeStream.format("memory")
+        .queryName("fuzz_manifest")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_fm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not finish in time"
+    key = lambda r: r.file_id  # noqa: E731
+    got = {
+        key(r): (r.n_rows, r.min_key, r.max_key, str(r.min_date), str(r.max_date))
+        for r in spark.sql("SELECT * FROM fuzz_manifest").collect()
+    }
+    want = {
+        key(r): (r.n_rows, r.min_key, r.max_key, str(r.min_date), str(r.max_date))
+        for r in file_stats_manifest(orders).collect()
+    }
+    assert got == want and len(want) > 0

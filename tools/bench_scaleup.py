@@ -67,6 +67,7 @@ QUERIES = [
     "a_geofence_dwell",
     "a_tile_pyramid",
     "j_polygon_grid_join",
+    "ml_cuped_adjustment",
     # iterative graph
     "graph_pagerank",
     "graph_kcore",

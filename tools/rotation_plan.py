@@ -203,6 +203,7 @@ R12 = [
     "a_geofence_dwell",
     "a_tile_pyramid",
     "j_polygon_grid_join",
+    "ml_cuped_adjustment",
 ]
 
 # Re-check fill for the round-12 window: _FRONT must stay at 50 names
