@@ -243,3 +243,74 @@ def test_fastss_edit1_completeness_on_adversarial_names(spark):
     assert got == want, (
         f"FastSS missed {want - got} / hallucinated {got - want}"
     )
+
+
+def test_crossing_number_sql_matches_python_raycast_reference(spark):
+    """The generated crossing-number SQL (suite/round12._crossings_sql,
+    the expression under f_point_in_polygon / a_geofence_dwell and the
+    relational form in j_polygon_grid_join) must agree with an
+    INDEPENDENT pure-Python ray-cast on random polygons and probe
+    points. Polygons are random simple-star constructions with
+    vertices on the x.25 grid and no horizontal edges (the operator's
+    stated contract); probes live on the x.01 grid so they never sit
+    on a vertex. The Python reference uses the identical open/closed
+    ray convention ((y1 > py) != (y2 > py), strict px < intercept), so
+    any disagreement is an expression-generation bug, not a boundary
+    convention."""
+    import math
+    import random
+
+    from banksy_spark.suite.round12 import _crossings_sql
+
+    rng = random.Random(424242)
+
+    def random_polygon(n_verts: int) -> list[tuple[float, float]]:
+        # star polygon: vertices at sorted angles, radii random — always
+        # simple (non-self-intersecting); nudge to the x.25 grid and
+        # retry until no edge is horizontal
+        while True:
+            cx, cy = rng.randint(20, 60) + 0.25, rng.randint(20, 60) + 0.25
+            angles = sorted(rng.uniform(0, 2 * math.pi) for _ in range(n_verts))
+            verts = []
+            for a in angles:
+                r = rng.randint(4, 60)
+                vx = round((cx + r * math.cos(a)) * 4) / 4
+                vy = round((cy + r * math.sin(a)) * 4) / 4
+                verts.append((vx, vy))
+            ok = len({v for v in verts}) == len(verts) and all(
+                verts[i][1] != verts[(i + 1) % len(verts)][1]
+                for i in range(len(verts))
+            )
+            if ok:
+                return verts
+
+    def ref_crossings(verts, px, py) -> int:
+        c = 0
+        n = len(verts)
+        for i in range(n):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % n]
+            if (y1 > py) != (y2 > py):
+                if px < x1 + (py - y1) * (x2 - x1) / (y2 - y1):
+                    c += 1
+        return c
+
+    for trial in range(6):
+        verts = random_polygon(rng.choice([3, 5, 8, 11]))
+        pts = [
+            (
+                i,
+                rng.randint(0, 12000) / 100.0,
+                rng.randint(0, 12000) / 100.0,
+            )
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(pts, "id INT, x DOUBLE, y DOUBLE")
+        got = {
+            r.id: r.c
+            for r in df.select(
+                "id", F.expr(_crossings_sql(verts, "x", "y")).alias("c")
+            ).collect()
+        }
+        want = {i: ref_crossings(verts, x, y) for i, x, y in pts}
+        assert got == want, f"trial {trial} polygon {verts}"
