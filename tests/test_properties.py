@@ -314,3 +314,50 @@ def test_crossing_number_sql_matches_python_raycast_reference(spark):
         }
         want = {i: ref_crossings(verts, x, y) for i, x, y in pts}
         assert got == want, f"trial {trial} polygon {verts}"
+
+
+def test_cuped_statistics_match_numpy_reference(spark):
+    """ml_cuped_adjustment's theta / adjusted means / rho^2 must match
+    an INDEPENDENT numpy implementation of CUPED on the same fixture
+    data. The DuckDB oracle shares the SQL's algebra, so an
+    identical-in-both-engines formula bug would pass the differential
+    gate — this pins the semantics against a reference that computes
+    population cov/var directly from per-user arrays. Tolerance 1e-9
+    relative: numpy accumulates doubles while the SQL path uses exact
+    integer moments, so tiny representation differences are expected
+    but anything larger is a real algebra bug."""
+    import math
+
+    import numpy as np
+
+    from banksy_spark.suite import REGISTRY
+    from banksy_spark.suite.registry import T
+
+    rows = {r.arm: r for r in REGISTRY["ml_cuped_adjustment"].fn(spark, SF_SMOKE).collect()}
+
+    e = T(spark, SF_SMOKE, "events").select("user_id", "ts", "value").toPandas()
+    split = np.datetime64("2024-01-15")
+    cents = np.round(e["value"].to_numpy() * 100).astype(np.int64)
+    pre_mask = e["ts"].to_numpy() < split
+    users = e["user_id"].to_numpy()
+    uids = np.unique(users)
+    pre = np.array([cents[(users == u) & pre_mask].sum() for u in uids], dtype=float)
+    post = np.array([cents[(users == u) & ~pre_mask].sum() for u in uids], dtype=float)
+    arm = uids % 2
+
+    cov = np.mean(pre * post) - pre.mean() * post.mean()
+    varp = np.mean(pre * pre) - pre.mean() ** 2
+    vart = np.mean(post * post) - post.mean() ** 2
+    theta = 0.0 if varp == 0 else cov / varp
+    rho2 = 0.0 if varp == 0 or vart == 0 else cov * cov / (varp * vart)
+
+    for a in (0, 1):
+        m = arm == a
+        mean_post = post[m].mean() / 100
+        mean_adj = (post[m].mean() - theta * (pre[m].mean() - pre.mean())) / 100
+        r = rows[a]
+        assert r.n_users == int(m.sum())
+        assert math.isclose(r.mean_post, mean_post, rel_tol=1e-9)
+        assert math.isclose(r.mean_adjusted, mean_adj, rel_tol=1e-9)
+        assert math.isclose(r.theta, theta, rel_tol=1e-9)
+        assert math.isclose(r.rho2, rho2, rel_tol=1e-9)
