@@ -61,65 +61,64 @@ from banksy_spark.suite import round12  # noqa: E402,F401
 
 # Rotate the newest / highest-risk queries into the driver's ~50-query
 # verification window (it samples the FIRST 50 registry entries).
-# Round 12 = gap-closing window: every post-plan addition that has
-# never been in a driver window (rotation_plan.R12), padded to 50 with
-# the highest-residual-risk re-checks (rotation_plan.R12_RECHECK_FILL).
-# After this window the driver-verified union covers the FULL registry
-# including all post-plan additions. Applied by tools/rotate.py once
-# CORRECTNESS_r11.json landed.
+# Round 13 = pure re-check window: the R12 gap-closing window completed
+# driver coverage of the FULL registry, so all 50 slots re-verify the
+# highest-residual-risk names not already re-checked inside the R12
+# window (rotation_plan.R13 states the risk ranking). Applied by
+# tools/rotate.py once CORRECTNESS_r12.json landed.
 # Python dicts preserve insertion order, so rebuilding the dict IS the
 # rotation.
 _FRONT = [
-    "stream_capped_balance_stateful",
-    "stream_markov_stateful",
-    "llm_dedup_containment_g5",
-    "graph_kcore",
-    "o_file_skipping_stats",
-    "w_ohlc_resample",
-    "llm_audio_silence_segments",
-    "j_knn_grid_join",
-    "f_array_hof",
-    "f_point_in_polygon",
-    "o_manifest_prune",
-    "a_geofence_dwell",
-    "a_tile_pyramid",
-    "j_polygon_grid_join",
-    "ml_cuped_adjustment",
-    "ml_brier_score",
-    "ml_kmeans_converged",
-    "llm_ann_ivf_trained",
-    "llm_langid_trained",
-    "stream_rolling_corr_stateful",
-    "stream_bollinger_stateful",
-    "j_similarity_ppjoin_pos",
-    "graph_pagerank",
-    "j_ancestry_converged",
-    "graph_bfs_converged",
-    "llm_dedup_lsh_recall",
-    "llm_dedup_cdc",
-    "llm_ann_pq",
-    "llm_ann_recall_pq",
-    "llm_ann_ivf_multiprobe",
-    "llm_ann_recall_multiprobe",
-    "a_heavy_hitters_cms",
-    "llm_kmv_algebra",
-    "llm_distinct_sketch_hll",
-    "a_bitmap_distinct",
-    "stream_markov_transitions",
-    "stream_attribution",
-    "stream_session_window_native",
-    "stream_interval_left_join",
-    "j_asof_tolerance",
-    "j_temporal_scd2_lookup",
-    "j_salted_skew_join",
-    "j_bloom_prune_join",
-    "j_fuzzy_edit1_join",
-    "j_similarity_prefix_join",
-    "llm_dedup_incremental",
-    "llm_dedup_spans",
-    "llm_decontam_overlap",
-    "llm_bm25_topk",
-    "a_mad_outliers",
+    "llm_sample_pps",
+    "llm_e2e_prepare",
+    "w_scd2_intervals",
+    "o_cdc_merge_apply",
+    "llm_corpus_clean",
+    "llm_dedup_semantic",
+    "j_basket_lift",
+    "llm_dedup_minhash_lsh",
+    "llm_dedup_containment",
+    "llm_dedup_containment_k3",
+    "llm_dedup_ngram_jaccard",
+    "llm_simhash",
+    "llm_embed_near_dup",
+    "llm_dedup_tau_curve",
+    "llm_ann_recall",
+    "llm_ann_ndcg",
+    "llm_bpe_pairs",
+    "llm_bpe_merges",
+    "llm_self_bleu",
+    "llm_boilerplate_ngrams",
+    "o_global_rownum",
+    "o_global_ntile",
+    "a_exact_median",
+    "a_exact_percentiles",
+    "a_weighted_percentiles_global",
+    "a_interpolated_percentiles",
+    "ml_mutual_info",
+    "ml_spearman_corr",
+    "ml_kendall_tau",
+    "ml_sprt_sequential",
+    "ml_linreg_normal",
+    "a_theil_sen_monthly",
+    "w_rolling_corr",
+    "a_chi2_contingency",
+    "a_tail_risk_var_es",
+    "a_neyman_allocation",
+    "w_ewma",
+    "w_holt_linear",
+    "w_cusum_changepoint",
+    "w_capped_sessions",
+    "w_max_drawdown",
+    "a_changepoint_binseg",
+    "a_survival_km",
+    "stream_rate_limit_stateful",
+    "stream_sessionize",
+    "stream_asof_join",
+    "stream_rollup_cascade",
+    "graph_triangle_count",
+    "o_compaction_plan",
+    "o_zorder_key",
 ]
 _rest = [n for n in REGISTRY if n not in set(_FRONT)]
 _reordered = {n: REGISTRY[n] for n in _FRONT + _rest}

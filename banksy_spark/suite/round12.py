@@ -666,7 +666,6 @@ _CUPED_FINAL = (
 )
 def ml_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "events")
-    e.createOrReplaceTempView("_cuped_events")
     # materialize the 2-row arms frame and fan out from the SAME
     # DataFrame object: a CTE (or a temp view over one) is re-inlined
     # per consumer — arms feeds both the pooled scalars and the final
@@ -675,12 +674,16 @@ def ml_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached build). Same cached-bounded-frame discipline as
     # a_tile_pyramid. The downstream expressions are the identical SQL
     # snippet strings the oracle uses, applied via agg/selectExpr.
+    # The events frame enters via spark.sql DataFrame interpolation
+    # (no session temp view: a fixed-name view would collide under
+    # concurrent execution and leak past the query — ADVICE r12).
     arms = spark.sql(
         f"""
-    WITH events AS (SELECT * FROM _cuped_events),
+    WITH events AS (SELECT * FROM {{e}}),
     per_user AS ({_CUPED_PER_USER})
     {_CUPED_ARMS}
-    """
+    """,
+        e=e,
     ).persist()
     scalars = arms.agg(
         F.expr("CAST(SUM(n_users) AS BIGINT) AS n"),

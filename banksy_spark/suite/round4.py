@@ -1409,10 +1409,15 @@ def f_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(0 AS DOUBLE), (a, b) -> a + b)"
         ).alias("sq_norm"),
         F.expr("size(filter(embedding, x -> x < 0))").cast("bigint").alias("n_neg"),
-        F.expr("CAST(element_at(embedding, 1) AS DOUBLE)").alias("first_dim"),
-        F.expr("CAST(element_at(slice(embedding, 1, 3), 1) AS DOUBLE)").alias("head_1"),
-        F.expr("CAST(element_at(slice(embedding, 1, 3), 2) AS DOUBLE)").alias("head_2"),
-        F.expr("CAST(element_at(slice(embedding, 1, 3), 3) AS DOUBLE)").alias("head_3"),
+        F.expr("CAST(try_element_at(embedding, 1) AS DOUBLE)").alias("first_dim"),
+        # try_element_at, not element_at: under ANSI mode an out-of-bounds
+        # index THROWS, while the DuckDB oracle's embedding[k] yields NULL.
+        # Fixture embeddings are fixed-length today, but variable-length
+        # inputs (fuzz regimes, future corpora) must degrade to NULL in
+        # BOTH engines (ADVICE r12).
+        F.expr("CAST(try_element_at(slice(embedding, 1, 3), 1) AS DOUBLE)").alias("head_1"),
+        F.expr("CAST(try_element_at(slice(embedding, 1, 3), 2) AS DOUBLE)").alias("head_2"),
+        F.expr("CAST(try_element_at(slice(embedding, 1, 3), 3) AS DOUBLE)").alias("head_3"),
     )
 
 

@@ -301,15 +301,17 @@ def stream_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day_b"),
         F.date_format(F.date_trunc("month", F.col("ts")), "yyyy-MM-dd").alias("month_b"),
     )
-    e.createOrReplaceTempView("_rollup_src")
+    # DataFrame interpolation instead of a fixed-name session temp view
+    # (collision + leak hazard under concurrent execution — ADVICE r12).
     return e.sparkSession.sql(
         """
         SELECT CASE WHEN day_b IS NOT NULL THEN 'day' ELSE 'month' END AS grain,
                COALESCE(day_b, month_b) AS bucket, event_type,
                COUNT(*) AS n_events
-        FROM _rollup_src
+        FROM {e}
         GROUP BY GROUPING SETS ((day_b, event_type), (month_b, event_type))
-        """
+        """,
+        e=e,
     )
 
 

@@ -357,7 +357,9 @@ def test_cuped_statistics_match_numpy_reference(spark):
         mean_adj = (post[m].mean() - theta * (pre[m].mean() - pre.mean())) / 100
         r = rows[a]
         assert r.n_users == int(m.sum())
-        assert math.isclose(r.mean_post, mean_post, rel_tol=1e-9)
-        assert math.isclose(r.mean_adjusted, mean_adj, rel_tol=1e-9)
-        assert math.isclose(r.theta, theta, rel_tol=1e-9)
-        assert math.isclose(r.rho2, rho2, rel_tol=1e-9)
+        # abs_tol alongside rel_tol: a regime whose adjusted mean lands
+        # near zero would fail pure-relative isclose spuriously (ADVICE r12)
+        assert math.isclose(r.mean_post, mean_post, rel_tol=1e-9, abs_tol=1e-12)
+        assert math.isclose(r.mean_adjusted, mean_adj, rel_tol=1e-9, abs_tol=1e-12)
+        assert math.isclose(r.theta, theta, rel_tol=1e-9, abs_tol=1e-12)
+        assert math.isclose(r.rho2, rho2, rel_tol=1e-9, abs_tol=1e-12)

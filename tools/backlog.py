@@ -113,19 +113,37 @@ def main() -> int:
         # Once the never-windowed backlog is smaller than the 50-slot
         # window, the balance is deliberately spent on the risk-ranked
         # re-check plans (rotation_plan.R12_RECHECK_FILL, and the pure
-        # re-check R13 window) — those are planned re-checks, not
+        # re-check R13/R14 windows) — those are planned re-checks, not
         # wasted slots.
         planned_fill: set[str] = set()
         try:
             sys.path.insert(0, os.path.join(repo, "tools"))
             import rotation_plan
 
-            planned_fill = set(
-                getattr(rotation_plan, "R12_RECHECK_FILL", ())
-            ) | set(getattr(rotation_plan, "R13", ()))
+            planned_fill = (
+                set(getattr(rotation_plan, "R12_RECHECK_FILL", ()))
+                | set(getattr(rotation_plan, "R13", ()))
+                | set(getattr(rotation_plan, "R14_RECHECK_FILL", ()))
+            )
         except ImportError:
             pass
         front = suite._FRONT
+        # If the newest CORRECTNESS file already covers exactly the
+        # live window, the window LANDED and the only pending action is
+        # `tools/rotate.py --apply` — counting its slots "wasted" in
+        # that state indicts a window that just succeeded (round-12
+        # verdict item 6). Banner and exit clean instead.
+        newest = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+        if newest:
+            with open(newest[-1]) as fh:
+                landed = set(json.load(fh))
+            if landed == set(front):
+                print(
+                    f"window landed ({os.path.basename(newest[-1])} covers "
+                    f"the live {len(front)}-name window) — rotation pending: "
+                    "run `python tools/rotate.py --apply`"
+                )
+                return 0
         wasted = [
             n for n in front
             if n in green and n not in RECHECK and n not in planned_fill

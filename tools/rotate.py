@@ -12,9 +12,10 @@ rotation is one command instead of a hand edit:
 "Next pending" follows the CORRECTNESS files: R10 until
 CORRECTNESS_r10.json exists, then R11, then R12 (the post-plan
 additions padded to 50 with rotation_plan.R12_RECHECK_FILL — see
-rotation_plan.window_r12()). After R12 lands the driver-verified union
-covers the full registry including every post-plan addition; later
-windows are a fresh judgment call.
+rotation_plan.window_r12()), then R13 (pure re-checks — the R12 window
+completed full-registry driver coverage), then R14 (round-13-born
+queries padded with rotation_plan.R14_RECHECK_FILL — see
+rotation_plan.window_r14()).
 
 tests/test_contract.py enforces the same schedule: once a new
 CORRECTNESS file lands, the suite fails until this rotation is applied.
@@ -70,14 +71,27 @@ _FRONT = [
 # rotation.
 _FRONT = [
 """,
+    "R14": """# Rotate the newest / highest-risk queries into the driver's ~50-query
+# verification window (it samples the FIRST 50 registry entries).
+# Round 14 = round-13-born queries first (rotation_plan.R14 — every
+# query registered during round 13, never driver-verified), padded to
+# 50 with the highest-residual-risk re-checks not covered by the R12
+# or R13 windows (rotation_plan.R14_RECHECK_FILL). Applied by
+# tools/rotate.py once CORRECTNESS_r13.json landed.
+# Python dicts preserve insertion order, so rebuilding the dict IS the
+# rotation.
+_FRONT = [
+""",
 }
 
 
 def pending_window():
     import rotation_plan
 
-    if os.path.exists(os.path.join(REPO, "CORRECTNESS_r13.json")):
+    if os.path.exists(os.path.join(REPO, "CORRECTNESS_r14.json")):
         return None, None
+    if os.path.exists(os.path.join(REPO, "CORRECTNESS_r13.json")):
+        return "R14", rotation_plan.window_r14()
     if os.path.exists(os.path.join(REPO, "CORRECTNESS_r12.json")):
         return "R13", rotation_plan.R13
     if os.path.exists(os.path.join(REPO, "CORRECTNESS_r11.json")):
@@ -94,7 +108,7 @@ def main() -> int:
 
     name, window = pending_window()
     if name is None:
-        print("nothing to rotate: R13 already consumed (CORRECTNESS_r13.json)")
+        print("nothing to rotate: R14 already consumed (CORRECTNESS_r14.json)")
         return 0
 
     import banksy_spark.suite as suite

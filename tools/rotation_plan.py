@@ -358,3 +358,100 @@ def window_r12():
         if name not in window:
             window.append(name)
     return window[:50]
+
+
+# Round 14: the pending window for ROUND-13-BORN queries. R13 is a
+# pure re-check window with zero slack (exactly 50 pre-committed
+# names), so anything registered during round 13 must be appended HERE
+# at registration time — never left windowless (the rounds-10/11
+# "never-windowed backlog" pattern; round-12 verdict item 2 for round
+# 13). tests/test_contract.py enforces that every registry name absent
+# from the driver-verified union sits in this list.
+R14 = [
+]
+
+# Re-check fill for the round-14 window: _FRONT must stay at 50 names
+# (the driver verifies exactly the first 50 registry entries), so the
+# slots R14 doesn't consume go to the highest-residual-risk re-checks
+# NOT already covered by window_r12() or R13. Risk ranking, same
+# discipline as R8-R13: (1) hand-rolled statistics with
+# transcendental / quantization / tie hazards whose last green rows
+# date to r7-r9; (2) ANN / dedup / text-scoring variants in the same
+# staleness band; (3) ordered folds and interval/window machinery;
+# (4) streaming-semantics twins; (5) storage-layer checksums and
+# incremental-view arithmetic.
+R14_RECHECK_FILL = [
+    # (1) hand-rolled statistics, r7-r9 last-green
+    "a_seasonal_strength",
+    "ml_psi_drift",
+    "a_skew_kurtosis",
+    "a_autocorr_lag1",
+    "a_ols_slope",
+    "a_weighted_median",
+    "a_benford_deviation",
+    "ml_roc_auc",
+    "ml_pr_auc",
+    "ml_ks_statistic",
+    "ml_mcc",
+    "ml_cohen_kappa",
+    "a_runs_test",
+    "a_mann_kendall_trend",
+    "a_wilson_ci",
+    "a_ab_test_ztest",
+    "a_gini_concentration",
+    "a_trimmed_mean",
+    "a_ddsketch_log2",
+    "a_largest_remainder",
+    "ml_target_encoding_loo",
+    "ml_woe_encoding",
+    "a_price_index_laspeyres",
+    "a_hhi_concentration",
+    # (2) ANN / dedup / text scoring
+    "llm_ann_bruteforce",
+    "llm_ann_lsh_bucketed",
+    "llm_dedup_clusters",
+    "llm_fingerprint",
+    "llm_dsir_importance",
+    "llm_pmi_cooc",
+    "llm_lm_fluency",
+    "llm_keywords_tfidf",
+    # (3) ordered folds / interval machinery
+    "w_rolling_median_7",
+    "w_peak_detection",
+    "w_interval_merge",
+    "w_linear_interpolate",
+    "w_time_weighted_avg",
+    "w_capped_running_sum",
+    # (4) streaming twins
+    "stream_late_rows_audit",
+    "stream_dedup_earliest",
+    # (5) storage layer / incremental view
+    "dq_merkle_root",
+    "dq_partition_checksum",
+    "o_snapshot_diff",
+    "a_incremental_view",
+    # (6) tail: quantile/binning machinery, r7 last-green — present so
+    # the fill alone covers 50 slots even before R14 gains names; the
+    # tail drops automatically as round-13-born queries take the front
+    "a_lorenz_curve_points",
+    "a_pareto_8020",
+    "j_skyline_pareto",
+    "ml_calibration_bins",
+    "ml_quantile_binning",
+    "ml_winsorize",
+]
+
+
+def window_r14():
+    """The concrete 50-name round-14 window: every round-13-born query
+    (R14, never driver-verified) first, then the highest-risk re-checks
+    from R14_RECHECK_FILL, deduplicated, truncated to 50. If R14 ever
+    outgrows 50 on its own, the window is its first 50 and a later
+    window carries the rest."""
+    window = list(R14)
+    for name in R14_RECHECK_FILL:
+        if len(window) >= 50:
+            break
+        if name not in window:
+            window.append(name)
+    return window[:50]
