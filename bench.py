@@ -249,6 +249,12 @@ HEADLINE = [
     "a_tile_pyramid",           # coarse-from-fine multi-resolution rollup
     "j_polygon_grid_join",      # grid-blocked polygon-table containment join
     "ml_cuped_adjustment",      # CUPED variance-reduced A/B readout
+    "ml_cuped_stratified",      # post-stratified CUPED, order-pinned fold
+    "ml_srm_check",             # sample-ratio-mismatch chi-square guardrail
+    "ml_diff_in_diff",          # 2x2 DiD estimator, one conditional agg
+    "ml_group_sequential",      # interim-look z vs Pocock boundary
+    "j_trajectory_fence_crossing",  # grid-blocked segment intersection join
+    "a_hex_rollup",             # two-lattice hex binning, map-side assign
 ]
 
 

@@ -466,6 +466,18 @@ FUZZ_QUERIES = [
     # exact-integer-moment CUPED: sparse regimes exercise the
     # zero-variance theta=0 CASE guard
     "ml_cuped_adjustment",
+    # round-13 experimentation family: hand-rolled chi2/z/theta
+    # arithmetic with empty-arm and zero-variance NULL/CASE guards the
+    # sparse regime exercises; the order-pinned stratified fold must
+    # stay bit-exact under every data shape
+    "ml_cuped_stratified",
+    "ml_srm_check",
+    "ml_diff_in_diff",
+    "ml_group_sequential",
+    # round-13 spatial: strict cross-product predicate + grid blocking
+    # on random coordinates, two-lattice hex argmin on random points
+    "j_trajectory_fence_crossing",
+    "a_hex_rollup",
 ]
 
 _REGIMES = [

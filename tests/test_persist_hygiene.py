@@ -46,6 +46,8 @@ PERSISTING = [
     "j_similarity_ppjoin_pos",
     "llm_dedup_semantic",
     "llm_corpus_clean",
+    # round-13 cached bounded frame (6-row cells, CUPED discipline)
+    "ml_cuped_stratified",
 ]
 
 

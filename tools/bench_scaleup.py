@@ -68,6 +68,12 @@ QUERIES = [
     "a_tile_pyramid",
     "j_polygon_grid_join",
     "ml_cuped_adjustment",
+    "ml_cuped_stratified",
+    "ml_srm_check",
+    "ml_diff_in_diff",
+    "ml_group_sequential",
+    "j_trajectory_fence_crossing",
+    "a_hex_rollup",
     # iterative graph
     "graph_pagerank",
     "graph_kcore",

@@ -35,6 +35,9 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     "a_survival_km": "suffix-sum over |distinct lifetime days| rows — "
     "bounded by the calendar observation window, not the event count "
     "(the curve itself is that small by definition)",
+    "ml_group_sequential": "cumulative window over the <= 5 POST-AGG "
+    "interim-look rows — bounded by the alpha-spending schedule K, "
+    "not data size (same class as ml_lift_gains' decile frame)",
 }
 
 

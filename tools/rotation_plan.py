@@ -368,6 +368,15 @@ def window_r12():
 # 13). tests/test_contract.py enforces that every registry name absent
 # from the driver-verified union sits in this list.
 R14 = [
+    # round-13 registrations (suite/round13.py): experimentation family
+    # (stratified CUPED, SRM, DiD, group-sequential) + spatial third
+    # round (trajectory-fence crossing, hex rollup)
+    "ml_cuped_stratified",
+    "ml_srm_check",
+    "ml_diff_in_diff",
+    "ml_group_sequential",
+    "j_trajectory_fence_crossing",
+    "a_hex_rollup",
 ]
 
 # Re-check fill for the round-14 window: _FRONT must stay at 50 names
