@@ -682,3 +682,344 @@ _HEX_SQL = f"""
 def a_hex_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "events")
     return spark.sql(_HEX_SQL.replace("__EVENTS__", "{e}"), e=e)
+
+
+# --- j_polygon_overlap_join -------------------------------------------------
+
+# Polygon-polygon classification join between two rhombus catalogs:
+# A = the round-12 nation rhombi (x.5 grid), B = supplier-derived
+# rhombi on an x.25 grid (different offsets so the catalogs interleave
+# rather than align). Both catalogs are parameterized by (center,
+# half-diagonals), so EVERY geometric predicate below is a pure scalar
+# expression over 8 columns — the classification needs no edge tables
+# and no joins beyond the grid-cell candidate equi-join.
+_POV_CELL = 8.0
+
+_B_POLY_SPARK = [
+    "s_suppkey AS b_id",
+    "CAST(15.25 AS DOUBLE) + (s_suppkey % 11) * 17 AS bcx",
+    "CAST(5.25 AS DOUBLE) + (s_suppkey % 13) * 7 AS bcy",
+    "CAST(2.75 AS DOUBLE) + (s_suppkey % 5) AS bdx",
+    "CAST(3.25 AS DOUBLE) + (s_suppkey % 4) AS bdy",
+]
+_B_POLY_ORACLE = """
+      SELECT s_suppkey AS b_id,
+             CAST(15.25 AS DOUBLE) + (s_suppkey % 11) * 17 AS bcx,
+             CAST(5.25 AS DOUBLE) + (s_suppkey % 13) * 7 AS bcy,
+             CAST(2.75 AS DOUBLE) + (s_suppkey % 5) AS bdx,
+             CAST(3.25 AS DOUBLE) + (s_suppkey % 4) AS bdy
+      FROM supplier
+"""
+_A_POLY_ORACLE = """
+      SELECT n_nationkey AS a_id,
+             CAST(10.5 AS DOUBLE) + (n_nationkey % 5) * 40 AS acx,
+             CAST(10.5 AS DOUBLE) + (n_nationkey // 5) * 18 AS acy,
+             CAST(3.5 AS DOUBLE) + (n_nationkey % 7) AS adx,
+             CAST(2.5 AS DOUBLE) + (n_nationkey % 5) AS ady
+      FROM nation
+"""
+
+
+def _rhombus_verts(cx: str, cy: str, dx: str, dy: str):
+    """The 4 rhombus vertices as expression pairs, CCW from +x."""
+    return [
+        (f"({cx} + {dx})", cy),
+        (cx, f"({cy} + {dy})"),
+        (f"({cx} - {dx})", cy),
+        (cx, f"({cy} - {dy})"),
+    ]
+
+
+def _inside_expr(px: str, py: str, verts) -> str:
+    """Crossing-number parity for point (px, py) vs the closed polygon
+    given by expression vertices — same half-open ray rule as
+    round12's _crossings_sql, but over COLUMN expressions. Rhombus
+    edges always span a nonzero y interval (they connect an x-extreme
+    vertex to a y-extreme vertex), so the intercept division is safe."""
+    terms = []
+    n = len(verts)
+    for i in range(n):
+        x1, y1 = verts[i]
+        x2, y2 = verts[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({y1} > {py}) <> ({y2} > {py}))"
+            f" AND ({px} < {x1} + ({py} - {y1}) * ({x2} - {x1})"
+            f" / ({y2} - {y1})) THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+# The classifier references PRE-PROJECTED vertex columns, not the
+# nested (center ± half-diagonal) sub-expressions: materializing the
+# 16 vertex coordinates as a named projection first shrinks the
+# expression tree ~4x (the inlined form measured ~5 s of analysis/
+# codegen-attempt time on a metadata-only query), and the IEEE values
+# are identical either way because the vertex arithmetic is the same
+# single add/subtract in both engines.
+_POV_VERT_EXPRS = [
+    "acx + adx AS av0x", "acy AS av0y",
+    "acx AS av1x", "acy + ady AS av1y",
+    "acx - adx AS av2x", "acy AS av2y",
+    "acx AS av3x", "acy - ady AS av3y",
+    "bcx + bdx AS bv0x", "bcy AS bv0y",
+    "bcx AS bv1x", "bcy + bdy AS bv1y",
+    "bcx - bdx AS bv2x", "bcy AS bv2y",
+    "bcx AS bv3x", "bcy - bdy AS bv3y",
+]
+_A_VERTS = [(f"av{i}x", f"av{i}y") for i in range(4)]
+_B_VERTS = [(f"bv{i}x", f"bv{i}y") for i in range(4)]
+
+# Stage 2: one SMALL boolean flag per geometric test (8 vertex-parity
+# flags + 16 edge-pair crossing flags). Keeping each expression tiny
+# keeps every stage inside whole-stage codegen — the single-expression
+# form tripped the JVM method-size fallback. The counts then fold the
+# flags in fixed order (integer arithmetic, order-exact anyway).
+_POV_FLAG_EXPRS = (
+    [
+        f"{_inside_expr(px, py, _A_VERTS)} AS in_b{i}_a"
+        for i, (px, py) in enumerate(_B_VERTS)
+    ]
+    + [
+        f"{_inside_expr(px, py, _B_VERTS)} AS in_a{i}_b"
+        for i, (px, py) in enumerate(_A_VERTS)
+    ]
+    + [
+        f"({_ccw(_A_VERTS[i][0], _A_VERTS[i][1], _A_VERTS[(i + 1) % 4][0], _A_VERTS[(i + 1) % 4][1], _B_VERTS[j][0], _B_VERTS[j][1])}"
+        f" * {_ccw(_A_VERTS[i][0], _A_VERTS[i][1], _A_VERTS[(i + 1) % 4][0], _A_VERTS[(i + 1) % 4][1], _B_VERTS[(j + 1) % 4][0], _B_VERTS[(j + 1) % 4][1])}"
+        f" < CAST(0 AS DOUBLE)"
+        f" AND {_ccw(_B_VERTS[j][0], _B_VERTS[j][1], _B_VERTS[(j + 1) % 4][0], _B_VERTS[(j + 1) % 4][1], _A_VERTS[i][0], _A_VERTS[i][1])}"
+        f" * {_ccw(_B_VERTS[j][0], _B_VERTS[j][1], _B_VERTS[(j + 1) % 4][0], _B_VERTS[(j + 1) % 4][1], _A_VERTS[(i + 1) % 4][0], _A_VERTS[(i + 1) % 4][1])}"
+        f" < CAST(0 AS DOUBLE)) AS x_{i}{j}"
+        for i in range(4)
+        for j in range(4)
+    ]
+)
+
+
+def _flag_sum(names) -> str:
+    return (
+        "("
+        + " + ".join(f"(CASE WHEN {n} THEN 1 ELSE 0 END)" for n in names)
+        + ")"
+    )
+
+
+_POV_VIN_AB = _flag_sum([f"in_b{i}_a" for i in range(4)])
+_POV_VIN_BA = _flag_sum([f"in_a{i}_b" for i in range(4)])
+_POV_NCROSS = _flag_sum([f"x_{i}{j}" for i in range(4) for j in range(4)])
+
+# Convexity makes the classification exact from these three integers:
+# for convex P, Q: P contains Q iff all 4 of Q's vertices are in P (and
+# then no boundary crossing exists); any crossing or any vertex-in
+# means the interiors meet; otherwise the bbox-colliding pair is
+# disjoint. On-boundary contact resolves by the half-open ray / strict
+# orientation rules — identically in both engines.
+_POV_RELATION = """
+    CASE WHEN vin_ab = 4 THEN 'a_contains_b'
+         WHEN vin_ba = 4 THEN 'b_contains_a'
+         WHEN n_cross > 0 OR vin_ab > 0 OR vin_ba > 0 THEN 'overlap'
+         ELSE 'disjoint' END
+"""
+
+
+@query(
+    "j_polygon_overlap_join",
+    oracle=f"""
+    WITH apolys AS ({_A_POLY_ORACLE}),
+    bpolys AS ({_B_POLY_ORACLE}),
+    acover AS (
+      SELECT a.*, ix.i AS ix, iy.i AS iy
+      FROM apolys a,
+           LATERAL (SELECT unnest(range(
+             CAST(FLOOR((acx - adx) / {_POV_CELL}) AS BIGINT),
+             CAST(FLOOR((acx + adx) / {_POV_CELL}) AS BIGINT) + 1)) AS i) ix,
+           LATERAL (SELECT unnest(range(
+             CAST(FLOOR((acy - ady) / {_POV_CELL}) AS BIGINT),
+             CAST(FLOOR((acy + ady) / {_POV_CELL}) AS BIGINT) + 1)) AS i) iy
+    ),
+    bcover AS (
+      SELECT b.*, ix.i AS ix, iy.i AS iy
+      FROM bpolys b,
+           LATERAL (SELECT unnest(range(
+             CAST(FLOOR((bcx - bdx) / {_POV_CELL}) AS BIGINT),
+             CAST(FLOOR((bcx + bdx) / {_POV_CELL}) AS BIGINT) + 1)) AS i) ix,
+           LATERAL (SELECT unnest(range(
+             CAST(FLOOR((bcy - bdy) / {_POV_CELL}) AS BIGINT),
+             CAST(FLOOR((bcy + bdy) / {_POV_CELL}) AS BIGINT) + 1)) AS i) iy
+    ),
+    cand AS (
+      SELECT DISTINCT a_id, acx, acy, adx, ady, b_id, bcx, bcy, bdx, bdy
+      FROM acover a JOIN bcover b ON a.ix = b.ix AND a.iy = b.iy
+       AND bcx - bdx <= acx + adx AND bcx + bdx >= acx - adx
+       AND bcy - bdy <= acy + ady AND bcy + bdy >= acy - ady
+    ),
+    verts AS (
+      SELECT a_id, b_id, {", ".join(_POV_VERT_EXPRS)} FROM cand
+    ),
+    flags AS (
+      SELECT a_id, b_id, {", ".join(_POV_FLAG_EXPRS)} FROM verts
+    )
+    SELECT a_id, b_id, vin_ab, vin_ba, n_cross,
+           {_POV_RELATION} AS relation
+    FROM (
+      SELECT a_id, b_id,
+             {_POV_VIN_AB} AS vin_ab,
+             {_POV_VIN_BA} AS vin_ba,
+             {_POV_NCROSS} AS n_cross
+      FROM flags
+    ) classified
+    WHERE NOT (vin_ab = 0 AND vin_ba = 0 AND n_cross = 0)
+    """,
+    note="Polygon-polygon overlap/containment JOIN between two rhombus "
+    "catalogs (nation-derived x.5 grid vs supplier-derived x.25 grid): "
+    "grid-cell + bbox candidates, then an exact PURE-EXPRESSION "
+    "classification — both catalogs are parameterized by (center, "
+    "half-diagonals), so the 8 crossing-parity vertex tests and all "
+    "16 strict edge-pair orientation tests compile to one scalar "
+    "expression over 10 columns; no edge table, no per-edge join, no "
+    "aggregate. Convexity makes the three integers (vin_ab, vin_ba, "
+    "n_cross) a complete classifier: containment iff all 4 vertices "
+    "inside, overlap iff any contact, else disjoint (emitted pairs "
+    "are contacts only; the WHERE keeps bbox-colliding near-misses "
+    "out of the result). On-boundary contact resolves via the "
+    "half-open ray / strict-orientation rules — bit-identically in "
+    "both engines, since every term is identical IEEE expression "
+    "text. Scale: both catalogs are metadata-sized by nature and "
+    "broadcast; candidates are bounded by cell-local density (bbox "
+    "prune inside the join), the DISTINCT collapses multi-cell "
+    "collisions at candidate grain, and the classifier is map-side "
+    "codegen — never catalog x catalog.",
+)
+def j_polygon_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apolys = T(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey AS a_id",
+        "CAST(10.5 AS DOUBLE) + (n_nationkey % 5) * 40 AS acx",
+        "CAST(10.5 AS DOUBLE) + (n_nationkey DIV 5) * 18 AS acy",
+        "CAST(3.5 AS DOUBLE) + (n_nationkey % 7) AS adx",
+        "CAST(2.5 AS DOUBLE) + (n_nationkey % 5) AS ady",
+    )
+    bpolys = T(spark, sf_dir, "supplier").selectExpr(*_B_POLY_SPARK)
+
+    def cover(df: DataFrame, cx: str, cy: str, dx: str, dy: str) -> DataFrame:
+        return df.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col(cx) - F.col(dx)) / _POV_CELL).cast("bigint"),
+                    F.floor((F.col(cx) + F.col(dx)) / _POV_CELL).cast("bigint"),
+                )
+            ).alias("ix"),
+        ).select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col(cy) - F.col(dy)) / _POV_CELL).cast("bigint"),
+                    F.floor((F.col(cy) + F.col(dy)) / _POV_CELL).cast("bigint"),
+                )
+            ).alias("iy"),
+        )
+
+    acover = cover(apolys, "acx", "acy", "adx", "ady")
+    bcover = cover(bpolys, "bcx", "bcy", "bdx", "bdy")
+    cand = (
+        acover.alias("a")
+        .join(
+            F.broadcast(bcover.alias("b")),
+            F.expr(
+                "a.ix = b.ix AND a.iy = b.iy"
+                " AND bcx - bdx <= acx + adx AND bcx + bdx >= acx - adx"
+                " AND bcy - bdy <= acy + ady AND bcy + bdy >= acy - ady"
+            ),
+        )
+        .select(
+            "a_id", "acx", "acy", "adx", "ady",
+            "b_id", "bcx", "bcy", "bdx", "bdy",
+        )
+        .distinct()
+    )
+    verts = cand.selectExpr("a_id", "b_id", *_POV_VERT_EXPRS)
+    flags = verts.selectExpr("a_id", "b_id", *_POV_FLAG_EXPRS)
+    classified = flags.selectExpr(
+        "a_id",
+        "b_id",
+        f"{_POV_VIN_AB} AS vin_ab",
+        f"{_POV_VIN_BA} AS vin_ba",
+        f"{_POV_NCROSS} AS n_cross",
+    )
+    return classified.filter(
+        "NOT (vin_ab = 0 AND vin_ba = 0 AND n_cross = 0)"
+    ).selectExpr("a_id", "b_id", "vin_ab", "vin_ba", "n_cross",
+                 f"{_POV_RELATION} AS relation")
+
+
+# --- ml_experiment_power ----------------------------------------------------
+
+# Minimum-detectable-effect planning readout per traffic segment. The
+# z-sum 1.959964 + 0.841621 (alpha=0.05 two-sided, 80% power) enters
+# as ONE literal so both engines multiply the same double.
+_POWER_Z = "CAST(2.801585 AS DOUBLE)"
+
+_POWER_SQL = f"""
+    WITH per_user AS (
+      SELECT event_type, user_id, user_id % 2 AS arm,
+             CAST(SUM({_CENTS}) AS BIGINT) AS spend_c
+      FROM __EVENTS__ GROUP BY event_type, user_id
+    ),
+    seg AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(spend_c) AS BIGINT) AS s,
+             CAST(SUM(CAST(spend_c AS DECIMAL(38,0)) * spend_c)
+                  AS DECIMAL(38,0)) AS q,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM per_user GROUP BY event_type
+    )
+    SELECT event_type, n0, n1,
+           CAST(s AS DOUBLE) / n / 100 AS mean_spend,
+           var_n2 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 10000
+             AS var_spend,
+           CASE WHEN n0 > 0 AND n1 > 0 AND var_n2 > 0 THEN
+             {_POWER_Z} * SQRT((var_n2 / (CAST(n AS DOUBLE)
+                                          * CAST(n AS DOUBLE)))
+                 * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)) / 100
+           END AS mde_abs,
+           CASE WHEN n0 > 0 AND n1 > 0 AND var_n2 > 0 AND s > 0 THEN
+             ({_POWER_Z} * SQRT((var_n2 / (CAST(n AS DOUBLE)
+                                           * CAST(n AS DOUBLE)))
+                 * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)) / 100)
+             / (CAST(s AS DOUBLE) / n / 100)
+           END AS mde_rel
+    FROM (
+      SELECT seg.*,
+             CAST(CAST(n AS DECIMAL(38,0)) * q
+                  - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE) AS var_n2
+      FROM seg
+    ) sized
+"""
+
+
+@query(
+    "ml_experiment_power",
+    oracle=_POWER_SQL.replace("__EVENTS__", "events"),
+    note="Experiment-planning power readout per traffic segment: "
+    "user-level spend moments per event_type, population variance from "
+    "exact integer moments, and the minimum detectable effect at "
+    "alpha=0.05 two-sided / 80% power under the current arm split — "
+    "MDE = (z_{{a/2}} + z_{{power}}) * sqrt(var * (1/n0 + 1/n1)), with "
+    "the z-sum as ONE literal double. The answer to 'is this segment "
+    "big enough to test in', computed before any experiment runs — "
+    "completes the plan(power) -> guard(SRM) -> read(CUPED/DiD) -> "
+    "monitor(group-sequential) lifecycle this family now covers. "
+    "Parity: moments are exact (BIGINT firsts, DECIMAL(38,0) "
+    "seconds), the variance numerator n*q - s*s computes in "
+    "DECIMAL(38,0) and every double op afterwards is identical text "
+    "with one correctly-rounded SQRT; degenerate segments (empty arm, "
+    "zero variance) yield NULL through the same CASE guards "
+    "(ANSI-safe). Scale: one fact scan -> (event_type, user) "
+    "aggregate carries the only data-sized shuffle; the segment "
+    "re-aggregate is metadata-sized.",
+)
+def ml_experiment_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    return spark.sql(_POWER_SQL.replace("__EVENTS__", "{e}"), e=e)

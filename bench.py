@@ -255,6 +255,8 @@ HEADLINE = [
     "ml_group_sequential",      # interim-look z vs Pocock boundary
     "j_trajectory_fence_crossing",  # grid-blocked segment intersection join
     "a_hex_rollup",             # two-lattice hex binning, map-side assign
+    "j_polygon_overlap_join",   # pure-expression polygon classification
+    "ml_experiment_power",      # MDE planning readout per segment
 ]
 
 

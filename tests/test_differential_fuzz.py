@@ -478,6 +478,25 @@ FUZZ_QUERIES = [
     # on random coordinates, two-lattice hex argmin on random points
     "j_trajectory_fence_crossing",
     "a_hex_rollup",
+    "j_polygon_overlap_join",
+    "ml_experiment_power",
+    # round-13 widening (r12 verdict item 7): hand-rolled statistics
+    # whose arithmetic was previously covered only by the offline
+    # fuzz_sweep — rank/concordance machinery on tie-heavy regimes,
+    # ordered folds, quantile/changepoint selection, and the
+    # transcendental-output families whose oracles quantize
+    "ml_spearman_corr",
+    "ml_kendall_tau",
+    "a_theil_sen_monthly",
+    "a_chi2_contingency",
+    "a_tail_risk_var_es",
+    "w_holt_linear",
+    "w_cusum_changepoint",
+    "a_changepoint_binseg",
+    "ml_sprt_sequential",
+    "ml_linreg_normal",
+    "w_rolling_corr",
+    "a_skew_kurtosis",
 ]
 
 _REGIMES = [

@@ -363,3 +363,270 @@ def test_cuped_statistics_match_numpy_reference(spark):
         assert math.isclose(r.mean_adjusted, mean_adj, rel_tol=1e-9, abs_tol=1e-12)
         assert math.isclose(r.theta, theta, rel_tol=1e-9, abs_tol=1e-12)
         assert math.isclose(r.rho2, rho2, rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_cuped_stratified_matches_numpy_reference(spark):
+    """ml_cuped_stratified's per-stratum thetas and post-stratified
+    adjusted arm means must match an INDEPENDENT numpy implementation
+    on the same fixture data (the identical-formula-bug class: the
+    DuckDB oracle shares the SQL's algebra, so only an outside
+    reference pins the semantics — same argument as the plain-CUPED
+    pin above)."""
+    import math
+
+    import numpy as np
+
+    from banksy_spark.suite import REGISTRY
+    from banksy_spark.suite.registry import T
+
+    rows = {
+        r.arm: r
+        for r in REGISTRY["ml_cuped_stratified"].fn(spark, SF_SMOKE).collect()
+    }
+
+    e = T(spark, SF_SMOKE, "events").select("user_id", "ts", "value").toPandas()
+    split = np.datetime64("2024-01-15")
+    cents = np.round(e["value"].to_numpy() * 100).astype(np.int64)
+    pre_mask = e["ts"].to_numpy() < split
+    users = e["user_id"].to_numpy()
+    uids = np.unique(users)
+    pre = np.array(
+        [cents[(users == u) & pre_mask].sum() for u in uids], dtype=float
+    )
+    post = np.array(
+        [cents[(users == u) & ~pre_mask].sum() for u in uids], dtype=float
+    )
+    arm = uids % 2
+    strat = uids % 3
+    n = len(uids)
+
+    theta = {}
+    for s in range(3):
+        ms = strat == s
+        cov = np.mean(pre[ms] * post[ms]) - pre[ms].mean() * post[ms].mean()
+        varp = np.mean(pre[ms] * pre[ms]) - pre[ms].mean() ** 2
+        theta[s] = 0.0 if varp == 0 else cov / varp
+
+    for a in (0, 1):
+        ma = arm == a
+        adj = 0.0
+        for s in range(3):
+            mc = ma & (strat == s)
+            ms = strat == s
+            if not mc.any():
+                continue
+            cell = post[mc].mean() - theta[s] * (
+                pre[mc].mean() - pre[ms].mean()
+            )
+            adj += (ms.sum() / n) * cell
+        r = rows[a]
+        assert r.n_users == int(ma.sum())
+        assert math.isclose(
+            r.mean_post, post[ma].mean() / 100, rel_tol=1e-9, abs_tol=1e-12
+        )
+        assert math.isclose(
+            r.mean_adjusted, adj / 100, rel_tol=1e-9, abs_tol=1e-12
+        )
+        for s in range(3):
+            assert math.isclose(
+                getattr(r, f"theta_s{s}"), theta[s], rel_tol=1e-9,
+                abs_tol=1e-12,
+            )
+
+
+def test_psi_drift_matches_numpy_reference(spark):
+    """ml_psi_drift's per-bin counts and PSI terms must match an
+    independent numpy implementation: reference-period decile bounds
+    by nearest-rank over the (x, orderkey) total order, bins closed on
+    the right, psi_term = (cur% - ref%) * ln(cur% / ref%). Counts are
+    exact; psi_term tolerances absorb the query's 12-decimal ln
+    quantization."""
+    import math
+
+    import numpy as np
+
+    from banksy_spark.suite import REGISTRY
+    from banksy_spark.suite.registry import T
+
+    out = {
+        r.bin: r for r in REGISTRY["ml_psi_drift"].fn(spark, SF_SMOKE).collect()
+    }
+
+    o = (
+        T(spark, SF_SMOKE, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .toPandas()
+    )
+    x = o["o_totalprice"].to_numpy()
+    cur = o["o_orderdate"].to_numpy().astype("datetime64[D]") >= np.datetime64(
+        "1999-01-01"
+    )
+    refx = x[~cur]
+    refk = o["o_orderkey"].to_numpy()[~cur]
+    order = np.lexsort((refk, refx))
+    sx = refx[order]
+    nref = len(sx)
+    bounds = [sx[(i * nref + 9) // 10 - 1] for i in range(1, 10)]
+
+    def binify(v):
+        for i, b in enumerate(bounds):
+            if v <= b:
+                return i
+        return 9
+
+    bins = np.array([binify(v) for v in x])
+    ref_t = int((~cur).sum())
+    cur_t = int(cur.sum())
+    for b in range(10):
+        if b not in out:
+            assert ((bins == b) & ~cur).sum() == 0
+            assert ((bins == b) & cur).sum() == 0
+            continue
+        r = out[b]
+        ref_n = int(((bins == b) & ~cur).sum())
+        cur_n = int(((bins == b) & cur).sum())
+        assert r.ref_n == ref_n and r.cur_n == cur_n, f"bin {b}"
+        if ref_n == 0 or cur_n == 0:
+            assert r.psi_term is None
+            continue
+        want = (cur_n / cur_t - ref_n / ref_t) * math.log(
+            (cur_n * ref_t) / (ref_n * cur_t)
+        )
+        assert math.isclose(r.psi_term, want, rel_tol=1e-9, abs_tol=1e-11), (
+            f"bin {b}"
+        )
+
+
+def test_seasonal_strength_matches_numpy_reference(spark):
+    """a_seasonal_strength's variance decomposition must match an
+    independent numpy ANOVA on the daily series: SS_total =
+    sum((x - mean)^2), SS_resid = sum over dow groups of within-group
+    squared deviations, strength = 1 - SS_resid/SS_total. The SQL path
+    runs exact DECIMAL moments with fixed-order float combination, so
+    1e-9 relative agreement or the algebra is wrong."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from banksy_spark.suite import REGISTRY
+    from banksy_spark.suite.registry import T
+
+    out = {
+        r.event_type: r
+        for r in REGISTRY["a_seasonal_strength"].fn(spark, SF_SMOKE).collect()
+    }
+
+    e = T(spark, SF_SMOKE, "events").select("event_type", "ts", "value").toPandas()
+    e["day"] = e["ts"].dt.date
+    e["cents"] = np.round(e["value"].to_numpy() * 100).astype(np.int64)
+    daily = e.groupby(["event_type", "day"], as_index=False)["cents"].sum()
+    # Sunday=0 convention (Spark dayofweek-1 == DuckDB EXTRACT(dow))
+    daily["dow"] = (pd.to_datetime(daily["day"]).dt.weekday + 1) % 7
+
+    for et, g in daily.groupby("event_type"):
+        xs = g["cents"].to_numpy(dtype=float)
+        ss_total = float(((xs - xs.mean()) ** 2).sum())
+        ss_resid = 0.0
+        for d in range(7):
+            gd = g[g["dow"] == d]["cents"].to_numpy(dtype=float)
+            if len(gd):
+                ss_resid += float(((gd - gd.mean()) ** 2).sum())
+        r = out[et]
+        assert r.n_days == len(xs)
+        assert math.isclose(r.ss_total, ss_total, rel_tol=1e-9, abs_tol=1e-9)
+        assert math.isclose(r.ss_resid, ss_resid, rel_tol=1e-9, abs_tol=1e-9)
+        if ss_total > 0:
+            want = 1.0 - ss_resid / ss_total
+            assert math.isclose(
+                r.seasonal_strength, want, rel_tol=1e-9, abs_tol=1e-12
+            )
+        else:
+            assert r.seasonal_strength is None
+
+
+def test_polygon_overlap_flags_match_exact_fraction_reference(spark):
+    """j_polygon_overlap_join's generated vertex-parity and edge-pair
+    crossing expressions must match an EXACT rational-arithmetic
+    reference on random rhombus pairs. Coordinates live on the x.25
+    grid, so Fraction arithmetic is exact and any disagreement is a
+    generator bug, not float noise (double evaluation of these
+    magnitudes is itself exact for the products involved)."""
+    import random
+    from fractions import Fraction
+
+    from banksy_spark.suite.round13 import (
+        _POV_FLAG_EXPRS,
+        _POV_VERT_EXPRS,
+        _POV_VIN_AB,
+        _POV_VIN_BA,
+        _POV_NCROSS,
+    )
+
+    rng = random.Random(1337)
+    rows = []
+    for i in range(300):
+        rows.append(
+            (
+                i,
+                rng.randint(0, 400) / 4.0,
+                rng.randint(0, 400) / 4.0,
+                rng.randint(4, 40) / 4.0,
+                rng.randint(4, 40) / 4.0,
+                rng.randint(0, 400) / 4.0,
+                rng.randint(0, 400) / 4.0,
+                rng.randint(4, 40) / 4.0,
+                rng.randint(4, 40) / 4.0,
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "pid INT, acx DOUBLE, acy DOUBLE, adx DOUBLE, ady DOUBLE,"
+        " bcx DOUBLE, bcy DOUBLE, bdx DOUBLE, bdy DOUBLE",
+    )
+    got = {
+        r.pid: (r.vin_ab, r.vin_ba, r.n_cross)
+        for r in df.selectExpr("pid", *_POV_VERT_EXPRS)
+        .selectExpr("pid", *_POV_FLAG_EXPRS)
+        .selectExpr(
+            "pid",
+            f"{_POV_VIN_AB} AS vin_ab",
+            f"{_POV_VIN_BA} AS vin_ba",
+            f"{_POV_NCROSS} AS n_cross",
+        )
+        .collect()
+    }
+
+    def verts(cx, cy, dx, dy):
+        cx, cy, dx, dy = map(Fraction, (cx, cy, dx, dy))
+        return [(cx + dx, cy), (cx, cy + dy), (cx - dx, cy), (cx, cy - dy)]
+
+    def inside(px, py, vs):
+        c = 0
+        for k in range(4):
+            x1, y1 = vs[k]
+            x2, y2 = vs[(k + 1) % 4]
+            if (y1 > py) != (y2 > py):
+                if px < x1 + (py - y1) * (x2 - x1) / (y2 - y1):
+                    c += 1
+        return c % 2 == 1
+
+    def ccw(ax, ay, bx, by, cx, cy):
+        return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+    for pid, acx, acy, adx, ady, bcx, bcy, bdx, bdy in rows:
+        va = verts(acx, acy, adx, ady)
+        vb = verts(bcx, bcy, bdx, bdy)
+        vin_ab = sum(inside(px, py, va) for px, py in vb)
+        vin_ba = sum(inside(px, py, vb) for px, py in va)
+        ncross = 0
+        for k in range(4):
+            a1, a2 = va[k], va[(k + 1) % 4]
+            for m in range(4):
+                b1, b2 = vb[m], vb[(m + 1) % 4]
+                if (
+                    ccw(*a1, *a2, *b1) * ccw(*a1, *a2, *b2) < 0
+                    and ccw(*b1, *b2, *a1) * ccw(*b1, *b2, *a2) < 0
+                ):
+                    ncross += 1
+        assert got[pid] == (vin_ab, vin_ba, ncross), f"pair {pid}"

@@ -74,6 +74,8 @@ QUERIES = [
     "ml_group_sequential",
     "j_trajectory_fence_crossing",
     "a_hex_rollup",
+    "j_polygon_overlap_join",
+    "ml_experiment_power",
     # iterative graph
     "graph_pagerank",
     "graph_kcore",

@@ -377,6 +377,8 @@ R14 = [
     "ml_group_sequential",
     "j_trajectory_fence_crossing",
     "a_hex_rollup",
+    "j_polygon_overlap_join",
+    "ml_experiment_power",
 ]
 
 # Re-check fill for the round-14 window: _FRONT must stay at 50 names
