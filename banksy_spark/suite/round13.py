@@ -33,7 +33,19 @@ Spatial (composes round12.py's exact-geometry machinery):
   exact squared distances instead of cube rounding, so there is no
   round-half parity hazard.
 
-All six are beyond-reference experimentation/spatial operators (the
+Added later in the round:
+
+- j_polygon_overlap_join: polygon-polygon overlap/containment join —
+  grid+bbox candidates, pure-expression classifier over the
+  (center, half-diagonal) rhombus parameterization.
+- ml_experiment_power: MDE planning readout per segment, completing
+  the plan -> guard -> read -> monitor experimentation lifecycle.
+- a_hex_smoothing: hex-grid neighborhood smoothing — scatter-gather
+  through a broadcast 14-row literal stencil over a_hex_rollup's
+  cached base cell frame (the distributed stencil form: no fact
+  self-join, shuffle volume = 7x hex cardinality).
+
+All nine are beyond-reference experimentation/spatial operators (the
 reference, a single-node odds scraper — arbitrage_scanner.py:1-514 —
 has no experimentation or spatial layer); design notes cite the
 brief's 100 TB scale bar instead of reference lines.
@@ -611,48 +623,58 @@ _HEX_VP = "CAST(22.5 AS DOUBLE)"  # vertical pitch 3R
 _HEX_VOFF = "CAST(11.25 AS DOUBLE)"  # lattice-B vertical offset 1.5R
 _HEX_HALF = "CAST(0.5 AS DOUBLE)"
 
+# Base hex-cell aggregate (lat, qi, qj, n_events, sum_cents) — shared
+# by a_hex_rollup (which decorates it with centers) and a_hex_smoothing
+# (which scatters it through the neighbor stencil).
+_HEX_BASE_SQL = f"""
+      WITH pts AS (
+        SELECT value AS x, CAST(user_id % 100 AS DOUBLE) AS y,
+               {_CENTS} AS c
+        FROM __EVENTS__
+      ),
+      cand AS (
+        SELECT x, y, c,
+               CAST(FLOOR(x / {_HEX_W} + {_HEX_HALF}) AS BIGINT) AS ia,
+               CAST(FLOOR(y / {_HEX_VP} + {_HEX_HALF}) AS BIGINT) AS ja,
+               CAST(FLOOR((x - {_HEX_W} / CAST(2 AS DOUBLE)) / {_HEX_W}
+                    + {_HEX_HALF}) AS BIGINT) AS ib,
+               CAST(FLOOR((y - {_HEX_VOFF}) / {_HEX_VP} + {_HEX_HALF})
+                    AS BIGINT) AS jb
+        FROM pts
+      ),
+      scored AS (
+        SELECT x, y, c, ia, ja, ib, jb,
+               (x - ia * {_HEX_W}) * (x - ia * {_HEX_W})
+               + (y - ja * {_HEX_VP}) * (y - ja * {_HEX_VP}) AS da2,
+               (x - (ib * {_HEX_W} + {_HEX_W} / CAST(2 AS DOUBLE)))
+               * (x - (ib * {_HEX_W} + {_HEX_W} / CAST(2 AS DOUBLE)))
+               + (y - (jb * {_HEX_VP} + {_HEX_VOFF}))
+               * (y - (jb * {_HEX_VP} + {_HEX_VOFF})) AS db2
+        FROM cand
+      ),
+      assigned AS (
+        SELECT CASE WHEN db2 < da2 THEN 1 ELSE 0 END AS lat,
+               CASE WHEN db2 < da2 THEN ib ELSE ia END AS qi,
+               CASE WHEN db2 < da2 THEN jb ELSE ja END AS qj,
+               c
+        FROM scored
+      )
+      SELECT lat, qi, qj,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(c) AS BIGINT) AS sum_cents
+      FROM assigned GROUP BY lat, qi, qj
+"""
+
 _HEX_SQL = f"""
-    WITH pts AS (
-      SELECT value AS x, CAST(user_id % 100 AS DOUBLE) AS y,
-             {_CENTS} AS c
-      FROM __EVENTS__
-    ),
-    cand AS (
-      SELECT x, y, c,
-             CAST(FLOOR(x / {_HEX_W} + {_HEX_HALF}) AS BIGINT) AS ia,
-             CAST(FLOOR(y / {_HEX_VP} + {_HEX_HALF}) AS BIGINT) AS ja,
-             CAST(FLOOR((x - {_HEX_W} / CAST(2 AS DOUBLE)) / {_HEX_W}
-                  + {_HEX_HALF}) AS BIGINT) AS ib,
-             CAST(FLOOR((y - {_HEX_VOFF}) / {_HEX_VP} + {_HEX_HALF})
-                  AS BIGINT) AS jb
-      FROM pts
-    ),
-    scored AS (
-      SELECT x, y, c, ia, ja, ib, jb,
-             (x - ia * {_HEX_W}) * (x - ia * {_HEX_W})
-             + (y - ja * {_HEX_VP}) * (y - ja * {_HEX_VP}) AS da2,
-             (x - (ib * {_HEX_W} + {_HEX_W} / CAST(2 AS DOUBLE)))
-             * (x - (ib * {_HEX_W} + {_HEX_W} / CAST(2 AS DOUBLE)))
-             + (y - (jb * {_HEX_VP} + {_HEX_VOFF}))
-             * (y - (jb * {_HEX_VP} + {_HEX_VOFF})) AS db2
-      FROM cand
-    ),
-    assigned AS (
-      SELECT CASE WHEN db2 < da2 THEN 1 ELSE 0 END AS lat,
-             CASE WHEN db2 < da2 THEN ib ELSE ia END AS qi,
-             CASE WHEN db2 < da2 THEN jb ELSE ja END AS qj,
-             c
-      FROM scored
-    )
+    WITH base AS ({_HEX_BASE_SQL})
     SELECT lat, qi, qj,
            CASE WHEN lat = 1 THEN qi * {_HEX_W} + {_HEX_W} / CAST(2 AS DOUBLE)
                 ELSE qi * {_HEX_W} END AS hex_cx,
            CASE WHEN lat = 1 THEN qj * {_HEX_VP} + {_HEX_VOFF}
                 ELSE qj * {_HEX_VP} END AS hex_cy,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(c) AS BIGINT) AS sum_cents,
-           CAST(SUM(c) AS DOUBLE) / COUNT(*) / 100 AS avg_value
-    FROM assigned GROUP BY lat, qi, qj
+           n_events, sum_cents,
+           CAST(sum_cents AS DOUBLE) / n_events / 100 AS avg_value
+    FROM base
 """
 
 
@@ -1023,3 +1045,105 @@ _POWER_SQL = f"""
 def ml_experiment_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "events")
     return spark.sql(_POWER_SQL.replace("__EVENTS__", "{e}"), e=e)
+
+
+# --- a_hex_smoothing ---------------------------------------------------------
+
+# The 6-neighbor stencil of the two-lattice hex grid, plus self. A
+# pointy-top hex's neighbors sit at center distance W: the two
+# same-lattice horizontal neighbors, and the four cells of the OTHER
+# lattice at (±W/2, ±1.5R) — whose integer-coordinate offsets depend
+# on the source lattice (derived in the design note). 14 literal rows
+# as a UNION ALL chain so the identical text runs in both engines.
+_HEX_STENCIL_SQL = " UNION ALL ".join(
+    f"SELECT {s} AS src_lat, {d} AS dst_lat,"
+    f" CAST({di} AS BIGINT) AS di, CAST({dj} AS BIGINT) AS dj"
+    for (s, d, di, dj) in [
+        (0, 0, 0, 0), (0, 0, 1, 0), (0, 0, -1, 0),
+        (0, 1, 0, 0), (0, 1, -1, 0), (0, 1, 0, -1), (0, 1, -1, -1),
+        (1, 1, 0, 0), (1, 1, 1, 0), (1, 1, -1, 0),
+        (1, 0, 0, 0), (1, 0, 1, 0), (1, 0, 0, 1), (1, 0, 1, 1),
+    ]
+)
+
+_HEX_SCATTER_SQL = """
+      SELECT dst_lat, qi + di AS ti, qj + dj AS tj, n_events
+      FROM {b} JOIN ({st}) stencil ON stencil.src_lat = {b_lat}
+"""
+
+
+def _hex_gather_sql(src: str) -> str:
+    return f"""
+      SELECT dst_lat, ti, tj,
+             CAST(SUM(n_events) AS BIGINT) AS s_sum,
+             CAST(COUNT(*) AS BIGINT) AS n_contrib
+      FROM {src} GROUP BY dst_lat, ti, tj
+    """
+
+
+_HEX_SMOOTH_OUT = """
+      SELECT lat, qi, qj, n_events, n_contrib,
+             CAST(s_sum AS DOUBLE) / n_contrib AS smoothed_density
+"""
+
+
+@query(
+    "a_hex_smoothing",
+    oracle=f"""
+    WITH base AS ({_HEX_BASE_SQL.replace("__EVENTS__", "events")}),
+    stencil AS ({_HEX_STENCIL_SQL}),
+    scattered AS (
+      SELECT dst_lat, qi + di AS ti, qj + dj AS tj, n_events
+      FROM base JOIN stencil ON stencil.src_lat = base.lat
+    ),
+    gathered AS ({_hex_gather_sql("scattered")})
+    {_HEX_SMOOTH_OUT}
+      FROM base JOIN gathered
+        ON gathered.dst_lat = base.lat AND gathered.ti = base.qi
+       AND gathered.tj = base.qj
+    """,
+    note="Hex-grid neighborhood smoothing (the heatmap denoise pass "
+    "over a_hex_rollup's cells): each occupied hex SCATTERS its count "
+    "to itself and its 6 neighbors through a 14-row literal stencil — "
+    "on the two-lattice grid a hex's neighbors are the two same-"
+    "lattice horizontal cells plus four other-lattice cells whose "
+    "integer offsets depend on the source lattice (src A: B(i,j), "
+    "B(i-1,j), B(i,j-1), B(i-1,j-1); src B: A(i,j), A(i+1,j), "
+    "A(i,j+1), A(i+1,j+1); both same-lattice ±1) — then a GATHER "
+    "aggregate keys on the target cell and the result joins back to "
+    "occupied cells only. Scatter-gather is the distributed stencil "
+    "form: no self-join of the fact, no windowing, shuffle volume = "
+    "7x hex cardinality (metadata-sized), and the base cell frame is "
+    "built ONCE from the fact and cached for its two consumers "
+    "(scatter + output join). smoothed_density = exact integer "
+    "neighborhood sum / exact present-neighbor count, one IEEE "
+    "division — occupied-neighborhood mean, so sparse borders are "
+    "averaged over their REAL support instead of diluted by empty "
+    "cells. All stencil arithmetic is exact BIGINT; parity is the "
+    "hex assignment's (identical SQRT-derived W text).",
+)
+def a_hex_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    # ONE fact scan: the base cell frame is cached and feeds both the
+    # scatter and the output join (cached-bounded-frame discipline).
+    base = spark.sql(_HEX_BASE_SQL.replace("__EVENTS__", "{e}"), e=e).persist()
+    stencil = spark.sql(_HEX_STENCIL_SQL)
+    # Unqualified join conditions: base's and the stencil's column
+    # names are disjoint, and DataFrame-API joins don't register the
+    # SQL-side relation aliases.
+    scattered = (
+        base.join(F.broadcast(stencil), F.expr("src_lat = lat"))
+        .selectExpr("dst_lat", "qi + di AS ti", "qj + dj AS tj", "n_events")
+    )
+    gathered = scattered.groupBy("dst_lat", "ti", "tj").agg(
+        F.expr("CAST(SUM(n_events) AS BIGINT) AS s_sum"),
+        F.expr("CAST(COUNT(*) AS BIGINT) AS n_contrib"),
+    )
+    out = base.join(
+        gathered,
+        F.expr("dst_lat = lat AND ti = qi AND tj = qj"),
+    )
+    return out.selectExpr(
+        "lat", "qi", "qj", "n_events", "n_contrib",
+        "CAST(s_sum AS DOUBLE) / n_contrib AS smoothed_density",
+    )

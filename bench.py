@@ -257,6 +257,7 @@ HEADLINE = [
     "a_hex_rollup",             # two-lattice hex binning, map-side assign
     "j_polygon_overlap_join",   # pure-expression polygon classification
     "ml_experiment_power",      # MDE planning readout per segment
+    "a_hex_smoothing",          # hex-grid scatter-gather stencil smoothing
 ]
 
 

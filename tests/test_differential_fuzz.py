@@ -478,6 +478,7 @@ FUZZ_QUERIES = [
     # on random coordinates, two-lattice hex argmin on random points
     "j_trajectory_fence_crossing",
     "a_hex_rollup",
+    "a_hex_smoothing",
     "j_polygon_overlap_join",
     "ml_experiment_power",
     # round-13 widening (r12 verdict item 7): hand-rolled statistics

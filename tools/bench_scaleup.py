@@ -74,6 +74,7 @@ QUERIES = [
     "ml_group_sequential",
     "j_trajectory_fence_crossing",
     "a_hex_rollup",
+    "a_hex_smoothing",
     "j_polygon_overlap_join",
     "ml_experiment_power",
     # iterative graph

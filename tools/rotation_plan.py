@@ -27,6 +27,12 @@ rewrite; j_basket_lift — in-plan pair-exchange sizing) were
 individually re-passed through the vanilla-ANSI probe and the
 three-SF sweep under the changed code before commit.
 
+Round-13 execution state: R13 below IS the live _FRONT window
+(rotate.py --apply ran as round 13's first command, per the round-12
+verdict). The 9 round-13-born queries sit in R14 with the 50-name
+R14_RECHECK_FILL behind them; window_r14() is the next rotation once
+CORRECTNESS_r13.json lands.
+
 Round-10 execution state: R10 below IS the live _FRONT window
 (tests/test_contract.py pins the equality), with two adjustments vs
 the round-9 plan: ml_brier_score re-enters first (round 9's single
@@ -369,8 +375,9 @@ def window_r12():
 # from the driver-verified union sits in this list.
 R14 = [
     # round-13 registrations (suite/round13.py): experimentation family
-    # (stratified CUPED, SRM, DiD, group-sequential) + spatial third
-    # round (trajectory-fence crossing, hex rollup)
+    # (stratified CUPED, SRM, DiD, group-sequential, power) + spatial
+    # third round (trajectory-fence crossing, hex rollup + smoothing,
+    # polygon-polygon overlap)
     "ml_cuped_stratified",
     "ml_srm_check",
     "ml_diff_in_diff",
@@ -379,6 +386,7 @@ R14 = [
     "a_hex_rollup",
     "j_polygon_overlap_join",
     "ml_experiment_power",
+    "a_hex_smoothing",
 ]
 
 # Re-check fill for the round-14 window: _FRONT must stay at 50 names
