@@ -258,6 +258,8 @@ HEADLINE = [
     "j_polygon_overlap_join",   # pure-expression polygon classification
     "ml_experiment_power",      # MDE planning readout per segment
     "a_hex_smoothing",          # hex-grid scatter-gather stencil smoothing
+    "graph_label_propagation",  # synchronous LPA community detection
+    "j_nearest_edge_join",      # point-to-segment distance argmin join
 ]
 
 

@@ -481,6 +481,10 @@ FUZZ_QUERIES = [
     "a_hex_smoothing",
     "j_polygon_overlap_join",
     "ml_experiment_power",
+    # round-13 second batch: integer vote recurrence + clamped-projection
+    # distance argmin, both exact-parity on random data
+    "graph_label_propagation",
+    "j_nearest_edge_join",
     # round-13 widening (r12 verdict item 7): hand-rolled statistics
     # whose arithmetic was previously covered only by the offline
     # fuzz_sweep — rank/concordance machinery on tie-heavy regimes,

@@ -75,6 +75,8 @@ QUERIES = [
     "j_trajectory_fence_crossing",
     "a_hex_rollup",
     "a_hex_smoothing",
+    "graph_label_propagation",
+    "j_nearest_edge_join",
     "j_polygon_overlap_join",
     "ml_experiment_power",
     # iterative graph

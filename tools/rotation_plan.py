@@ -29,7 +29,7 @@ three-SF sweep under the changed code before commit.
 
 Round-13 execution state: R13 below IS the live _FRONT window
 (rotate.py --apply ran as round 13's first command, per the round-12
-verdict). The 9 round-13-born queries sit in R14 with the 50-name
+verdict). The 11 round-13-born queries sit in R14 with the 50-name
 R14_RECHECK_FILL behind them; window_r14() is the next rotation once
 CORRECTNESS_r13.json lands.
 
@@ -387,6 +387,9 @@ R14 = [
     "j_polygon_overlap_join",
     "ml_experiment_power",
     "a_hex_smoothing",
+    # second batch (suite/round13b.py): graph + spatial
+    "graph_label_propagation",
+    "j_nearest_edge_join",
 ]
 
 # Re-check fill for the round-14 window: _FRONT must stay at 50 names
