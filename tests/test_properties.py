@@ -630,3 +630,137 @@ def test_polygon_overlap_flags_match_exact_fraction_reference(spark):
                 ):
                     ncross += 1
         assert got[pid] == (vin_ab, vin_ba, ncross), f"pair {pid}"
+
+
+def test_label_propagation_matches_python_reference(spark):
+    """graph_label_propagation's community histogram must match an
+    INDEPENDENT pure-Python implementation of the same recurrence
+    (self-inclusive neighbor vote, (count DESC, label ASC) tie-break,
+    3 synchronous rounds) over the raw orders fixture. The reference
+    builds its own edge set from the parquet via duckdb — any
+    disagreement is a vote/tie-break defect in the Spark plan or the
+    oracle SQL, the identical-formula-bug class the differential gate
+    cannot see."""
+    from collections import Counter
+
+    import duckdb
+
+    from banksy_spark.suite.round13b import _LPA_R, graph_label_propagation
+    from tests.conftest import SF_SMOKE
+
+    orders = duckdb.sql(
+        f"SELECT o_custkey, o_orderkey FROM '{SF_SMOKE}/orders.parquet'"
+    ).fetchall()
+    e0 = set()
+    for c, o in orders:
+        u, v = c % 500, o % 500
+        if u != v and ((u // 50 == v // 50 and o % 3 == 0) or o % 97 == 0):
+            e0.add((u, v))
+    nbrs: dict[int, list[int]] = {}
+    for u, v in e0:
+        nbrs.setdefault(u, []).append(v)
+        nbrs.setdefault(v, []).append(u)
+    # symmetrized-DISTINCT: dedupe each node's neighbor list
+    nbrs = {n: sorted(set(vs)) for n, vs in nbrs.items()}
+    lbl = {n: n for n in nbrs}
+    for _ in range(_LPA_R):
+        new = {}
+        for n, vs in nbrs.items():
+            votes = Counter(lbl[v] for v in vs)
+            votes[lbl[n]] += 1
+            best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            new[n] = best
+        lbl = new
+    hist: dict[int, list[int]] = {}
+    for n, l in lbl.items():
+        hist.setdefault(l, []).append(n)
+    want = {l: (len(ns), min(ns)) for l, ns in hist.items()}
+
+    got = {
+        r.community: (r.n_nodes, r.min_node)
+        for r in graph_label_propagation(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_nearest_edge_join_matches_python_reference(spark):
+    """j_nearest_edge_join must match an INDEPENDENT pure-Python
+    reference that rebuilds the bounded candidate set (point cell vs
+    one-ring-dilated edge cover) and evaluates the clamped-projection
+    distance with the same expression structure — Python floats ARE
+    IEEE doubles, so with matching operation order the d2 values and
+    therefore the argmin picks are bit-identical. Near-ties (several
+    candidates within 1e-9 of the minimum) skip the pick assertion
+    and check only the distance value."""
+    import math
+
+    import duckdb
+
+    from banksy_spark.suite.round13b import _NE_CELL, j_nearest_edge_join
+    from tests.conftest import SF_SMOKE
+
+    edges = []
+    for (nk,) in duckdb.sql(
+        f"SELECT n_nationkey FROM '{SF_SMOKE}/nation.parquet'"
+    ).fetchall():
+        cx = 10.5 + (nk % 5) * 40
+        cy = 10.5 + (nk // 5) * 18
+        dx = 3.5 + (nk % 7)
+        dy = 2.5 + (nk % 5)
+        vs = [(cx + dx, cy), (cx, cy + dy), (cx - dx, cy), (cx, cy - dy)]
+        for ei in range(4):
+            (x1, y1), (x2, y2) = vs[ei], vs[(ei + 1) % 4]
+            edges.append((nk, ei, x1, y1, x2, y2))
+
+    dil: dict[tuple[int, int], list[tuple]] = {}
+    for nk, ei, x1, y1, x2, y2 in edges:
+        cells = set()
+        for ix in range(
+            math.floor(min(x1, x2) / _NE_CELL),
+            math.floor(max(x1, x2) / _NE_CELL) + 1,
+        ):
+            for iy in range(
+                math.floor(min(y1, y2) / _NE_CELL),
+                math.floor(max(y1, y2) / _NE_CELL) + 1,
+            ):
+                for di in (-1, 0, 1):
+                    for dj in (-1, 0, 1):
+                        cells.add((ix + di, iy + dj))
+        for c in cells:
+            dil.setdefault(c, []).append((nk, ei, x1, y1, x2, y2))
+
+    def d2_of(px, py, x1, y1, x2, y2):
+        # mirrors _NE_D2's structure: clamp(dot/len2) then residual
+        t = ((px - x1) * (x2 - x1) + (py - y1) * (y2 - y1)) / (
+            (x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)
+        )
+        tc = min(max(t, 0.0), 1.0)
+        ddx = px - (x1 + tc * (x2 - x1))
+        ddy = py - (y1 + tc * (y2 - y1))
+        return ddx * ddx + ddy * ddy
+
+    pts = duckdb.sql(
+        "SELECT event_id, value, CAST(user_id % 100 AS DOUBLE)"
+        f" FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchall()
+    want = {}
+    for eid, px, py in pts:
+        cell = (math.floor(px / _NE_CELL), math.floor(py / _NE_CELL))
+        cands = dil.get(cell, [])
+        if not cands:
+            continue
+        scored = sorted(
+            (d2_of(px, py, *c[2:]), c[0], c[1]) for c in cands
+        )
+        near_tie = len(scored) > 1 and math.isclose(
+            scored[0][0], scored[1][0], rel_tol=1e-9, abs_tol=1e-12
+        )
+        want[eid] = (scored[0], near_tie)
+
+    rows = j_nearest_edge_join(spark, SF_SMOKE).collect()
+    assert {r.event_id for r in rows} == set(want)
+    for r in rows:
+        (d2, pid, eid), near_tie = want[r.event_id]
+        assert math.isclose(r.d2, d2, rel_tol=1e-9, abs_tol=1e-12)
+        if not near_tie:
+            assert (r.poly_id, r.edge_id) == (pid, eid), r
