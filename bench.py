@@ -260,6 +260,12 @@ HEADLINE = [
     "a_hex_smoothing",          # hex-grid scatter-gather stencil smoothing
     "graph_label_propagation",  # synchronous LPA community detection
     "j_nearest_edge_join",      # point-to-segment distance argmin join
+    "graph_connected_components",  # large-star/small-star CC histogram
+    "dq_t_closeness",           # ordered-EMD privacy release gate
+    "ml_permutation_test",      # deterministic-hash permutation test
+    "ml_bootstrap_poisson_ci",  # Poisson-bootstrap 95% CI
+    "ml_tost_equivalence",      # TOST equivalence readout per stratum
+    "a_kde_epanechnikov",       # grid-blocked Epanechnikov KDE
 ]
 
 

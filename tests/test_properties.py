@@ -764,3 +764,282 @@ def test_nearest_edge_join_matches_python_reference(spark):
         assert math.isclose(r.d2, d2, rel_tol=1e-9, abs_tol=1e-12)
         if not near_tie:
             assert (r.poly_id, r.edge_id) == (pid, eid), r
+
+
+def test_connected_components_query_matches_bfs_reference(spark):
+    """graph_connected_components' histogram must match an INDEPENDENT
+    pure-Python BFS over the same intra-block edge set rebuilt from the
+    raw orders parquet — exercising the large-star/small-star operator
+    (or its bounded-driver union-find shortcut) against a from-scratch
+    traversal. Any disagreement is a merge defect the differential gate
+    can't see if the oracle's recursive CTE shared it."""
+    import collections
+
+    import duckdb
+
+    from banksy_spark.suite import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    orders = duckdb.sql(
+        f"SELECT o_custkey, o_orderkey FROM '{SF_SMOKE}/orders.parquet'"
+    ).fetchall()
+    adj: dict[int, set[int]] = {}
+    for c, o in orders:
+        u, v = c % 500, o % 500
+        if u != v and u // 50 == v // 50 and o % 3 == 0:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    seen: dict[int, int] = {}
+    for s in sorted(adj):
+        if s in seen:
+            continue
+        q = collections.deque([s])
+        seen[s] = s
+        while q:
+            x = q.popleft()
+            for y in adj[x]:
+                if y not in seen:
+                    seen[y] = s
+                    q.append(y)
+    hist: dict[int, list[int]] = {}
+    for n, root in seen.items():
+        hist.setdefault(root, []).append(n)
+    # BFS from ascending start nodes makes each root the component min
+    want = {root: (len(ns), max(ns)) for root, ns in hist.items()}
+
+    got = {
+        r.component: (r.n_nodes, r.max_node)
+        for r in REGISTRY["graph_connected_components"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def _pu_cents(sf_dir):
+    """Per-user (arm, total exact cents) — the resampling fixtures'
+    shared user-grain frame, rebuilt independently via duckdb."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT user_id, user_id % 2,
+              CAST(SUM(CAST(CAST(value * 100 AS DECIMAL(18,2)) AS BIGINT))
+                AS BIGINT)
+            FROM '{sf_dir}/events.parquet' GROUP BY user_id"""
+    ).fetchall()
+    return [(int(u), int(a), int(c)) for u, a, c in rows]
+
+
+def test_permutation_test_matches_python_reference(spark):
+    """ml_permutation_test's p-value and extreme count must match a
+    pure-Python replay of the SAME deterministic draws (Knuth scramble
+    mod 2) — Python ints are exact, so any disagreement is a hash or
+    aggregation defect shared between the engines."""
+    import math
+
+    from banksy_spark.suite import REGISTRY
+    from banksy_spark.suite.round13c import _RS_A, _RS_B, _RS_P
+    from tests.conftest import SF_SMOKE
+
+    pu = _pu_cents(SF_SMOKE)
+    s1 = sum(c for _, a, c in pu if a == 1)
+    n1 = sum(1 for _, a, _ in pu if a == 1)
+    s0 = sum(c for _, a, c in pu if a == 0)
+    n0 = sum(1 for _, a, _ in pu if a == 0)
+    obs = s1 / n1 - s0 / n0
+    n_extreme = 0
+    for b in range(1, _RS_B + 1):
+        t1 = tn1 = t0 = tn0 = 0
+        for u, _, c in pu:
+            flip = ((abs(u) % 100003) * _RS_A + b * 40507) % _RS_P % 2
+            if flip == 1:
+                t1 += c
+                tn1 += 1
+            else:
+                t0 += c
+                tn0 += 1
+        if tn1 > 0 and tn0 > 0:
+            if abs(t1 / tn1 - t0 / tn0) >= abs(obs):
+                n_extreme += 1
+    r = REGISTRY["ml_permutation_test"].fn(spark, SF_SMOKE).collect()[0]
+    assert r.n_users == len(pu)
+    assert r.n_extreme == n_extreme
+    assert math.isclose(r.obs_diff, obs / 100, rel_tol=1e-12, abs_tol=1e-12)
+    assert math.isclose(
+        r.p_value, (1 + n_extreme) / (_RS_B + 1), rel_tol=1e-12, abs_tol=1e-12
+    )
+
+
+def test_bootstrap_ci_matches_python_reference(spark):
+    """ml_bootstrap_poisson_ci's CI endpoints must match a pure-Python
+    replay of the deterministic truncated-Poisson weights and the
+    order-statistic extraction. Weighted sums are exact ints; the
+    per-replicate means are IEEE doubles with the same structure."""
+    import math
+
+    from banksy_spark.suite import REGISTRY
+    from banksy_spark.suite.round13c import _RS_A, _RS_B, _RS_P
+    from tests.conftest import SF_SMOKE
+
+    pu = _pu_cents(SF_SMOKE)
+    diffs = []
+    for b in range(1, _RS_B + 1):
+        w1 = wc1 = w0 = wc0 = 0
+        for u, a, c in pu:
+            h = ((abs(u) % 100003) * _RS_A + b * 48611 + 7919) % _RS_P
+            uu = h / _RS_P
+            if uu < 0.36787944117144233:
+                w = 0
+            elif uu < 0.7357588823428847:
+                w = 1
+            elif uu < 0.9196986029286058:
+                w = 2
+            elif uu < 0.9810118431238462:
+                w = 3
+            else:
+                w = 4
+            if a == 1:
+                w1 += w
+                wc1 += w * c
+            else:
+                w0 += w
+                wc0 += w * c
+        if w1 > 0 and w0 > 0:
+            diffs.append((wc1 / w1 - wc0 / w0, b))
+    diffs.sort()
+    nv = len(diffs)
+    lo_rk = math.ceil(0.025 * nv)
+    lo = diffs[lo_rk - 1][0]
+    hi = diffs[nv - lo_rk][0]
+    r = REGISTRY["ml_bootstrap_poisson_ci"].fn(spark, SF_SMOKE).collect()[0]
+    assert r.n_reps == nv
+    assert math.isclose(r.diff_lo, lo / 100, rel_tol=1e-12, abs_tol=1e-12)
+    assert math.isclose(r.diff_hi, hi / 100, rel_tol=1e-12, abs_tol=1e-12)
+    assert r.covers_zero == (lo <= 0 <= hi)
+
+
+def test_tost_equivalence_matches_python_reference(spark):
+    """ml_tost_equivalence's z pair must match an independent Python
+    Welch-TOST on per-user cents grouped by stratum — exact integer
+    moments, IEEE scalar tail, same CASE guards."""
+    import math
+
+    import duckdb
+
+    from banksy_spark.suite import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = duckdb.sql(
+        f"""SELECT user_id % 3, user_id % 2,
+              CAST(SUM(CAST(CAST(value * 100 AS DECIMAL(18,2)) AS BIGINT))
+                AS BIGINT)
+            FROM '{SF_SMOKE}/events.parquet' GROUP BY user_id"""
+    ).fetchall()
+    cells: dict[tuple[int, int], list[int]] = {}
+    for st, a, c in rows:
+        cells.setdefault((int(st), int(a)), []).append(int(c))
+    got = {
+        r.stratum: r
+        for r in REGISTRY["ml_tost_equivalence"].fn(spark, SF_SMOKE).collect()
+    }
+    for st in (0, 1, 2):
+        c1 = cells.get((st, 1), [])
+        c0 = cells.get((st, 0), [])
+        n1, n0 = len(c1), len(c0)
+        s1, s0 = sum(c1), sum(c0)
+        q1 = sum(x * x for x in c1)
+        q0 = sum(x * x for x in c0)
+        diff = s1 / n1 - s0 / n0
+        se2 = (n1 * q1 - s1 * s1) / (n1 * (n1 - 1)) / n1 + (
+            n0 * q0 - s0 * s0
+        ) / (n0 * (n0 - 1)) / n0
+        z_lo = (diff + 50.0) / math.sqrt(se2)
+        z_hi = (diff - 50.0) / math.sqrt(se2)
+        r = got[st]
+        assert (r.n_c, r.n_t) == (n0, n1)
+        assert math.isclose(r.mean_diff, diff / 100, rel_tol=1e-9, abs_tol=1e-12)
+        assert math.isclose(r.z_lower, z_lo, rel_tol=1e-9, abs_tol=1e-12)
+        assert math.isclose(r.z_upper, z_hi, rel_tol=1e-9, abs_tol=1e-12)
+        assert r.equivalent == (z_lo > 1.6448536269514722 and z_hi < -1.6448536269514722)
+
+
+def test_t_closeness_matches_python_reference(spark):
+    """dq_t_closeness' ordered EMD must match an independent Python
+    computation of mean |cumulative P - cumulative Q| over the literal
+    balance bands, for every quasi-identifier group."""
+    import math
+
+    import duckdb
+
+    from banksy_spark.suite import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    rows = duckdb.sql(
+        f"SELECT c_nationkey, c_mktsegment, c_acctbal"
+        f" FROM '{SF_SMOKE}/customer.parquet'"
+    ).fetchall()
+
+    def band(x):
+        return 0 if x < 1000 else 1 if x < 3000 else 2 if x < 5000 else 3 if x < 7000 else 4
+
+    groups: dict[tuple, list[int]] = {}
+    gtot = [0] * 5
+    for nk, seg, bal in rows:
+        b = band(bal)
+        groups.setdefault((nk, seg), [0] * 5)[b] += 1
+        gtot[b] += 1
+    gn = sum(gtot)
+    got = {
+        (r.c_nationkey, r.c_mktsegment): r
+        for r in REGISTRY["dq_t_closeness"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(groups)
+    for key, ks in groups.items():
+        n = sum(ks)
+        cum = 0.0
+        tot = 0.0
+        for i in range(4):
+            cum += ks[i] / n - gtot[i] / gn
+            tot += abs(cum)
+        t = tot / 4
+        r = got[key]
+        assert r.group_size == n
+        assert math.isclose(r.t_emd, t, rel_tol=1e-9, abs_tol=1e-15)
+        assert r.breach == (r.t_emd > 0.2)
+
+
+def test_kde_matches_python_reference(spark):
+    """a_kde_epanechnikov's quantized densities must match a pure-Python
+    scatter over the same 3x3 ring — Python floats ARE IEEE doubles and
+    the per-row floor quantization makes the comparison EXACT (integer
+    equality, no tolerance)."""
+    import math
+
+    import duckdb
+
+    from banksy_spark.suite import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    pts = duckdb.sql(
+        f"SELECT value, CAST(user_id % 100 AS DOUBLE)"
+        f" FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchall()
+    dens: dict[tuple[int, int], int] = {}
+    npts: dict[tuple[int, int], int] = {}
+    for px, py in pts:
+        ix, iy = math.floor(px / 8.0), math.floor(py / 8.0)
+        npts[(ix, iy)] = npts.get((ix, iy), 0) + 1
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                jx, jy = ix + dx, iy + dy
+                d2 = (px - (jx + 0.5) * 8.0) * (px - (jx + 0.5) * 8.0) + (
+                    py - (jy + 0.5) * 8.0
+                ) * (py - (jy + 0.5) * 8.0)
+                k = max(0.0, 1 - d2 / 64.0)
+                dens[(jx, jy)] = dens.get((jx, jy), 0) + math.floor(k * 1000000)
+    want = {
+        cell: (npts[cell], dens.get(cell, 0)) for cell in npts
+    }
+    got = {
+        (r.ix, r.iy): (r.n_pts, r.density_ppm)
+        for r in REGISTRY["a_kde_epanechnikov"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want

@@ -79,6 +79,12 @@ QUERIES = [
     "j_nearest_edge_join",
     "j_polygon_overlap_join",
     "ml_experiment_power",
+    "graph_connected_components",
+    "dq_t_closeness",
+    "ml_permutation_test",
+    "ml_bootstrap_poisson_ci",
+    "ml_tost_equivalence",
+    "a_kde_epanechnikov",
     # iterative graph
     "graph_pagerank",
     "graph_kcore",

@@ -38,6 +38,10 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     "ml_group_sequential": "cumulative window over the <= 5 POST-AGG "
     "interim-look rows — bounded by the alpha-spending schedule K, "
     "not data size (same class as ml_lift_gains' decile frame)",
+    "ml_bootstrap_poisson_ci": "order-statistic ranking window over "
+    "the <= 200 POST-AGG replicate rows — bounded by the replicate "
+    "constant B, not data size (same class as ml_lift_gains' decile "
+    "frame)",
 }
 
 

@@ -390,6 +390,13 @@ R14 = [
     # second batch (suite/round13b.py): graph + spatial
     "graph_label_propagation",
     "j_nearest_edge_join",
+    # third batch (suite/round13c.py): CC, privacy, resampling, KDE
+    "graph_connected_components",
+    "dq_t_closeness",
+    "ml_permutation_test",
+    "ml_bootstrap_poisson_ci",
+    "ml_tost_equivalence",
+    "a_kde_epanechnikov",
 ]
 
 # Re-check fill for the round-14 window: _FRONT must stay at 50 names
