@@ -485,6 +485,17 @@ FUZZ_QUERIES = [
     # distance argmin, both exact-parity on random data
     "graph_label_propagation",
     "j_nearest_edge_join",
+    # round-13 third batch: star-contraction CC vs the recursive-CTE
+    # closure on random edge structure; deterministic hash-resampling
+    # (the draws are data-independent, only the cents vary); ordered
+    # EMD + Welch TOST CASE guards under sparse/tie regimes; quantized
+    # KDE scatter on random coordinates
+    "graph_connected_components",
+    "dq_t_closeness",
+    "ml_permutation_test",
+    "ml_bootstrap_poisson_ci",
+    "ml_tost_equivalence",
+    "a_kde_epanechnikov",
     # round-13 widening (r12 verdict item 7): hand-rolled statistics
     # whose arithmetic was previously covered only by the offline
     # fuzz_sweep — rank/concordance machinery on tie-heavy regimes,
