@@ -61,6 +61,7 @@ from banksy_spark.suite import round12  # noqa: E402,F401
 from banksy_spark.suite import round13  # noqa: E402,F401
 from banksy_spark.suite import round13b  # noqa: E402,F401
 from banksy_spark.suite import round13c  # noqa: E402,F401
+from banksy_spark.suite import round13d  # noqa: E402,F401
 
 # Rotate the newest / highest-risk queries into the driver's ~50-query
 # verification window (it samples the FIRST 50 registry entries).

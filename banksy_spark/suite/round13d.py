@@ -1,0 +1,368 @@
+"""Round-13 fourth batch: link prediction, AUC confidence, sequential
+outlier trimming, and weighted reservoir sampling.
+
+- graph_jaccard_linkpred: common-neighbor Jaccard link prediction —
+  score every distance-2 NON-edge pair by |N(u) ∩ N(w)| / |N(u) ∪
+  N(w)| via the wedge join, the recommendation primitive next to
+  graph_triangle_count's closure measurement.
+- ml_auc_delong_ci: the DeLong (1988) standard error and 95% CI for
+  ml_roc_auc's point estimate, via the Sun/Xu midrank form — the
+  structural components stay in DOUBLED-INTEGER midrank differences so
+  every moment is exact until the final scalar tail.
+- a_esd_outliers: generalized-ESD-style sequential outlier trimming
+  over the daily revenue series — 3 unrolled rounds, each refitting
+  (mean, sd) on the surviving points and removing the max-|z| day.
+- llm_sample_reservoir: Efraimidis–Spirakis (A-ES) weighted reservoir
+  sampling WITHOUT replacement, with deterministic hash-uniforms and a
+  transcendental-free key (u^(1/w) compared via the exact 12th-power
+  cross-multiplication) so both engines select the identical sample.
+
+All four are beyond-reference analytics (the reference — a single-node
+odds scraper, arbitrage_scanner.py:1-514 — has none of these layers);
+notes argue the 100 TB scale bar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from banksy_spark.suite.registry import T, query
+from banksy_spark.suite.round13 import _CENTS
+from banksy_spark.suite.round13b import _LPA_E0
+
+# --- graph_jaccard_linkpred --------------------------------------------------
+
+_JL_MIN_CN = 1  # candidate floor: pairs sharing >= 1 neighbor
+                # (the block fixture at sf0.001 has no 2-shared
+                # pairs; 42/1.5k/50k rows across the three SFs)
+
+_JL_SQL = f"""
+    WITH e0 AS ({_LPA_E0}),
+    edges AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+    deg AS (SELECT u AS x, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY u),
+    canon AS (SELECT u, v FROM edges WHERE u < v),
+    wedges AS (
+      SELECT e1.v AS a, e2.v AS b
+      FROM edges e1 JOIN edges e2 ON e2.u = e1.u AND e1.v < e2.v
+    ),
+    cn AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM wedges GROUP BY a, b
+    ),
+    cand AS (
+      SELECT c.a, c.b, c.n_common
+      FROM cn c LEFT JOIN canon e ON e.u = c.a AND e.v = c.b
+      WHERE e.u IS NULL AND c.n_common >= {_JL_MIN_CN}
+    )
+    SELECT c.a AS u, c.b AS w, c.n_common,
+           da.d AS deg_u, db.d AS deg_w,
+           CAST(c.n_common AS DOUBLE) / (da.d + db.d - c.n_common)
+             AS jaccard
+    FROM cand c
+    JOIN deg da ON da.x = c.a
+    JOIN deg db ON db.x = c.b
+"""
+
+
+@query(
+    "graph_jaccard_linkpred",
+    oracle=_JL_SQL.replace("__ORDERS__", "orders"),
+    note=f"Common-neighbor Jaccard link prediction: every DISTANCE-2 "
+    "non-edge pair (u, w) — reached through the wedge join (neighbors "
+    "a, b of the same center, a < b so each unordered pair counts "
+    "once) — scored by |N(u) ∩ N(w)| / (deg u + deg w − |N ∩|), the "
+    "inclusion–exclusion Jaccard over neighbor sets. Existing edges "
+    "are removed by an anti-join against the canonical (u < v) edge "
+    f"list; candidates need >= {_JL_MIN_CN} common neighbor(s). The "
+    "recommendation primitive of the graph family: triangles measure "
+    "closure that HAPPENED, this ranks the closures to PROPOSE "
+    "(friend-of-friend / also-bought). Parity: counts and degrees are "
+    "exact BIGINTs, one IEEE division (denominator >= n_common >= 1, "
+    "never zero). Scale: the wedge join is keyed on the center node — "
+    "the same sum-of-degree-squares volume graph_triangle_count "
+    "manages, minimized in production by (degree, id) orientation; "
+    "the degree table is nodes-sized and broadcastable; no windows, "
+    "no global sort. Fixture: LPA's block graph WITH cross-block "
+    "noise, so candidates span planted communities and noisy bridges.",
+)
+def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return spark.sql(_JL_SQL.replace("__ORDERS__", "{o}"), o=o)
+
+
+# --- ml_auc_delong_ci --------------------------------------------------------
+
+# Doubled midrank spans per distinct-score tie group: min_rank +
+# max_rank = 2*cum − n + 1 (the ml_roc_auc identity), for the combined
+# ranking, the positives-only ranking, and the negatives-only ranking.
+# The DeLong structural components V10 = (R − R1)/n0, V01 = 1 − (R −
+# R0)/n1 then live in the exact even integers d10 = 2(R − R1), d01 =
+# 2(R − R0) — every moment below is integer/DECIMAL until the scalar
+# tail.
+_DL_D10 = "(2 * cum_n - n + 1) - (2 * cum_p - p + 1) AS d10"
+_DL_D01 = (
+    "(2 * cum_n - n + 1)"
+    " - (2 * (cum_n - cum_p) - (n - p) + 1) AS d01"
+)
+_DL_AGGS = [
+    "CAST(SUM(p) AS BIGINT) AS n1",
+    "CAST(SUM(n - p) AS BIGINT) AS n0",
+    "CAST(SUM(p * d10) AS DECIMAL(38,0)) AS s1",
+    "CAST(SUM(CAST(p AS DECIMAL(38,0)) * d10 * d10) AS DECIMAL(38,0)) AS s2",
+    "CAST(SUM((n - p) * d01) AS DECIMAL(38,0)) AS t1",
+    "CAST(SUM(CAST(n - p AS DECIMAL(38,0)) * d01 * d01) AS DECIMAL(38,0))"
+    " AS t2",
+]
+_DL_AUC = (
+    "CASE WHEN n1 > 0 AND n0 > 0 THEN"
+    " CAST(s1 AS DOUBLE) / (2e0 * n1 * n0) END AS auc"
+)
+# S10 = var over positives of V10 = varD10 / (4 n0^2); SE^2 = S10/n1 +
+# S01/n0 (DeLong 1988). Sample variances from exact DECIMAL moments.
+_DL_SE = (
+    "CASE WHEN n1 > 1 AND n0 > 1 THEN SQRT("
+    " CAST(CAST(n1 AS DECIMAL(38,0)) * s2 - s1 * s1 AS DOUBLE)"
+    " / (CAST(n1 AS DOUBLE) * (n1 - 1)) / (4e0 * n0 * n0) / n1"
+    " + CAST(CAST(n0 AS DECIMAL(38,0)) * t2 - t1 * t1 AS DOUBLE)"
+    " / (CAST(n0 AS DOUBLE) * (n0 - 1)) / (4e0 * n1 * n1) / n0"
+    ") END AS se"
+)
+_DL_Z = 1.959963984540054  # z_{0.975}
+
+_DL_FINAL = [
+    "n1 AS n_pos",
+    "n0 AS n_neg",
+    "auc",
+    "se",
+    f"auc - {_DL_Z} * se AS ci_lo",
+    f"auc + {_DL_Z} * se AS ci_hi",
+]
+
+
+@query(
+    "ml_auc_delong_ci",
+    oracle=f"""
+    WITH scored AS (
+      SELECT o_totalprice AS score,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    g AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS p
+      FROM scored GROUP BY score
+    ),
+    r AS (
+      SELECT n, p,
+             SUM(n) OVER (ORDER BY score) AS cum_n,
+             SUM(p) OVER (ORDER BY score) AS cum_p
+      FROM g
+    ),
+    d AS (SELECT n, p, {_DL_D10}, {_DL_D01} FROM r),
+    m AS (SELECT {", ".join(_DL_AGGS)} FROM d)
+    SELECT {", ".join(_DL_FINAL)}
+    FROM (SELECT n1, n0, {_DL_AUC}, {_DL_SE} FROM m) b
+    """,
+    note="DeLong (1988) standard error and 95% CI for the exact "
+    "ROC-AUC — the confidence readout ml_roc_auc's point estimate "
+    "needs before a model comparison is believable, in the Sun/Xu "
+    "midrank formulation: V10_i = (R_i − R1_i)/n0 per positive, "
+    "V01_j = 1 − (R_j − R0_j)/n1 per negative, SE² = var(V10)/n1 + "
+    "var(V01)/n0. EXACTNESS: every V is constant within a "
+    "distinct-score tie group, so the components live at the "
+    "tie-group grain in the DOUBLED-integer midrank differences "
+    "d10 = 2(R − R1), d01 = 2(R − R0) (the min_rank + max_rank = "
+    "2·cum − n + 1 identity ml_roc_auc pins), and all first/second "
+    "moments are BIGINT/DECIMAL(38,0) sums — order-independent — "
+    "with one IEEE scalar tail incl. a correctly-rounded SQRT as "
+    "identical text. Degenerate inputs (a class with n <= 1) yield "
+    "NULL se/ci through the same CASE guards in both engines. AUC "
+    "here equals ml_roc_auc's statistic algebraically (mean V10 = "
+    "AUC), so the pair is mutually checking. Scale: one fact-grain "
+    "aggregate to the distinct-score frame, running counts via the "
+    "bucketed ordinal operator (every window PARTITION BY bucket — "
+    "no single-partition sort), then a 1-row scalar reduce.",
+)
+def ml_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.operators.ordinals import global_ordinals
+
+    scored = T(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("score"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    g = (
+        scored.groupBy("score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("p"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    r = global_ordinals(
+        g, ["score"], cumsum=[("n", "cum_n"), ("p", "cum_p")]
+    )
+    d = r.selectExpr("n", "p", _DL_D10, _DL_D01)
+    m = d.selectExpr(*_DL_AGGS)
+    return m.selectExpr("n1", "n0", _DL_AUC, _DL_SE).selectExpr(*_DL_FINAL)
+
+
+# --- a_esd_outliers ----------------------------------------------------------
+
+_ESD_ROUNDS = 3
+_ESD_LAMBDA = 3.0  # fixed flag threshold on the studentized deviate
+
+# Daily revenue series: exact integer cents per calendar day.
+_ESD_S0 = f"""
+      SELECT CAST(ts AS DATE) AS day, CAST(SUM({_CENTS}) AS BIGINT) AS c
+      FROM __EVENTS__ GROUP BY CAST(ts AS DATE)
+"""
+
+
+def _esd_round(i: int) -> str:
+    p = f"s{i - 1}"
+    return f"""
+    m{i} AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS q
+      FROM {p}
+    ),
+    z{i} AS (
+      SELECT day, c,
+             ABS(CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / n) AS dev,
+             CASE WHEN n > 2
+                   AND CAST(CAST(n AS DECIMAL(38,0)) * q
+                            - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE) > 0
+                  THEN SQRT(CAST(CAST(n AS DECIMAL(38,0)) * q
+                                 - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * (n - 1)))
+             END AS sd
+      FROM {p} CROSS JOIN m{i}
+    ),
+    f{i} AS (
+      SELECT day, c, dev, sd,
+             ROW_NUMBER() OVER (ORDER BY dev DESC, day) AS rk
+      FROM z{i}
+    ),
+    o{i} AS (
+      SELECT {i} AS round, day, CAST(c AS DOUBLE) / 100 AS value,
+             dev / sd AS r_stat
+      FROM f{i} WHERE rk = 1
+    ),
+    s{i} AS (SELECT day, c FROM f{i} WHERE rk > 1)"""
+
+
+_ESD_SQL = f"""
+    WITH s0 AS ({_ESD_S0}),
+    {",".join(_esd_round(i) for i in range(1, _ESD_ROUNDS + 1))}
+    SELECT round, day, value, r_stat,
+           CASE WHEN r_stat IS NULL THEN FALSE
+                ELSE r_stat > CAST({_ESD_LAMBDA} AS DOUBLE) END AS flagged
+    FROM (SELECT * FROM o1 UNION ALL SELECT * FROM o2
+          UNION ALL SELECT * FROM o3) u
+"""
+
+
+@query(
+    "a_esd_outliers",
+    oracle=_ESD_SQL.replace("__EVENTS__", "events"),
+    note=f"Sequential max-deviate outlier trimming over the daily "
+    f"revenue series (the generalized-ESD shape, {_ESD_ROUNDS} "
+    "unrolled rounds with a fixed lambda=3 flag threshold instead of "
+    "the n-dependent t-quantile): each round refits (mean, sample sd) "
+    "on the SURVIVING days from exact integer-cent moments — BIGINT "
+    "firsts, DECIMAL(38,0) seconds — removes the max-|deviation| day "
+    "(deterministic (dev DESC, day) tie-break), and reports its "
+    "studentized deviate. This is the masking-aware form a single "
+    "z-score pass (a_mad_outliers' sibling) cannot do: a second "
+    "outlier hides the first until the first is removed and the fit "
+    "re-tightens. Parity: the per-round moments are order-independent "
+    "exact integers; dev/sd/r_stat are scalar IEEE text incl. one "
+    "correctly-rounded SQRT; degenerate rounds (n <= 2 or zero "
+    "variance) yield NULL r_stat / FALSE flagged through the same "
+    "CASE guards. Scale: ONE fact scan to the calendar-bounded daily "
+    "grain (<= 31 rows at the fixture); every later round is "
+    "metadata-sized — the 3 ranking windows run over that bounded "
+    "series (plan-audit allowlisted, same class as "
+    "a_changepoint_binseg's daily-series windows).",
+)
+def a_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    return spark.sql(_ESD_SQL.replace("__EVENTS__", "{e}"), e=e)
+
+
+# --- llm_sample_reservoir ----------------------------------------------------
+
+_RES_K = 50
+_RES_A = 2654435761
+_RES_P = 1000000007
+
+# A-ES key u^(1/w) with integer weights w in 1..4, compared EXACTLY by
+# raising both sides to the 12th power (lcm of 1..4): x -> x^12 is
+# monotone on [0, 1), so ORDER BY u^(12/w) DESC picks the identical
+# sample — and u^(12/w) for w in {{1,2,3,4}} is u^12/u^6/u^4/u^3,
+# written as explicit fixed-parenthesization products (POW/LN are not
+# cross-engine bit-reproducible; multiplication is).
+_RES_KEY = (
+    "CASE w WHEN 1 THEN (((u * u) * (u * u)) * ((u * u) * (u * u)))"
+    " * ((u * u) * (u * u))"
+    " WHEN 2 THEN ((u * u) * (u * u)) * (u * u)"
+    " WHEN 3 THEN (u * u) * (u * u)"
+    " ELSE (u * u) * u END"
+)
+
+_RES_D = f"""
+      SELECT doc_id,
+             LEAST(4, 1 + CAST(FLOOR(CAST(LENGTH(text) AS DOUBLE) / 256.0)
+               AS BIGINT)) AS w,
+             CAST(((ABS(doc_id) % 100003) * {_RES_A} + 31) % {_RES_P}
+               AS DOUBLE) / {_RES_P} AS u
+      FROM __DOCS__
+"""
+
+
+@query(
+    "llm_sample_reservoir",
+    oracle=f"""
+    WITH d AS ({_RES_D.replace("__DOCS__", "documents")}),
+    k AS (SELECT doc_id, w, {_RES_KEY} AS es_key FROM d),
+    r AS (
+      SELECT doc_id, w, es_key,
+             ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS smp_rank
+      FROM k
+    )
+    SELECT doc_id, w AS weight, es_key, smp_rank
+    FROM r WHERE smp_rank <= {_RES_K}
+    """,
+    note=f"Weighted reservoir sampling WITHOUT replacement (Efraimidis–"
+    f"Spirakis A-ES): each doc draws a deterministic hash-uniform u "
+    f"and a length-bucket weight w in 1..4, and the top-{_RES_K} by "
+    "key u^(1/w) is EXACTLY the weighted sample-without-replacement — "
+    "the corpus-subsampling primitive when docs must be drawn "
+    "proportional to length/importance but never twice (one-pass, "
+    "mergeable: union two reservoirs and re-take the top-k, which is "
+    "why it works as a streaming/distributed fold). Cross-engine "
+    "determinism: the uniform is the Knuth scramble (identical "
+    "integer arithmetic), and the A-ES key comparison avoids POW/LN "
+    "entirely — u^(1/w) is compared by raising to the 12th power "
+    "(lcm of the weight range; monotone on [0,1)), computed as "
+    "fixed-parenthesization multiplication chains that are identical "
+    "IEEE text in both engines. Ties broken by doc_id. Scale: the "
+    "key is map-side; the top-k global order runs through the "
+    "bucketed ordinal operator (every window PARTITION BY bucket), "
+    "so no single-partition fact sort — per-partition top-k then a "
+    "bounded merge is the classic distributed reservoir.",
+)
+def llm_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.operators.ordinals import global_ordinals
+
+    d = spark.sql(
+        _RES_D.replace("__DOCS__", "{d}"), d=T(spark, sf_dir, "documents")
+    )
+    k = d.selectExpr("doc_id", "w", f"{_RES_KEY} AS es_key")
+    r = global_ordinals(k, ["-es_key", "doc_id"], row_number="smp_rank")
+    return r.filter(F.col("smp_rank") <= _RES_K).select(
+        "doc_id", F.col("w").alias("weight"), "es_key", "smp_rank"
+    )

@@ -266,6 +266,10 @@ HEADLINE = [
     "ml_bootstrap_poisson_ci",  # Poisson-bootstrap 95% CI
     "ml_tost_equivalence",      # TOST equivalence readout per stratum
     "a_kde_epanechnikov",       # grid-blocked Epanechnikov KDE
+    "graph_jaccard_linkpred",   # common-neighbor Jaccard link prediction
+    "ml_auc_delong_ci",         # DeLong SE + 95% CI for the exact AUC
+    "a_esd_outliers",           # sequential max-deviate outlier trimming
+    "llm_sample_reservoir",     # A-ES weighted reservoir sample
 ]
 
 

@@ -496,6 +496,14 @@ FUZZ_QUERIES = [
     "ml_bootstrap_poisson_ci",
     "ml_tost_equivalence",
     "a_kde_epanechnikov",
+    # round-13 fourth batch: wedge-join Jaccard on random edges; the
+    # doubled-midrank DeLong algebra under tie-heavy regimes; the
+    # refit-remove ESD recurrence with n<=2 guards on sparse days;
+    # the transcendental-free A-ES key on random doc lengths
+    "graph_jaccard_linkpred",
+    "ml_auc_delong_ci",
+    "a_esd_outliers",
+    "llm_sample_reservoir",
     # round-13 widening (r12 verdict item 7): hand-rolled statistics
     # whose arithmetic was previously covered only by the offline
     # fuzz_sweep — rank/concordance machinery on tie-heavy regimes,

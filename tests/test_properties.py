@@ -1043,3 +1043,182 @@ def test_kde_matches_python_reference(spark):
         for r in REGISTRY["a_kde_epanechnikov"].fn(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_auc_delong_matches_numpy_reference(spark):
+    """ml_auc_delong_ci's AUC/SE must match an INDEPENDENT numpy DeLong
+    implementation computing the structural components per observation
+    (midranks via scipy-free average ranking) — the doubled-integer
+    tie-group algebra must agree with the textbook per-row form."""
+    import math
+
+    import numpy as np
+
+    from banksy_spark.suite import REGISTRY
+    from banksy_spark.suite.registry import T
+    from tests.conftest import SF_SMOKE
+
+    o = (
+        T(spark, SF_SMOKE, "orders")
+        .select("o_totalprice", "o_orderstatus")
+        .toPandas()
+    )
+    score = o["o_totalprice"].to_numpy()
+    y = (o["o_orderstatus"] == "F").to_numpy()
+
+    def midranks(x):
+        order = np.argsort(x, kind="mergesort")
+        ranks = np.empty(len(x), dtype=float)
+        sx = x[order]
+        i = 0
+        while i < len(sx):
+            j = i
+            while j < len(sx) and sx[j] == sx[i]:
+                j += 1
+            ranks[order[i:j]] = (i + 1 + j) / 2.0
+            i = j
+        return ranks
+
+    pos, neg = score[y], score[~y]
+    n1, n0 = len(pos), len(neg)
+    r_all = midranks(score)
+    r_pos = midranks(pos)
+    r_neg = midranks(neg)
+    v10 = (r_all[y] - r_pos) / n0
+    v01 = 1.0 - (r_all[~y] - r_neg) / n1
+    auc = v10.mean()
+    se = math.sqrt(v10.var(ddof=1) / n1 + v01.var(ddof=1) / n0)
+
+    r = REGISTRY["ml_auc_delong_ci"].fn(spark, SF_SMOKE).collect()[0]
+    assert (r.n_pos, r.n_neg) == (n1, n0)
+    assert math.isclose(r.auc, auc, rel_tol=1e-9, abs_tol=1e-12)
+    assert math.isclose(r.se, se, rel_tol=1e-9, abs_tol=1e-12)
+    assert math.isclose(r.ci_lo, auc - 1.959963984540054 * se, rel_tol=1e-9, abs_tol=1e-12)
+    assert math.isclose(r.ci_hi, auc + 1.959963984540054 * se, rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_jaccard_linkpred_matches_python_reference(spark):
+    """graph_jaccard_linkpred must match a pure-Python neighbor-set
+    computation over the same LPA fixture graph: exact candidate set
+    (distance-2 non-edges) and exact Jaccard for every pair."""
+    import math
+
+    import duckdb
+
+    from banksy_spark.suite import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    orders = duckdb.sql(
+        f"SELECT o_custkey, o_orderkey FROM '{SF_SMOKE}/orders.parquet'"
+    ).fetchall()
+    nbrs: dict[int, set[int]] = {}
+    for c, o in orders:
+        u, v = c % 500, o % 500
+        if u != v and ((u // 50 == v // 50 and o % 3 == 0) or o % 97 == 0):
+            nbrs.setdefault(u, set()).add(v)
+            nbrs.setdefault(v, set()).add(u)
+    want = {}
+    nodes = sorted(nbrs)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if b in nbrs[a]:
+                continue
+            cn = len(nbrs[a] & nbrs[b])
+            if cn >= 1:
+                want[(a, b)] = (cn, len(nbrs[a]), len(nbrs[b]),
+                                cn / (len(nbrs[a]) + len(nbrs[b]) - cn))
+    got = {
+        (r.u, r.w): (r.n_common, r.deg_u, r.deg_w, r.jaccard)
+        for r in REGISTRY["graph_jaccard_linkpred"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for k, (cn, du, dw, j) in want.items():
+        g = got[k]
+        assert (g[0], g[1], g[2]) == (cn, du, dw)
+        assert math.isclose(g[3], j, rel_tol=1e-12, abs_tol=1e-15)
+
+
+def test_esd_outliers_matches_python_reference(spark):
+    """a_esd_outliers must match a pure-Python sequential max-deviate
+    trim on the daily cents series: same refit-remove recurrence, same
+    tie-break, same studentized deviates."""
+    import math
+
+    import duckdb
+
+    from banksy_spark.suite import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    days = duckdb.sql(
+        f"""SELECT CAST(ts AS DATE) AS day,
+              CAST(SUM(CAST(CAST(value * 100 AS DECIMAL(18,2)) AS BIGINT))
+                AS BIGINT) AS c
+            FROM '{SF_SMOKE}/events.parquet' GROUP BY 1"""
+    ).fetchall()
+    pts = [(d, int(c)) for d, c in days]
+    want = []
+    for rnd in (1, 2, 3):
+        n = len(pts)
+        s = sum(c for _, c in pts)
+        q = sum(c * c for _, c in pts)
+        sd = None
+        if n > 2 and n * q - s * s > 0:
+            sd = math.sqrt((n * q - s * s) / (n * (n - 1)))
+        scored = sorted(
+            ((abs(c - s / n), d, c) for d, c in pts),
+            key=lambda t: (-t[0], t[1]),
+        )
+        dev, day, c = scored[0]
+        r_stat = dev / sd if sd else None
+        want.append((rnd, day, c / 100, r_stat))
+        pts = [(d2, c2) for _, d2, c2 in scored[1:]]
+
+    got = sorted(
+        REGISTRY["a_esd_outliers"].fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r.round,
+    )
+    for (rnd, day, val, r_stat), r in zip(want, got):
+        assert r.round == rnd and str(r.day) == str(day)
+        assert math.isclose(r.value, val, rel_tol=1e-12, abs_tol=1e-12)
+        if r_stat is None:
+            assert r.r_stat is None and r.flagged is False
+        else:
+            assert math.isclose(r.r_stat, r_stat, rel_tol=1e-9, abs_tol=1e-12)
+            assert r.flagged == (r.r_stat > 3.0)
+
+
+def test_sample_reservoir_matches_python_reference(spark):
+    """llm_sample_reservoir's selected set must match a pure-Python
+    A-ES replay: same uniforms, same 12th-power keys (Python floats
+    ARE IEEE doubles with the same parenthesization), same top-50."""
+    import duckdb
+
+    from banksy_spark.suite import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, LENGTH(text) FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    scored = []
+    for doc_id, ln in docs:
+        w = min(4, 1 + int((ln or 0) // 256))
+        u = ((abs(doc_id) % 100003) * 2654435761 + 31) % 1000000007 / 1000000007
+        if w == 1:
+            key = (((u * u) * (u * u)) * ((u * u) * (u * u))) * ((u * u) * (u * u))
+        elif w == 2:
+            key = ((u * u) * (u * u)) * (u * u)
+        elif w == 3:
+            key = (u * u) * (u * u)
+        else:
+            key = (u * u) * u
+        scored.append((key, doc_id, w))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    want = {
+        doc_id: (w, key, rk + 1)
+        for rk, (key, doc_id, w) in enumerate(scored[:50])
+    }
+    got = {
+        r.doc_id: (r.weight, r.es_key, r.smp_rank)
+        for r in REGISTRY["llm_sample_reservoir"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want

@@ -85,6 +85,10 @@ QUERIES = [
     "ml_bootstrap_poisson_ci",
     "ml_tost_equivalence",
     "a_kde_epanechnikov",
+    "graph_jaccard_linkpred",
+    "ml_auc_delong_ci",
+    "a_esd_outliers",
+    "llm_sample_reservoir",
     # iterative graph
     "graph_pagerank",
     "graph_kcore",

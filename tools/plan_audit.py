@@ -42,6 +42,10 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     "the <= 200 POST-AGG replicate rows — bounded by the replicate "
     "constant B, not data size (same class as ml_lift_gains' decile "
     "frame)",
+    "a_esd_outliers": "three per-round max-deviate ranking windows "
+    "over the calendar-bounded daily series (<= 31 rows) — bounded "
+    "by the calendar, not the event count (a_changepoint_binseg's "
+    "class)",
 }
 
 

@@ -397,6 +397,11 @@ R14 = [
     "ml_bootstrap_poisson_ci",
     "ml_tost_equivalence",
     "a_kde_epanechnikov",
+    # fourth batch (suite/round13d.py): linkpred, DeLong, ESD, A-ES
+    "graph_jaccard_linkpred",
+    "ml_auc_delong_ci",
+    "a_esd_outliers",
+    "llm_sample_reservoir",
 ]
 
 # Re-check fill for the round-14 window: _FRONT must stay at 50 names
