@@ -3,6 +3,7 @@
 from banksy_spark.streaming.core import (
     attribution_join,
     file_stats_manifest,
+    kde_cell_density,
     hopping_hourly_sums,
     ohlc_candles,
     session_window_counts,
@@ -14,6 +15,7 @@ from banksy_spark.streaming.core import (
 __all__ = [
     "read_events_stream",
     "file_stats_manifest",
+    "kde_cell_density",
     "tumbling_daily_counts",
     "hopping_hourly_sums",
     "ohlc_candles",

@@ -266,3 +266,47 @@ def file_stats_manifest(orders: "DataFrame", file_rows: int = 2048) -> "DataFram
         F.min("o_orderdate").alias("min_date"),
         F.max("o_orderdate").alias("max_date"),
     )
+
+
+def kde_cell_density(pts: "DataFrame") -> "DataFrame":
+    """Incremental grid-blocked Epanechnikov KDE — identical logic to
+    the batch query suite.round13c.a_kde_epanechnikov (same quantized
+    kernel expression, imported from there): each point scatters to its
+    3x3 cell ring map-side, and the per-cell density is a SUM of
+    per-row FLOOR-quantized integer ppm weights — associative and
+    mergeable, so the streaming state per cell is ONE bounded
+    (density_ppm, n_pts) row updated in place across micro-batches.
+    This is how a live heatmap/hotspot surface is maintained at
+    ingest time instead of re-scanning the fact. Runs unchanged on a
+    batch frame (the stream==batch pytest twin). Input: (px double,
+    py double)."""
+    from banksy_spark.suite.round13c import _KDE_WQ
+
+    scat = (
+        pts.select(
+            F.floor(F.col("px") / 8.0).cast("bigint").alias("ix"),
+            F.floor(F.col("py") / 8.0).cast("bigint").alias("iy"),
+            "px",
+            "py",
+        )
+        .select("*", F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dx_i"))
+        .select("*", F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dy_i"))
+        .select(
+            "ix",
+            "iy",
+            (F.col("ix") + F.col("dx_i")).alias("jx"),
+            (F.col("iy") + F.col("dy_i")).alias("jy"),
+            "px",
+            "py",
+        )
+    )
+    return scat.groupBy("jx", "jy").agg(
+        F.sum(F.expr(_KDE_WQ)).cast("bigint").alias("density_ppm"),
+        F.sum(
+            F.when(
+                (F.col("jx") == F.col("ix")) & (F.col("jy") == F.col("iy")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_pts"),
+    )

@@ -794,3 +794,106 @@ def markov_pairs_batch(events: DataFrame) -> DataFrame:
         .sortWithinPartitions("user_id", "ts", "event_id")
         .mapInPandas(pair_map, _MK_OUT_SCHEMA)
     )
+
+
+# --- A-ES weighted reservoir (without replacement) ----------------------------
+
+_RV_OUT_SCHEMA = (
+    "shard int, doc_id bigint, weight bigint, es_key double, "
+    "smp_rank int, n_seen bigint"
+)
+_RV_STATE_SCHEMA = (
+    "ids array<long>, ws array<long>, keys array<double>, seen long"
+)
+
+
+def _make_reservoir(k: int):
+    """Per-shard Efraimidis–Spirakis reservoir fold: state holds the
+    current top-``k`` docs by A-ES key (es_key DESC, doc_id ASC — the
+    exact ordering of suite.round13d.llm_sample_reservoir's window
+    form); each micro-batch merges its candidates into the reservoir
+    and re-truncates. Merge-and-truncate IS the A-ES without-
+    replacement semantics — the reason the estimator works as a
+    streaming/distributed fold at all. Emits the full reservoir each
+    batch (update semantics) plus the monotone ``n_seen`` counter so a
+    consumer (and the stream==batch test) can identify the final
+    emission per shard."""
+
+    def _fold(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids, ws, keys, seen = state.get
+            res = list(zip(keys, ids, ws))
+        else:
+            res, seen = [], 0
+        for pdf in pdfs:
+            seen += len(pdf)
+            res.extend(
+                zip(
+                    pdf["es_key"].astype("float64"),
+                    pdf["doc_id"].astype("int64"),
+                    pdf["weight"].astype("int64"),
+                )
+            )
+            # Python float sort == SQL double sort (es_key is never NaN)
+            res.sort(key=lambda t: (-t[0], t[1]))
+            del res[k:]
+        state.update(
+            (
+                [int(i) for _, i, _ in res],
+                [int(w) for _, _, w in res],
+                [float(e) for e, _, _ in res],
+                seen,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "shard": pd.array([key[0]] * len(res), dtype="int32"),
+                "doc_id": pd.array([i for _, i, _ in res], dtype="int64"),
+                "weight": pd.array([w for _, _, w in res], dtype="int64"),
+                "es_key": pd.array([e for e, _, _ in res], dtype="float64"),
+                "smp_rank": pd.array(range(1, len(res) + 1), dtype="int32"),
+                "n_seen": pd.array([seen] * len(res), dtype="int64"),
+            }
+        )
+
+    return _fold
+
+
+def reservoir_stateful(scored: DataFrame, k: int = 50) -> DataFrame:
+    """Streaming per-shard A-ES reservoir over a ``(shard, doc_id,
+    weight, es_key)`` stream: state is at most ``k`` rows per shard
+    REGARDLESS of stream length — the bounded-memory weighted sample
+    the batch query llm_sample_reservoir takes in one pass. Shard
+    reservoirs merge downstream by union + re-truncate (the same
+    mergeability the fold itself exploits per batch)."""
+    return scored.groupBy("shard").applyInPandasWithState(
+        _make_reservoir(k),
+        outputStructType=_RV_OUT_SCHEMA,
+        stateStructType=_RV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def reservoir_batch(scored: DataFrame, k: int = 50) -> DataFrame:
+    """Batch replay of :func:`reservoir_stateful`: the SAME fold over
+    each complete shard via applyInPandas, so a per-shard-window DuckDB
+    oracle can value-check the merge-and-truncate ordering the
+    state-store variant runs incrementally."""
+    fold = _make_reservoir(k)
+
+    def replay(key, pdf):  # no type hints: applyInPandas infers
+        class _Static:
+            exists = False
+
+            def update(self, _):
+                pass
+
+        frames = list(fold(key, iter([pdf]), _Static()))
+        return pd.concat(frames, ignore_index=True)
+
+    return scored.groupBy("shard").applyInPandas(replay, _RV_OUT_SCHEMA)

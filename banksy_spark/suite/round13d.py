@@ -366,3 +366,64 @@ def llm_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.filter(F.col("smp_rank") <= _RES_K).select(
         "doc_id", F.col("w").alias("weight"), "es_key", "smp_rank"
     )
+
+
+# --- stream_reservoir_stateful ------------------------------------------------
+
+_RV_SHARDS = 8
+
+
+@query(
+    "stream_reservoir_stateful",
+    oracle=f"""
+    WITH d AS ({_RES_D.replace("__DOCS__", "documents")}),
+    k AS (
+      SELECT CAST(ABS(doc_id) % {_RV_SHARDS} AS INT) AS shard,
+             doc_id, w, {_RES_KEY} AS es_key
+      FROM d
+    ),
+    r AS (
+      SELECT shard, doc_id, w, es_key,
+             ROW_NUMBER() OVER (PARTITION BY shard
+                                ORDER BY es_key DESC, doc_id) AS smp_rank,
+             COUNT(*) OVER (PARTITION BY shard) AS n_seen
+      FROM k
+    )
+    SELECT shard, doc_id, CAST(w AS BIGINT) AS weight, es_key,
+           CAST(smp_rank AS INT) AS smp_rank,
+           CAST(n_seen AS BIGINT) AS n_seen
+    FROM r WHERE smp_rank <= {_RES_K}
+    """,
+    note=f"Per-shard A-ES reservoir, CUSTOM-STATEFUL form: the "
+    "applyInPandas replay of the applyInPandasWithState fold in "
+    "streaming/stateful.py:reservoir_stateful — each of "
+    f"{_RV_SHARDS} hash shards maintains its top-{_RES_K} docs by the "
+    "SAME transcendental-free A-ES key as llm_sample_reservoir, and "
+    "the merge-and-truncate step the fold runs per micro-batch is "
+    "exactly how shard reservoirs combine downstream (union + "
+    "re-truncate), so the sharded form IS the distributed one-pass "
+    "weighted sample-without-replacement. Verified against a "
+    "per-shard window oracle (rank and the monotone n_seen counter "
+    "included, so the emission-selection contract the streaming "
+    "consumer uses is itself value-checked); the stream==batch "
+    "contract across micro-batch boundaries is "
+    "tests/test_streaming.py. Scale: state is k rows per shard "
+    "regardless of stream length; the per-shard window is "
+    "WindowGroupLimit-protected (rank <= k pushes per-partition "
+    "top-k before the exchange).",
+)
+def stream_reservoir_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from banksy_spark.streaming.stateful import reservoir_batch
+
+    d = spark.sql(
+        _RES_D.replace("__DOCS__", "{d}"), d=T(spark, sf_dir, "documents")
+    )
+    scored = d.selectExpr(
+        f"CAST(ABS(doc_id) % {_RV_SHARDS} AS INT) AS shard",
+        "doc_id",
+        "w AS weight",
+        f"{_RES_KEY} AS es_key",
+    )
+    return reservoir_batch(scored, k=_RES_K).select(
+        "shard", "doc_id", "weight", "es_key", "smp_rank", "n_seen"
+    )

@@ -270,6 +270,7 @@ HEADLINE = [
     "ml_auc_delong_ci",         # DeLong SE + 95% CI for the exact AUC
     "a_esd_outliers",           # sequential max-deviate outlier trimming
     "llm_sample_reservoir",     # A-ES weighted reservoir sample
+    "stream_reservoir_stateful",  # per-shard stateful A-ES reservoir replay
 ]
 
 

@@ -504,6 +504,7 @@ FUZZ_QUERIES = [
     "ml_auc_delong_ci",
     "a_esd_outliers",
     "llm_sample_reservoir",
+    "stream_reservoir_stateful",
     # round-13 widening (r12 verdict item 7): hand-rolled statistics
     # whose arithmetic was previously covered only by the offline
     # fuzz_sweep — rank/concordance machinery on tie-heavy regimes,

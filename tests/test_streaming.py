@@ -1167,3 +1167,118 @@ def test_file_stats_manifest_stream_equals_batch(spark, tmp_path):
         for r in file_stats_manifest(orders).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_kde_cell_density_stream_equals_batch(spark, tmp_path):
+    """Incremental KDE heatmap: events arrive in three modulo splits
+    (maxFilesPerTrigger=1), so most cells' (density_ppm, n_pts) state
+    merges across micro-batches — integer sums merge associatively and
+    the final surface must equal both the batch form AND the
+    oracle-checked a_kde_epanechnikov output bit-for-bit."""
+    from banksy_spark.streaming import kde_cell_density
+    from banksy_spark.suite import REGISTRY
+    from banksy_spark.suite.registry import T
+
+    pts = T(spark, SF_SMOKE, "events").selectExpr(
+        "value AS px", "CAST(user_id % 100 AS DOUBLE) AS py", "event_id"
+    )
+    d = tmp_path / "kde_in"
+    for i in range(3):
+        pts.filter(F.col("event_id") % 3 == i).select("px", "py").coalesce(
+            1
+        ).write.parquet(str(d), mode="append")
+    stream = (
+        spark.readStream.schema("px double, py double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        kde_cell_density(stream)
+        .writeStream.format("memory")
+        .queryName("kde_cells")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_kde"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish in time"
+    got = {
+        (r.jx, r.jy): (r.density_ppm, r.n_pts)
+        for r in spark.sql("SELECT * FROM kde_cells").collect()
+    }
+    want_batch = {
+        (r.jx, r.jy): (r.density_ppm, r.n_pts)
+        for r in kde_cell_density(pts.select("px", "py")).collect()
+    }
+    assert got == want_batch and len(got) > 0
+    # and the occupied-cell projection equals the oracle-checked query
+    want_query = {
+        (r.ix, r.iy): (r.density_ppm, r.n_pts)
+        for r in REGISTRY["a_kde_epanechnikov"].fn(spark, SF_SMOKE).collect()
+    }
+    occupied = {k: v for k, v in got.items() if v[1] > 0}
+    assert {k: (v[1], v[0]) for k, v in want_query.items()} == {
+        k: (v[1], v[0]) for k, v in occupied.items()
+    }
+
+
+def test_reservoir_stateful_stream_equals_batch(spark, tmp_path):
+    """Streaming A-ES reservoir across three shuffled micro-batches:
+    per-shard state (top-50 by key) must merge-and-truncate to EXACTLY
+    the batch replay's reservoir — and therefore to the per-shard
+    window oracle of stream_reservoir_stateful. The final emission per
+    shard is selected by the monotone n_seen counter."""
+    from banksy_spark.streaming.stateful import reservoir_batch, reservoir_stateful
+    from banksy_spark.suite import REGISTRY
+    from banksy_spark.suite.registry import T
+    from banksy_spark.suite.round13d import _RES_D, _RES_KEY, _RV_SHARDS
+
+    d0 = spark.sql(
+        _RES_D.replace("__DOCS__", "{d}"), d=T(spark, SF_SMOKE, "documents")
+    )
+    scored = d0.selectExpr(
+        f"CAST(ABS(doc_id) % {_RV_SHARDS} AS INT) AS shard",
+        "doc_id",
+        "w AS weight",
+        f"{_RES_KEY} AS es_key",
+    )
+    src = tmp_path / "rv_in"
+    for i in range(3):
+        scored.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            str(src), mode="append"
+        )
+    stream = (
+        spark.readStream.schema(scored.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        reservoir_stateful(stream, k=50)
+        .writeStream.format("memory")
+        .queryName("rv_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish in time"
+    out = spark.sql("SELECT * FROM rv_out").toPandas()
+    final_seen = out.groupby("shard")["n_seen"].max()
+    rows = out[
+        out.apply(lambda r: r.n_seen == final_seen[r.shard], axis=1)
+    ]
+    got = {
+        (r.shard, r.smp_rank): (r.doc_id, r.weight, r.es_key)
+        for r in rows.itertuples()
+    }
+    want = {
+        (r.shard, r.smp_rank): (r.doc_id, r.weight, r.es_key)
+        for r in reservoir_batch(scored, k=50).collect()
+    }
+    assert got == want and len(got) > 0
+    # the registry query is the same replay, projected
+    reg = {
+        (r.shard, r.smp_rank): (r.doc_id, r.weight, r.es_key)
+        for r in REGISTRY["stream_reservoir_stateful"].fn(spark, SF_SMOKE).collect()
+    }
+    assert reg == want

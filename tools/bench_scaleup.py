@@ -89,6 +89,7 @@ QUERIES = [
     "ml_auc_delong_ci",
     "a_esd_outliers",
     "llm_sample_reservoir",
+    "stream_reservoir_stateful",
     # iterative graph
     "graph_pagerank",
     "graph_kcore",

@@ -402,6 +402,7 @@ R14 = [
     "ml_auc_delong_ci",
     "a_esd_outliers",
     "llm_sample_reservoir",
+    "stream_reservoir_stateful",
 ]
 
 # Re-check fill for the round-14 window: _FRONT must stay at 50 names
