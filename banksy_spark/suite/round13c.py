@@ -129,48 +129,61 @@ _TC_T = 0.2  # release threshold on the ordered EMD
 # Ordered EMD over 5 classes = mean |cumulative P - cumulative Q| at
 # the 4 interior boundaries (the 5th cumulative difference is 0 by
 # normalization). Pure scalar IEEE arithmetic from exact BIGINT
-# counts, in one fixed textual order.
-_TC_SQL = f"""
-    WITH base AS (
-      SELECT c_nationkey, c_mktsegment, {_TC_CLS} AS cls
-      FROM __CUSTOMER__
-    ),
-    grp AS (
+# counts, in one fixed textual order. Shared-snippet layout (the
+# ml_cuped_stratified discipline): the Spark side method-chains on a
+# checkpointed group frame — a CTE form would re-inline the fact scan
+# per reference (grp feeds both gtot and cums) — while the oracle
+# assembles the SAME snippets as a CTE chain.
+_TC_GRP_SQL = f"""
       SELECT c_nationkey, c_mktsegment,
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS BIGINT) AS k0,
              CAST(SUM(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
              CAST(SUM(CASE WHEN cls = 2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
              CAST(SUM(CASE WHEN cls = 3 THEN 1 ELSE 0 END) AS BIGINT) AS k3
-      FROM base GROUP BY c_nationkey, c_mktsegment
-    ),
-    gtot AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS gn,
-             CAST(SUM(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS BIGINT) AS g0,
-             CAST(SUM(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS BIGINT) AS g1,
-             CAST(SUM(CASE WHEN cls = 2 THEN 1 ELSE 0 END) AS BIGINT) AS g2,
-             CAST(SUM(CASE WHEN cls = 3 THEN 1 ELSE 0 END) AS BIGINT) AS g3
-      FROM base
-    ),
+      FROM (SELECT c_nationkey, c_mktsegment, {_TC_CLS} AS cls
+            FROM __CUSTOMER__) base
+      GROUP BY c_nationkey, c_mktsegment
+"""
+
+_TC_GTOT_EXPRS = [
+    "CAST(SUM(n) AS BIGINT) AS gn",
+    "CAST(SUM(k0) AS BIGINT) AS g0",
+    "CAST(SUM(k1) AS BIGINT) AS g1",
+    "CAST(SUM(k2) AS BIGINT) AS g2",
+    "CAST(SUM(k3) AS BIGINT) AS g3",
+]
+
+_TC_E_EXPRS = [
+    "CAST(k0 AS DOUBLE) / n - CAST(g0 AS DOUBLE) / gn AS e1",
+    "(CAST(k0 AS DOUBLE) / n - CAST(g0 AS DOUBLE) / gn)"
+    " + (CAST(k1 AS DOUBLE) / n - CAST(g1 AS DOUBLE) / gn) AS e2",
+    "((CAST(k0 AS DOUBLE) / n - CAST(g0 AS DOUBLE) / gn)"
+    " + (CAST(k1 AS DOUBLE) / n - CAST(g1 AS DOUBLE) / gn))"
+    " + (CAST(k2 AS DOUBLE) / n - CAST(g2 AS DOUBLE) / gn) AS e3",
+    "(((CAST(k0 AS DOUBLE) / n - CAST(g0 AS DOUBLE) / gn)"
+    " + (CAST(k1 AS DOUBLE) / n - CAST(g1 AS DOUBLE) / gn))"
+    " + (CAST(k2 AS DOUBLE) / n - CAST(g2 AS DOUBLE) / gn))"
+    " + (CAST(k3 AS DOUBLE) / n - CAST(g3 AS DOUBLE) / gn) AS e4",
+]
+
+_TC_FINAL_EXPRS = [
+    "c_nationkey",
+    "c_mktsegment",
+    "n AS group_size",
+    "(ABS(e1) + ABS(e2) + ABS(e3) + ABS(e4)) / 4 AS t_emd",
+    "(ABS(e1) + ABS(e2) + ABS(e3) + ABS(e4)) / 4"
+    f" > CAST({_TC_T} AS DOUBLE) AS breach",
+]
+
+_TC_SQL = f"""
+    WITH grp AS ({_TC_GRP_SQL}),
+    gtot AS (SELECT {", ".join(_TC_GTOT_EXPRS)} FROM grp),
     cums AS (
-      SELECT c_nationkey, c_mktsegment, n,
-             CAST(k0 AS DOUBLE) / n - CAST(g0 AS DOUBLE) / gn AS e1,
-             (CAST(k0 AS DOUBLE) / n - CAST(g0 AS DOUBLE) / gn)
-               + (CAST(k1 AS DOUBLE) / n - CAST(g1 AS DOUBLE) / gn) AS e2,
-             ((CAST(k0 AS DOUBLE) / n - CAST(g0 AS DOUBLE) / gn)
-               + (CAST(k1 AS DOUBLE) / n - CAST(g1 AS DOUBLE) / gn))
-               + (CAST(k2 AS DOUBLE) / n - CAST(g2 AS DOUBLE) / gn) AS e3,
-             (((CAST(k0 AS DOUBLE) / n - CAST(g0 AS DOUBLE) / gn)
-               + (CAST(k1 AS DOUBLE) / n - CAST(g1 AS DOUBLE) / gn))
-               + (CAST(k2 AS DOUBLE) / n - CAST(g2 AS DOUBLE) / gn))
-               + (CAST(k3 AS DOUBLE) / n - CAST(g3 AS DOUBLE) / gn) AS e4
+      SELECT c_nationkey, c_mktsegment, n, {", ".join(_TC_E_EXPRS)}
       FROM grp CROSS JOIN gtot
     )
-    SELECT c_nationkey, c_mktsegment, n AS group_size,
-           (ABS(e1) + ABS(e2) + ABS(e3) + ABS(e4)) / 4 AS t_emd,
-           (ABS(e1) + ABS(e2) + ABS(e3) + ABS(e4)) / 4
-             > CAST({_TC_T} AS DOUBLE) AS breach
-    FROM cums
+    SELECT {", ".join(_TC_FINAL_EXPRS)} FROM cums
 """
 
 
@@ -191,14 +204,23 @@ _TC_SQL = f"""
     "one conditional aggregate; the EMD is scalar IEEE divisions and "
     "additions in ONE fixed textual order (cumulative sums written "
     "out literally, not via a window), so both engines produce "
-    "bit-identical doubles. Scale: one exchange on the (nation, "
-    "segment) quasi-identifier with map-side combine + a 1-row global "
-    "aggregate broadcast back — no per-class pivot join, no window; "
+    "bit-identical doubles. Scale: ONE fact scan — the fact exchanges "
+    "once on the (nation, segment) quasi-identifier with map-side "
+    "combine, the checkpointed group frame feeds BOTH the 1-row "
+    "global re-aggregate (metadata-sized, broadcast back) and the "
+    "per-group EMD projection — no per-class pivot join, no window; "
     "output is QI-cardinality rows regardless of fact size.",
 )
 def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = T(spark, sf_dir, "customer")
-    return spark.sql(_TC_SQL.replace("__CUSTOMER__", "{c}"), c=c)
+    grp = spark.sql(
+        _TC_GRP_SQL.replace("__CUSTOMER__", "{c}"), c=c
+    ).localCheckpoint(eager=False)
+    gtot = grp.selectExpr(*_TC_GTOT_EXPRS)
+    cums = grp.crossJoin(F.broadcast(gtot)).selectExpr(
+        "c_nationkey", "c_mktsegment", "n", *_TC_E_EXPRS
+    )
+    return cums.selectExpr(*_TC_FINAL_EXPRS)
 
 
 # --- deterministic hash-randomization (shared by the resampling pair) -------
@@ -211,7 +233,6 @@ _RS_P = 1000000007
 _RS_UH = f"(ABS(user_id) % 100003) * {_RS_A}"
 
 _RS_SERIES_DUCK = f"SELECT unnest(generate_series(1, {_RS_B})) AS b"
-_RS_SERIES_SPARK = f"SELECT explode(sequence(1, {_RS_B})) AS b"
 
 # Per-user total exact cents + the designed arm (the experiment
 # fixture's user_id % 2 assignment, ml_cuped_adjustment's convention).
@@ -221,62 +242,78 @@ _RS_PU = f"""
       FROM __EVENTS__ GROUP BY user_id
 """
 
-_RS_OBS = """
-      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
-             CAST(SUM(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS os1,
-             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS on1,
-             CAST(SUM(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS os0,
-             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS on0
-      FROM pu
-"""
+# Shared-snippet layout (the ml_cuped_stratified discipline): every
+# arithmetic fragment below appears VERBATIM in both the oracle CTE
+# chain and the Spark method chain. The Spark side checkpoints the
+# user-grain frame once — a CTE form would re-inline the fact scan for
+# each of its two consumers (observed stats + replicate draws) — and
+# replicates via a map-side explode(sequence(1, B)) rather than a join.
+_RS_OBS_EXPRS = [
+    "CAST(COUNT(*) AS BIGINT) AS n_users",
+    "CAST(SUM(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS os1",
+    "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS on1",
+    "CAST(SUM(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS os0",
+    "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS on0",
+]
 
 _RS_OBS_DIFF = (
     "CASE WHEN on1 > 0 AND on0 > 0 THEN"
     " CAST(os1 AS DOUBLE) / on1 - CAST(os0 AS DOUBLE) / on0 END"
 )
 
+_RS_OBS_KEYS = ["n_users", "os1", "on1", "os0", "on0"]
+
 # --- ml_permutation_test -----------------------------------------------------
 
-_PT_SQL = f"""
-    WITH pu AS ({_RS_PU}),
-    series AS (__SERIES__),
-    obs AS ({_RS_OBS}),
+_PT_FLIP = f"(({_RS_UH} + b * 40507) % {_RS_P}) % 2"
+
+_PT_REP_PAIRS = [
+    ("CAST(SUM(CASE WHEN flip = 1 THEN c ELSE 0 END) AS BIGINT)", "s1"),
+    ("CAST(SUM(CASE WHEN flip = 1 THEN 1 ELSE 0 END) AS BIGINT)", "n1"),
+    ("CAST(SUM(CASE WHEN flip = 0 THEN c ELSE 0 END) AS BIGINT)", "s0"),
+    ("CAST(SUM(CASE WHEN flip = 0 THEN 1 ELSE 0 END) AS BIGINT)", "n0"),
+]
+
+_PT_DIFF = (
+    "CASE WHEN n1 > 0 AND n0 > 0 THEN"
+    " CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0 END AS diff"
+)
+
+_PT_EXTREME = (
+    f"CAST(SUM(CASE WHEN ABS(diff) >= ABS({_RS_OBS_DIFF})"
+    " THEN 1 ELSE 0 END) AS BIGINT)"
+)
+_PT_PVALUE = (
+    "(CAST(1 AS DOUBLE)"
+    f" + SUM(CASE WHEN ABS(diff) >= ABS({_RS_OBS_DIFF})"
+    f" THEN 1 ELSE 0 END)) / {_RS_B + 1}"
+)
+
+_PT_ORACLE = f"""
+    WITH pu AS ({_RS_PU.replace("__EVENTS__", "events")}),
+    series AS ({_RS_SERIES_DUCK}),
+    obs AS (SELECT {", ".join(_RS_OBS_EXPRS)} FROM pu),
     draws AS (
-      SELECT b,
-             (({_RS_UH} + b * 40507) % {_RS_P}) % 2 AS flip,
-             c
+      SELECT b, {_PT_FLIP} AS flip, c
       FROM pu CROSS JOIN series
     ),
     reps AS (
-      SELECT b,
-             CAST(SUM(CASE WHEN flip = 1 THEN c ELSE 0 END) AS BIGINT) AS s1,
-             CAST(SUM(CASE WHEN flip = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-             CAST(SUM(CASE WHEN flip = 0 THEN c ELSE 0 END) AS BIGINT) AS s0,
-             CAST(SUM(CASE WHEN flip = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+      SELECT b, {", ".join(f"{e} AS {a}" for e, a in _PT_REP_PAIRS)}
       FROM draws GROUP BY b
     ),
-    rd AS (
-      SELECT b, CASE WHEN n1 > 0 AND n0 > 0 THEN
-        CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0 END AS diff
-      FROM reps
-    )
+    rd AS (SELECT b, {_PT_DIFF} FROM reps)
     SELECT n_users,
            ({_RS_OBS_DIFF}) / 100 AS obs_diff,
-           CAST(SUM(CASE WHEN ABS(diff) >= ABS({_RS_OBS_DIFF})
-                THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
-           (CAST(1 AS DOUBLE)
-             + SUM(CASE WHEN ABS(diff) >= ABS({_RS_OBS_DIFF})
-                   THEN 1 ELSE 0 END)) / {_RS_B + 1} AS p_value
+           {_PT_EXTREME} AS n_extreme,
+           {_PT_PVALUE} AS p_value
     FROM rd CROSS JOIN obs
-    GROUP BY n_users, os1, on1, os0, on0
+    GROUP BY {", ".join(_RS_OBS_KEYS)}
 """
 
 
 @query(
     "ml_permutation_test",
-    oracle=_PT_SQL.replace("__EVENTS__", "events").replace(
-        "__SERIES__", _RS_SERIES_DUCK
-    ),
+    oracle=_PT_ORACLE,
     note=f"Two-sample permutation test on the experiment's per-user "
     f"spend — the assumption-free significance readout next to "
     f"a_ab_test_ztest's normal approximation: {_RS_B} label "
@@ -288,20 +325,40 @@ _PT_SQL = f"""
     "diff, and the extreme count match bit-for-bit. The multiplicand "
     "is bounded (ABS(user_id) % 100003) so the scramble never "
     "overflows int64 under either engine's semantics. Scale: ONE "
-    "fact scan to the user grain, then the B-fold expansion is a "
-    "map-side broadcast-NLJ against a 200-row literal series — "
-    "per-(b) partial aggregation combines map-side, so the shuffle "
-    "carries B*4 cells, not B*users rows. Replicates with an empty "
-    "arm yield NULL diff and drop out of the extreme count through "
-    "the same CASE in both engines.",
+    "fact scan to a CHECKPOINTED user-grain frame feeding both the "
+    "observed stats and the draws; the B-fold expansion is a "
+    "map-side explode of a literal sequence — no replicate join at "
+    "all — and per-(b) partial aggregation combines map-side, so "
+    "the shuffle carries B*4 cells, not B*users rows. Replicates "
+    "with an empty arm yield NULL diff and drop out of the extreme "
+    "count through the same CASE in both engines.",
 )
 def ml_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "events")
-    return spark.sql(
-        _PT_SQL.replace("__EVENTS__", "{e}").replace(
-            "__SERIES__", _RS_SERIES_SPARK
-        ),
-        e=e,
+    pu = spark.sql(
+        _RS_PU.replace("__EVENTS__", "{e}"), e=e
+    ).localCheckpoint(eager=False)
+    obs = pu.selectExpr(*_RS_OBS_EXPRS)
+    draws = pu.select(
+        "user_id", "c", F.explode(F.sequence(F.lit(1), F.lit(_RS_B))).alias("b")
+    ).selectExpr("b", f"{_PT_FLIP} AS flip", "c")
+    reps = draws.groupBy("b").agg(
+        *[F.expr(e_).alias(a) for e_, a in _PT_REP_PAIRS]
+    )
+    rd = reps.selectExpr("b", _PT_DIFF)
+    return (
+        rd.crossJoin(F.broadcast(obs))
+        .groupBy(*_RS_OBS_KEYS)
+        .agg(
+            F.expr(_PT_EXTREME).alias("n_extreme"),
+            F.expr(_PT_PVALUE).alias("p_value"),
+        )
+        .selectExpr(
+            "n_users",
+            f"({_RS_OBS_DIFF}) / 100 AS obs_diff",
+            "n_extreme",
+            "p_value",
+        )
     )
 
 
@@ -310,33 +367,45 @@ def ml_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Poisson(1) pmf cumulative thresholds (literal doubles, identical
 # text): P(0)=e^-1, then +e^-1, +e^-1/2, +e^-1/6; weights capped at 4
 # (P(w>=5) ~ 0.4% -- the standard truncated-Poisson bootstrap).
+_BS_U = f"CAST((({_RS_UH} + b * 48611 + 7919) % {_RS_P}) AS DOUBLE) / {_RS_P}"
 _BS_W = (
-    "CASE WHEN u < 0.36787944117144233 THEN 0"
-    " WHEN u < 0.7357588823428847 THEN 1"
-    " WHEN u < 0.9196986029286058 THEN 2"
-    " WHEN u < 0.9810118431238462 THEN 3 ELSE 4 END"
+    f"CASE WHEN {_BS_U} < 0.36787944117144233 THEN 0"
+    f" WHEN {_BS_U} < 0.7357588823428847 THEN 1"
+    f" WHEN {_BS_U} < 0.9196986029286058 THEN 2"
+    f" WHEN {_BS_U} < 0.9810118431238462 THEN 3 ELSE 4 END"
 )
 
-_BS_SQL = f"""
-    WITH pu AS ({_RS_PU}),
-    series AS (__SERIES__),
-    obs AS ({_RS_OBS}),
+_BS_REP_PAIRS = [
+    ("CAST(SUM(CASE WHEN arm = 1 THEN w ELSE 0 END) AS BIGINT)", "w1"),
+    ("CAST(SUM(CASE WHEN arm = 1 THEN w * c ELSE 0 END) AS BIGINT)", "wc1"),
+    ("CAST(SUM(CASE WHEN arm = 0 THEN w ELSE 0 END) AS BIGINT)", "w0"),
+    ("CAST(SUM(CASE WHEN arm = 0 THEN w * c ELSE 0 END) AS BIGINT)", "wc0"),
+]
+
+_BS_DIFF = "CAST(wc1 AS DOUBLE) / w1 - CAST(wc0 AS DOUBLE) / w0 AS diff"
+
+_BS_LO = (
+    "MAX(CASE WHEN rk = CAST(CEIL(0.025 * nv) AS BIGINT) THEN diff END)"
+)
+_BS_HI = (
+    "MAX(CASE WHEN rk = nv + 1 - CAST(CEIL(0.025 * nv) AS BIGINT)"
+    " THEN diff END)"
+)
+
+_BS_ORACLE = f"""
+    WITH pu AS ({_RS_PU.replace("__EVENTS__", "events")}),
+    series AS ({_RS_SERIES_DUCK}),
+    obs AS (SELECT {", ".join(_RS_OBS_EXPRS)} FROM pu),
     draws AS (
-      SELECT b, arm, c,
-             {_BS_W.replace("u <", f"CAST((({_RS_UH} + b * 48611 + 7919) % {_RS_P}) AS DOUBLE) / {_RS_P} <")} AS w
+      SELECT b, arm, c, {_BS_W} AS w
       FROM pu CROSS JOIN series
     ),
     reps AS (
-      SELECT b,
-             CAST(SUM(CASE WHEN arm = 1 THEN w ELSE 0 END) AS BIGINT) AS w1,
-             CAST(SUM(CASE WHEN arm = 1 THEN w * c ELSE 0 END) AS BIGINT) AS wc1,
-             CAST(SUM(CASE WHEN arm = 0 THEN w ELSE 0 END) AS BIGINT) AS w0,
-             CAST(SUM(CASE WHEN arm = 0 THEN w * c ELSE 0 END) AS BIGINT) AS wc0
+      SELECT b, {", ".join(f"{e} AS {a}" for e, a in _BS_REP_PAIRS)}
       FROM draws GROUP BY b
     ),
     rd AS (
-      SELECT b,
-             CAST(wc1 AS DOUBLE) / w1 - CAST(wc0 AS DOUBLE) / w0 AS diff
+      SELECT b, {_BS_DIFF}
       FROM reps WHERE w1 > 0 AND w0 > 0
     ),
     ranked AS (
@@ -347,24 +416,17 @@ _BS_SQL = f"""
     )
     SELECT nv AS n_reps,
            ({_RS_OBS_DIFF}) / 100 AS obs_diff,
-           MAX(CASE WHEN rk = CAST(CEIL(0.025 * nv) AS BIGINT)
-               THEN diff END) / 100 AS diff_lo,
-           MAX(CASE WHEN rk = nv + 1 - CAST(CEIL(0.025 * nv) AS BIGINT)
-               THEN diff END) / 100 AS diff_hi,
-           MAX(CASE WHEN rk = CAST(CEIL(0.025 * nv) AS BIGINT)
-               THEN diff END) <= 0
-             AND MAX(CASE WHEN rk = nv + 1 - CAST(CEIL(0.025 * nv) AS BIGINT)
-                 THEN diff END) >= 0 AS covers_zero
+           {_BS_LO} / 100 AS diff_lo,
+           {_BS_HI} / 100 AS diff_hi,
+           {_BS_LO} <= 0 AND {_BS_HI} >= 0 AS covers_zero
     FROM ranked CROSS JOIN obs
-    GROUP BY nv, n_users, os1, on1, os0, on0
+    GROUP BY nv, {", ".join(_RS_OBS_KEYS)}
 """
 
 
 @query(
     "ml_bootstrap_poisson_ci",
-    oracle=_BS_SQL.replace("__EVENTS__", "events").replace(
-        "__SERIES__", _RS_SERIES_DUCK
-    ),
+    oracle=_BS_ORACLE,
     note=f"Poisson-bootstrap 95% CI for the arm mean-spend difference — "
     "THE bootstrap that works at 100 TB: instead of materializing B "
     "resample tables (an index join per replicate), each user gets a "
@@ -381,17 +443,49 @@ _BS_SQL = f"""
     f"{_RS_B} POST-AGG rows (plan-audit allowlisted, bounded by the "
     "replicate constant, not data size). Replicates with an "
     "empty-weight arm drop out identically in both engines before "
-    "ranking. Scale: one fact scan to user grain; the expansion is "
-    "broadcast-NLJ vs a 200-row series with per-(b) map-side combine "
-    "(B*4 shuffled cells); ranking input is B rows.",
+    "ranking. Scale: ONE fact scan to a CHECKPOINTED user-grain "
+    "frame; the expansion is a map-side explode of a literal "
+    "sequence with per-(b) map-side combine (B*4 shuffled cells); "
+    "ranking input is B rows.",
 )
 def ml_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
     e = T(spark, sf_dir, "events")
-    return spark.sql(
-        _BS_SQL.replace("__EVENTS__", "{e}").replace(
-            "__SERIES__", _RS_SERIES_SPARK
-        ),
-        e=e,
+    pu = spark.sql(
+        _RS_PU.replace("__EVENTS__", "{e}"), e=e
+    ).localCheckpoint(eager=False)
+    obs = pu.selectExpr(*_RS_OBS_EXPRS)
+    draws = pu.select(
+        "user_id",
+        "arm",
+        "c",
+        F.explode(F.sequence(F.lit(1), F.lit(_RS_B))).alias("b"),
+    ).selectExpr("b", "arm", "c", f"{_BS_W} AS w")
+    reps = draws.groupBy("b").agg(
+        *[F.expr(e_).alias(a) for e_, a in _BS_REP_PAIRS]
+    )
+    rd = reps.filter("w1 > 0 AND w0 > 0").selectExpr("b", _BS_DIFF)
+    ranked = rd.select(
+        "diff",
+        F.row_number().over(W.orderBy("diff", "b")).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).cast("bigint").alias("nv"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(obs))
+        .groupBy("nv", *_RS_OBS_KEYS)
+        .agg(
+            F.expr(f"{_BS_LO} / 100").alias("diff_lo"),
+            F.expr(f"{_BS_HI} / 100").alias("diff_hi"),
+            F.expr(f"{_BS_LO} <= 0 AND {_BS_HI} >= 0").alias("covers_zero"),
+        )
+        .selectExpr(
+            "nv AS n_reps",
+            f"({_RS_OBS_DIFF}) / 100 AS obs_diff",
+            "diff_lo",
+            "diff_hi",
+            "covers_zero",
+        )
     )
 
 

@@ -37,8 +37,10 @@ _JL_MIN_CN = 1  # candidate floor: pairs sharing >= 1 neighbor
                 # (the block fixture at sf0.001 has no 2-shared
                 # pairs; 42/1.5k/50k rows across the three SFs)
 
+_JL_E0 = _LPA_E0
+
 _JL_SQL = f"""
-    WITH e0 AS ({_LPA_E0}),
+    WITH e0 AS ({_JL_E0}),
     edges AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
     deg AS (SELECT u AS x, CAST(COUNT(*) AS BIGINT) AS d
             FROM edges GROUP BY u),
@@ -89,7 +91,44 @@ _JL_SQL = f"""
 )
 def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
-    return spark.sql(_JL_SQL.replace("__ORDERS__", "{o}"), o=o)
+    # ONE fact scan: the symmetric edge list is checkpointed and feeds
+    # all four consumers (degrees, canonical anti-join side, both wedge
+    # legs) — the shared-CTE SQL form re-inlines the scan per reference
+    # (measured 10 scans / 18 shuffles before this layout).
+    e0 = spark.sql(_JL_E0.replace("__ORDERS__", "{o}"), o=o)
+    edges = (
+        e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    canon = edges.filter("u < v").select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    )
+    e1 = edges.select(F.col("u").alias("ctr"), F.col("v").alias("a"))
+    e2 = edges.select(F.col("u").alias("ctr"), F.col("v").alias("b"))
+    wedges = e1.join(e2, "ctr").filter("a < b").select("a", "b")
+    cn = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common")
+    )
+    cand = cn.join(canon, ["a", "b"], "left_anti").filter(
+        F.col("n_common") >= _JL_MIN_CN
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("deg_u"))
+    db = deg.select(F.col("u").alias("b"), F.col("d").alias("deg_w"))
+    return (
+        cand.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .selectExpr(
+            "a AS u",
+            "b AS w",
+            "n_common",
+            "deg_u",
+            "deg_w",
+            "CAST(n_common AS DOUBLE) / (deg_u + deg_w - n_common)"
+            " AS jaccard",
+        )
+    )
 
 
 # --- ml_auc_delong_ci --------------------------------------------------------
@@ -220,25 +259,42 @@ _ESD_S0 = f"""
 """
 
 
+_ESD_MOM_EXPRS = [
+    "CAST(COUNT(*) AS BIGINT) AS n",
+    "CAST(SUM(c) AS BIGINT) AS s",
+    "CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS q",
+]
+_ESD_DEV = "ABS(CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / n) AS dev"
+_ESD_SD = (
+    "CASE WHEN n > 2"
+    " AND CAST(CAST(n AS DECIMAL(38,0)) * q"
+    " - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE) > 0"
+    " THEN SQRT(CAST(CAST(n AS DECIMAL(38,0)) * q"
+    " - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * (n - 1)))"
+    " END AS sd"
+)
+_ESD_FLAG = (
+    f"CASE WHEN r_stat IS NULL THEN FALSE"
+    f" ELSE r_stat > CAST({_ESD_LAMBDA} AS DOUBLE) END AS flagged"
+)
+
+
+def _esd_out_exprs(i: int) -> list[str]:
+    return [
+        f"{i} AS round",
+        "day",
+        "CAST(c AS DOUBLE) / 100 AS value",
+        "dev / sd AS r_stat",
+    ]
+
+
 def _esd_round(i: int) -> str:
     p = f"s{i - 1}"
     return f"""
-    m{i} AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(c) AS BIGINT) AS s,
-             CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS q
-      FROM {p}
-    ),
+    m{i} AS (SELECT {", ".join(_ESD_MOM_EXPRS)} FROM {p}),
     z{i} AS (
-      SELECT day, c,
-             ABS(CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / n) AS dev,
-             CASE WHEN n > 2
-                   AND CAST(CAST(n AS DECIMAL(38,0)) * q
-                            - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE) > 0
-                  THEN SQRT(CAST(CAST(n AS DECIMAL(38,0)) * q
-                                 - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)
-                            / (CAST(n AS DOUBLE) * (n - 1)))
-             END AS sd
+      SELECT day, c, {_ESD_DEV}, {_ESD_SD}
       FROM {p} CROSS JOIN m{i}
     ),
     f{i} AS (
@@ -247,8 +303,7 @@ def _esd_round(i: int) -> str:
       FROM z{i}
     ),
     o{i} AS (
-      SELECT {i} AS round, day, CAST(c AS DOUBLE) / 100 AS value,
-             dev / sd AS r_stat
+      SELECT {", ".join(_esd_out_exprs(i))}
       FROM f{i} WHERE rk = 1
     ),
     s{i} AS (SELECT day, c FROM f{i} WHERE rk > 1)"""
@@ -257,9 +312,7 @@ def _esd_round(i: int) -> str:
 _ESD_SQL = f"""
     WITH s0 AS ({_ESD_S0}),
     {",".join(_esd_round(i) for i in range(1, _ESD_ROUNDS + 1))}
-    SELECT round, day, value, r_stat,
-           CASE WHEN r_stat IS NULL THEN FALSE
-                ELSE r_stat > CAST({_ESD_LAMBDA} AS DOUBLE) END AS flagged
+    SELECT round, day, value, r_stat, {_ESD_FLAG}
     FROM (SELECT * FROM o1 UNION ALL SELECT * FROM o2
           UNION ALL SELECT * FROM o3) u
 """
@@ -289,8 +342,31 @@ _ESD_SQL = f"""
     "a_changepoint_binseg's daily-series windows).",
 )
 def a_esd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
     e = T(spark, sf_dir, "events")
-    return spark.sql(_ESD_SQL.replace("__EVENTS__", "{e}"), e=e)
+    # ONE fact scan: the daily frame is checkpointed and each round
+    # chains on the previous round's checkpointed survivor frame — the
+    # unrolled-CTE form re-inlines the fact scan per CTE reference
+    # (measured 14 scans before this layout).
+    cur = spark.sql(
+        _ESD_S0.replace("__EVENTS__", "{e}"), e=e
+    ).localCheckpoint(eager=False)
+    outs = []
+    for i in range(1, _ESD_ROUNDS + 1):
+        m = cur.selectExpr(*_ESD_MOM_EXPRS)
+        z = cur.crossJoin(F.broadcast(m)).selectExpr(
+            "day", "c", _ESD_DEV, _ESD_SD
+        )
+        f = z.withColumn(
+            "rk", F.row_number().over(W.orderBy(F.desc("dev"), "day"))
+        ).localCheckpoint(eager=False)
+        outs.append(f.filter("rk = 1").selectExpr(*_esd_out_exprs(i)))
+        cur = f.filter("rk > 1").select("day", "c")
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.selectExpr("round", "day", "value", "r_stat", _ESD_FLAG)
 
 
 # --- llm_sample_reservoir ----------------------------------------------------
