@@ -52,11 +52,35 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalesces post-shuffle partitions by BYTES; the default
+        # 1 MB floor collapses small-bytes/high-CPU stages (similarity
+        # verify joins, LSH band joins over hashed keys) to ONE task.
+        # A 64 KB floor keeps those stages parallel while remaining
+        # irrelevant to any shuffle whose bytes are at real scale
+        # (>= ~2 MB total at 32-way). Env-overridable for cluster runs.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("BANKSY_AQE_MIN_PARTITION_SIZE", "64KB"),
+        )
         # let AQE re-plan downstream of persisted frames (iterative ops:
         # connected components, IVF centroid loops keep cached inputs);
         # default false pins cached-plan output partitioning and leaves
         # 3x32-partition union stages unoalesced over tiny graphs
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        # Prefer shuffled-hash join over sort-merge when a side fits the
+        # per-partition build budget (guide §3.1/§9): skips both sorts.
+        # The planner's size conditions still gate it, so a build side
+        # that cannot fit per-partition falls back to SMJ; AQE can also
+        # rewrite SMJ→SHJ at runtime under the local-map threshold.
+        # Env-overridable for clusters that want the always-spills-SMJ.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("BANKSY_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("BANKSY_SHJ_LOCALMAP_THRESHOLD", "64MB"),
+        )
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from banksy_spark.suite.llm import _POLY_DUCK, _POLY_SPARK
-from banksy_spark.suite.registry import T, query
+from banksy_spark.suite.registry import T, fan_out, query
 
 # --- Span-level exact dedup (C4-style) -------------------------------------
 
@@ -123,10 +123,14 @@ _NGRAM_N = 13
     "join input minimal.",
 )
 def llm_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id",
-        (F.expr(_POLY_SPARK.format(s="text")) % 100).alias("bucket"),
-        F.split("text", " ").alias("w"),
+    # fan_out: char-level content hash + gram build on a single-task
+    # scan without it (r13 opt).
+    d = fan_out(
+        T(spark, sf_dir, "documents").select(
+            "doc_id",
+            (F.expr(_POLY_SPARK.format(s="text")) % 100).alias("bucket"),
+            F.split("text", " ").alias("w"),
+        )
     )
     g = d.select(
         "doc_id",
@@ -224,8 +228,12 @@ _BM25_Q_DUCK = " UNION ALL ".join(
     "per-query window over only the docs containing a query term.",
 )
 def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("w")
+    # fan_out: token explode feeds stats + tf branches from a
+    # single-task scan without it (r13 opt).
+    d = fan_out(
+        T(spark, sf_dir, "documents").select(
+            "doc_id", F.split("text", " ").alias("w")
+        )
     )
     stats = d.agg(
         F.count("*").alias("n_docs"),
@@ -1282,11 +1290,15 @@ def o_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "accumulation-order hazard).",
 )
 def a_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = T(spark, sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("flag"),
-        F.col("l_extendedprice").alias("x"),
-        "l_orderkey",
-        "l_linenumber",
+    # fan_out: both rank passes and the checkpoint re-read the fact;
+    # the single-row-group scan is one task (r13 opt).
+    li = fan_out(
+        T(spark, sf_dir, "lineitem").select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("x"),
+            "l_orderkey",
+            "l_linenumber",
+        )
     )
     from banksy_spark.operators.ordinals import grouped_ordinals
 

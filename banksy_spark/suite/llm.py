@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from banksy_spark.suite.registry import T, query
+from banksy_spark.suite.registry import T, fan_out, query
 
 P = 1_000_000_007
 MINHASH_A = [3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59]
@@ -344,7 +344,11 @@ def _lsh_sigs(spark: SparkSession, sf_dir: str, with_hs: bool) -> DataFrame:
     re-hashes every document 3× (4 parquet scans in the physical plan,
     measured). At cluster scale this is "write sigs to a table";
     locally, persist() is the same cut."""
-    return sigs_from_docs(T(spark, sf_dir, "documents"), with_hs=with_hs).persist()
+    # fan_out: MinHash(16) + shingle hashing is the CPU wall; a
+    # single-file documents scan would compute it on one core (r13 opt).
+    return sigs_from_docs(
+        fan_out(T(spark, sf_dir, "documents")), with_hs=with_hs
+    ).persist()
 
 
 def sigs_from_docs(docs: DataFrame, with_hs: bool = False) -> DataFrame:
@@ -546,8 +550,11 @@ _NORM_DUCK = "sqrt(list_reduce([{v}[i] * {v}[i] for i in generate_series(1, len(
     "the scan stays narrow (vec_id, embedding).",
 )
 def llm_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = T(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    # fan_out: per-row vector math on a single-file scan (r13 opt).
+    e = fan_out(
+        T(spark, sf_dir, "embeddings").select(
+            "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+        )
     )
     n = e.withColumn("nrm", F.expr(_NORM_SPARK.format(v="v")))
     q = (
@@ -593,8 +600,11 @@ def llm_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is the join key; recall traded for candidate-set size.",
 )
 def llm_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = T(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    # fan_out: per-row vector math on a single-file scan (r13 opt).
+    e = fan_out(
+        T(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+        )
     )
     bucket = (
         F.when(F.element_at("v", 1) > 0, 4).otherwise(0)
@@ -637,8 +647,11 @@ def llm_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(cluster id) — the all-pairs comparison never leaves a bucket.",
 )
 def llm_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = T(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    # fan_out: per-row vector math on a single-file scan (r13 opt).
+    e = fan_out(
+        T(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+        )
     )
     n = e.withColumn("nrm", F.expr(_NORM_SPARK.format(v="v")))
     a = n.select(
@@ -897,8 +910,11 @@ def ivf_parts(
     vectors, per-label centroids with norms, and every vector assigned
     to its nearest centroid cell. Used by llm_ann_ivf (nprobe=1) and
     the multiprobe variant in llm_extra."""
-    e = T(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    # fan_out: per-row vector math on a single-file scan (r13 opt).
+    e = fan_out(
+        T(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+        )
     )
     n = e.withColumn("nrm", F.expr(_NORM_SPARK.format(v="v"))).persist()
 

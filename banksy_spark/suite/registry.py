@@ -71,6 +71,33 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Scale-adaptive parallelism floor for CPU-heavy per-row work.
+
+    A small parquet file scans as ONE partition (sf0.1's documents table
+    is a single 594 KB file → 1 task), so expression-heavy pipelines —
+    shingling, MinHash, deletion neighborhoods, frame decoding — run on
+    one core of the machine. This round-robin-repartitions the frame up
+    to the session's default parallelism, but ONLY when the frame has
+    fewer partitions than that: a real-scale scan (thousands of splits)
+    makes it a provable no-op, so nothing here is tuned to local mode.
+    Apply it between a scan and heavy per-row expressions; never before
+    a plain aggregate (it would shuffle raw rows the partial agg would
+    otherwise collapse map-side).
+
+    The shuffle it inserts moves only the columns the downstream plan
+    needs (Catalyst prunes through Repartition) and is deterministic
+    (sortBeforeRepartition is on by default; no suite query depends on
+    row order or partition ids — grep-verified, oracle hashes are order-
+    insensitive).
+    """
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def query(name: str, oracle: str | None = None, note: str = ""):
     """Register a suite query. ``oracle`` is DuckDB SQL over the
     pre-registered testdata views, or None for non-SQL-expressible ops."""

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from banksy_spark.suite.registry import T, query
+from banksy_spark.suite.registry import T, fan_out, query
 
 
 @query(
@@ -178,8 +178,10 @@ def stream_markov_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     "verification.",
 )
 def llm_dedup_containment_g5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("w")
+    d = fan_out(
+        T(spark, sf_dir, "documents").select(
+            "doc_id", F.split("text", " ").alias("w")
+        )
     )
     sh = (
         d.select(

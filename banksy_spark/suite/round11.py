@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from banksy_spark.suite.registry import T, query
+from banksy_spark.suite.registry import T, fan_out, query
 
 _FILE_ROWS = 2048  # synthetic file grain: ~one ingestion batch per 2048 keys
 _KEY_LO, _KEY_HI = 10_000, 14_000
@@ -190,8 +190,12 @@ def llm_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from banksy_spark.suite.llm import binary_payload
 
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id", binary_payload().alias("payload")
+    # fan_out: the frame-energy fold is pure CPU over exploded frames;
+    # a single-file scan would run the whole decode on one core (r13 opt).
+    d = fan_out(
+        T(spark, sf_dir, "documents").select(
+            "doc_id", binary_payload().alias("payload")
+        )
     )
     frames = d.withColumn("n", F.octet_length("payload")).select(
         "doc_id",

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from banksy_spark.suite.llm import _POLY_DUCK, _POLY_SPARK
-from banksy_spark.suite.registry import T, query
+from banksy_spark.suite.registry import T, fan_out, query
 
 # --- TPC-H Q2-shaped correlated argmin, window-decorrelated ----------------
 

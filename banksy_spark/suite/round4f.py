@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from banksy_spark.suite.registry import T, query
+from banksy_spark.suite.registry import T, fan_out, query
 
 # --- Trailing 7-day distinct active users ----------------------------------
 
@@ -84,8 +84,11 @@ def a_rolling_dau_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
-    t = d.select("doc_id", "source", F.split("text", " ").alias("toks")).filter(
-        F.size("toks") >= 3
+    # fan_out: 3-gram explode on a single-task scan without it (r13 opt).
+    t = fan_out(
+        d.select("doc_id", "source", F.split("text", " ").alias("toks")).filter(
+            F.size("toks") >= 3
+        )
     )
     g = t.select(
         "doc_id",

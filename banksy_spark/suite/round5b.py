@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from banksy_spark.suite.registry import T, query
+from banksy_spark.suite.registry import T, fan_out, query
 
 def _rev_spark() -> F.Column:
     """Revenue term: 2dp price × 2dp (1-discount) = exact 4dp decimal.

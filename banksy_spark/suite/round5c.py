@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from banksy_spark.suite.registry import T, query
+from banksy_spark.suite.registry import T, fan_out, query
 
 # --- exact set-similarity join via prefix filtering ------------------------
 
@@ -35,7 +35,9 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id → distinct 3-gram word-shingle strings (the element
     universe the LSH family also uses — single words are stop-tokens
     on this corpus)."""
-    d = T(spark, sf_dir, "documents").select(
+    # fan_out: the shingle transform is the CPU wall of the similarity
+    # joins; a single-file scan would run it on one core (r13 opt).
+    d = fan_out(T(spark, sf_dir, "documents")).select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     ).filter(F.size("toks") >= 3)
     sh = F.array_distinct(
@@ -179,7 +181,9 @@ def j_similarity_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the deleted position, never by corpus size.",
 )
 def j_fuzzy_edit1_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # fan_out: deletion-neighborhood explode + levenshtein verify are
+    # CPU-bound; the single-file customer scan is 1 task (r13 opt).
+    c = fan_out(T(spark, sf_dir, "customer").select("c_custkey", "c_name"))
     # keys: the name itself + every single-deletion variant
     keys = c.select(
         "c_custkey",

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from banksy_spark.operators.ordinals import global_ordinals
 from banksy_spark.suite.llm import _DOT_DUCK, _DOT_SPARK, _NORM_DUCK, _NORM_SPARK, _POLY_DUCK, _POLY_SPARK
-from banksy_spark.suite.registry import T, query
+from banksy_spark.suite.registry import T, fan_out, query
 
 # --- SemDeDup: cluster-blocked embedding dedup ------------------------------
 
@@ -93,8 +93,12 @@ _SEM_TAU = 0.375  # exactly representable (3/8); drops ~23% at sf0.1
     "(tools/bench_semdedup.py records the counterfactual vs fixed K).",
 )
 def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = T(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    # fan_out: the n×K centroid dot products run right on top of the
+    # scan; a single-file scan would compute them on one core (r13 opt).
+    e = fan_out(
+        T(spark, sf_dir, "embeddings").select(
+            "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+        )
     )
     n = e.withColumn("nrm", F.expr(_NORM_SPARK.format(v="v")))
     # K = greatest(8, n/1000) — same formula the oracle computes in SQL.

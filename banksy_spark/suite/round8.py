@@ -39,7 +39,7 @@ from banksy_spark.suite.llm import (
     _NORM_DUCK,
     _NORM_SPARK,
 )
-from banksy_spark.suite.registry import T, query
+from banksy_spark.suite.registry import T, fan_out, query
 
 _IVF_K = 16  # inverted lists; >= the 8-cell closed-form variant
 _IVF_TOPK = 3
@@ -431,8 +431,10 @@ def ml_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(k buckets/doc, same plan shape, recall up, still linear).",
 )
 def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("w")
+    d = fan_out(
+        T(spark, sf_dir, "documents").select(
+            "doc_id", F.split("text", " ").alias("w")
+        )
     )
     sh = (
         d.select(
@@ -526,8 +528,10 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "turns (llm_ann_ivf_multiprobe).",
 )
 def llm_dedup_containment_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("w")
+    d = fan_out(
+        T(spark, sf_dir, "documents").select(
+            "doc_id", F.split("text", " ").alias("w")
+        )
     )
     sh = (
         d.select(

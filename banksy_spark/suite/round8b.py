@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from banksy_spark.suite.llm import _CENT_DUCK, _DOT_DUCK, _NORM_DUCK
-from banksy_spark.suite.registry import T, query
+from banksy_spark.suite.registry import T, fan_out, query
 
 # Cramer's rule for the 3x3 normal equations [[n,s1,s2],[s1,s11,s12],
 # [s2,s12,s22]] @ (b0,b1,b2) = (sy,s1y,s2y).  The SAME text is used as
@@ -102,8 +102,12 @@ _BETA = f"({_F64.format(x='{num}')} / {_F64.format(x=_DET)})"
     "O(k^2) sum columns in the SAME single pass, never another scan.",
 )
 def ml_linreg_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = T(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_discount", "l_quantity", "l_extendedprice"
+    # fan_out: nine DECIMAL(38) product-sums per row are the CPU wall,
+    # and the single-row-group fact scans as one task (r13 opt).
+    li = fan_out(
+        T(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_discount", "l_quantity", "l_extendedprice"
+        )
     )
     pt = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
     dec = "decimal(38,0)"
@@ -678,6 +682,11 @@ def ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         # same materialize-once rule as a_theil_sen_monthly's directory
         .localCheckpoint()
     )
+    # fan_out: the probe side is a few thousand directory rows in ONE
+    # coalesced partition, but the broadcast pair join fans each row
+    # out ~|days| ways — partitioning must scale with the OUTPUT of
+    # the join, not its input (r13 opt).
+    daily = fan_out(daily)
     a = daily.select(
         "brand", F.col("day").alias("d1"), F.col("x").alias("x1"),
         F.col("y").alias("y1"),
@@ -906,8 +915,11 @@ _BLEU2 = (
     "the pairing window is keyed by lang.",
 )
 def llm_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.split("text", " ").alias("w")
+    # fan_out: gram explode + histogram build is the CPU wall (r13 opt).
+    d = fan_out(
+        T(spark, sf_dir, "documents").select(
+            "doc_id", "lang", F.split("text", " ").alias("w")
+        )
     )
     # consecutive-by-lang pairing WITHOUT a lang-partitioned window
     # (languages are FEW huge groups — a plain lead() window sorts each

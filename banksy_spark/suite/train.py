@@ -23,7 +23,7 @@ from banksy_spark.suite.llm import (
     _lsh_sigs,
     _minhash_sql_parts,
 )
-from banksy_spark.suite.registry import T, query
+from banksy_spark.suite.registry import T, fan_out, query
 
 # --- RAG-style overlapping context chunking --------------------------------
 
@@ -265,7 +265,9 @@ _DSIR_TARGET = "en"
     "per-doc aggregate — exactly how DSIR runs over a 100 TB corpus.",
 )
 def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = T(spark, sf_dir, "documents").withColumn(
+    # fan_out: bigram hash explode runs 4x (raw/target/total/score
+    # branches) on a single-task scan without it (r13 opt).
+    d = fan_out(T(spark, sf_dir, "documents")).withColumn(
         "th", F.expr(f"transform(split(text, ' '), t -> {_POLY_SPARK.format(s='t')})")
     )
     feat = d.select(
@@ -495,9 +497,15 @@ def llm_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hashes (h1 or (h1,h2)) — the standard shuffle-join LM-scoring layout.",
 )
 def llm_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tk = T(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.expr(f"transform(split(text, ' '), t -> {_POLY_SPARK.format(s='t')})").alias("th"),
+    # fan_out: token-hash transform + bigram explode feed three branches
+    # from a single-task scan without it (r13 opt).
+    tk = fan_out(
+        T(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.expr(
+                f"transform(split(text, ' '), t -> {_POLY_SPARK.format(s='t')})"
+            ).alias("th"),
+        )
     )
     dbg = tk.select(
         "doc_id",
