@@ -52,16 +52,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # AQE coalesces post-shuffle partitions by BYTES; the default
-        # 1 MB floor collapses small-bytes/high-CPU stages (similarity
-        # verify joins, LSH band joins over hashed keys) to ONE task.
-        # A 64 KB floor keeps those stages parallel while remaining
-        # irrelevant to any shuffle whose bytes are at real scale
-        # (>= ~2 MB total at 32-way). Env-overridable for cluster runs.
-        .config(
-            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("BANKSY_AQE_MIN_PARTITION_SIZE", "64KB"),
-        )
+        # NOTE (r13 opt): a 64 KB coalescePartitions.minPartitionSize
+        # was trialed to keep small-bytes/high-CPU shuffles parallel and
+        # REVERTED: the interleaved A/B measured it costing more across
+        # multi-stage queries (graph_pagerank 3.97→5.73 s, containment
+        # 1.66→2.27 s — many more tiny tasks per AQE stage) than it
+        # saved; the fan_out operator below captures the parallelism
+        # wins without inflating every stage's task count.
         # let AQE re-plan downstream of persisted frames (iterative ops:
         # connected components, IVF centroid loops keep cached inputs);
         # default false pins cached-plan output partitioning and leaves

@@ -228,12 +228,12 @@ _BM25_Q_DUCK = " UNION ALL ".join(
     "per-query window over only the docs containing a query term.",
 )
 def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fan_out: token explode feeds stats + tf branches from a
-    # single-task scan without it (r13 opt).
-    d = fan_out(
-        T(spark, sf_dir, "documents").select(
-            "doc_id", F.split("text", " ").alias("w")
-        )
+    # r13 opt note: fan_out was trialed here and REVERTED — tf groups
+    # on near-unique (doc_id, term) keys, so the partial agg cannot
+    # collapse rows and the added round-robin exchange of raw token
+    # arrays was pure cost (measured 0.78 -> 1.43 s).
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
     )
     stats = d.agg(
         F.count("*").alias("n_docs"),
@@ -1290,15 +1290,15 @@ def o_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "accumulation-order hazard).",
 )
 def a_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fan_out: both rank passes and the checkpoint re-read the fact;
-    # the single-row-group scan is one task (r13 opt).
-    li = fan_out(
-        T(spark, sf_dir, "lineitem").select(
-            F.col("l_returnflag").alias("flag"),
-            F.col("l_extendedprice").alias("x"),
-            "l_orderkey",
-            "l_linenumber",
-        )
+    # r13 opt note: fan_out was trialed here and REVERTED — the
+    # grouped_ordinals sketch/directory driver jobs each rebuild the
+    # plan, so the inserted repartition shuffle re-ran per pass
+    # (measured 1.98 -> 3.64 s).
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("x"),
+        "l_orderkey",
+        "l_linenumber",
     )
     from banksy_spark.operators.ordinals import grouped_ordinals
 

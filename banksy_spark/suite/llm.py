@@ -550,11 +550,8 @@ _NORM_DUCK = "sqrt(list_reduce([{v}[i] * {v}[i] for i in generate_series(1, len(
     "the scan stays narrow (vec_id, embedding).",
 )
 def llm_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fan_out: per-row vector math on a single-file scan (r13 opt).
-    e = fan_out(
-        T(spark, sf_dir, "embeddings").select(
-            "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
-        )
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
     )
     n = e.withColumn("nrm", F.expr(_NORM_SPARK.format(v="v")))
     q = (
@@ -600,11 +597,8 @@ def llm_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is the join key; recall traded for candidate-set size.",
 )
 def llm_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fan_out: per-row vector math on a single-file scan (r13 opt).
-    e = fan_out(
-        T(spark, sf_dir, "embeddings").select(
-            "vec_id", "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
-        )
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
     )
     bucket = (
         F.when(F.element_at("v", 1) > 0, 4).otherwise(0)
@@ -647,11 +641,8 @@ def llm_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(cluster id) — the all-pairs comparison never leaves a bucket.",
 )
 def llm_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fan_out: per-row vector math on a single-file scan (r13 opt).
-    e = fan_out(
-        T(spark, sf_dir, "embeddings").select(
-            "vec_id", "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
-        )
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
     )
     n = e.withColumn("nrm", F.expr(_NORM_SPARK.format(v="v")))
     a = n.select(
@@ -910,11 +901,8 @@ def ivf_parts(
     vectors, per-label centroids with norms, and every vector assigned
     to its nearest centroid cell. Used by llm_ann_ivf (nprobe=1) and
     the multiprobe variant in llm_extra."""
-    # fan_out: per-row vector math on a single-file scan (r13 opt).
-    e = fan_out(
-        T(spark, sf_dir, "embeddings").select(
-            "vec_id", "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
-        )
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
     )
     n = e.withColumn("nrm", F.expr(_NORM_SPARK.format(v="v"))).persist()
 

@@ -194,6 +194,11 @@ def llm_dedup_containment_g5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.md5(F.col("s").cast("binary")).alias("h"))
         .distinct()
+        # persist: the shingle table feeds FOUR consumers (sz, mk, and
+        # both verify sides) — unpersisted, the explode+md5+distinct
+        # pipeline executed four times per run (r13 opt; same
+        # write-sigs-to-a-table posture as llm._lsh_sigs at 100 TB).
+        .persist()
     )
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     mk = sh.groupBy("doc_id").agg(F.min("h").alias("mk"))

@@ -851,6 +851,10 @@ def w_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ad-hoc queries.",
 )
 def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 opt note: fan_out was trialed here and REVERTED — the
+    # count-distinct's first phase groups on a near-unique key, so the
+    # extra raw-row exchange outweighed the map parallelism gain
+    # (measured 1.82 -> 2.96 s).
     li = T(spark, sf_dir, "lineitem")
     o = T(spark, sf_dir, "orders").select("o_orderkey")
     key = F.concat_ws("-", "l_orderkey", "l_linenumber", "l_extendedprice")
@@ -2064,7 +2068,13 @@ def a_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pattern without self-joining the fact table.",
 )
 def a_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = T(spark, sf_dir, "lineitem")
+    # fan_out: the broadcast join keeps the fact on the scan's single
+    # real task; DECIMAL revenue products then ran serially (r13 opt).
+    li = fan_out(
+        T(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_extendedprice", "l_discount", "l_shipdate"
+        )
+    )
     p = T(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1.0) - F.col("l_discount")

@@ -82,8 +82,16 @@ def _dd(col: str) -> F.Column:
     "parquet footer.",
 )
 def a_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = T(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate").cast("date") <= F.lit("2001-09-02").cast("date")
+    # fan_out: six DECIMAL measure sums over the single-row-group fact
+    # ran map-side on one real task (r13 opt; filter still pushes to
+    # the scan below the repartition).
+    li = fan_out(
+        T(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        )
+        .filter(F.col("l_shipdate").cast("date") <= F.lit("2001-09-02").cast("date"))
     )
     charge = _rev_spark() * (F.lit(1.0) + F.col("l_tax")).cast("decimal(5,2)")
     agg = li.groupBy("l_returnflag", "l_linestatus").agg(

@@ -131,15 +131,26 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # output — persist so the scan + centroid fan-out + argmax agg run
     # once, not three times (at 100 TB that's one corpus pass vs three)
     m = assigned.join(n, "vec_id").persist()  # vec_id, cluster, v, nrm
+    # r13 opt: when K < cores (only at small corpus sizes — K scales
+    # with n), the cluster-keyed pair join lands on K partitions and
+    # the measured 2.8 s of pairwise dot products ran on ONE task.
+    # Salt the a-side by a_id mod P and replicate the b-side P ways,
+    # P = cores/K; at real scale K >> cores gives P = 1 — the identical
+    # plan — so nothing here is tuned to local mode. The generated pair
+    # set is unchanged (every (cluster, a, b) meets exactly once, at
+    # salt = a_id mod P).
+    p_rep = max(1, spark.sparkContext.defaultParallelism // max(k, 1))
     a = m.select(
         "cluster", F.col("vec_id").alias("a_id"), F.col("v").alias("av"), F.col("nrm").alias("an")
-    )
+    ).withColumn("_salt", F.pmod(F.col("a_id"), F.lit(p_rep)).cast("int"))
     b = m.select(
         "cluster", F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), F.col("nrm").alias("bn")
+    ).withColumn("_salt", F.explode(F.expr(f"sequence(0, {p_rep - 1})"))).withColumn(
+        "_salt", F.col("_salt").cast("int")
     )
     pair_cos = F.expr(_DOT_SPARK.format(a="av", b="bv")) / (F.col("an") * F.col("bn"))
     dropped = (
-        a.join(b, "cluster")
+        a.join(b, ["cluster", "_salt"])
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(pair_cos >= _SEM_TAU)
         .select(F.col("b_id").alias("vec_id"))

@@ -915,11 +915,11 @@ _BLEU2 = (
     "the pairing window is keyed by lang.",
 )
 def llm_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fan_out: gram explode + histogram build is the CPU wall (r13 opt).
-    d = fan_out(
-        T(spark, sf_dir, "documents").select(
-            "doc_id", "lang", F.split("text", " ").alias("w")
-        )
+    # r13 opt note: fan_out was trialed here and REVERTED — the gram
+    # histograms group on near-unique (doc_id, gram) keys, so the
+    # added raw-array exchange was pure cost (measured 2.01 -> 2.82 s).
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("w")
     )
     # consecutive-by-lang pairing WITHOUT a lang-partitioned window
     # (languages are FEW huge groups — a plain lead() window sorts each
@@ -1538,8 +1538,10 @@ _NEY_ROWS = ", ".join(
 def a_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").cast(dec)
+    # fan_out: DECIMAL(38) square-sums over the single-row-group fact
+    # scan ran on effectively one task (r13 opt).
     mom = (
-        T(spark, sf_dir, "lineitem")
+        fan_out(T(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice"))
         .groupBy(F.col("l_returnflag").alias("flag"))
         .agg(
             F.count(F.lit(1)).cast(dec).alias("n"),
@@ -1554,9 +1556,54 @@ def a_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in ("n", "s", "q")
         ]
     )
+    # r13 opt: the textual macro expansion of _NEY_ALLOC produced a
+    # ~38 KB SQL expression (each remainder re-inlines the share, which
+    # re-inlines the 3-stratum weight total) that cost ~5 s of parse +
+    # analysis per run. Naming each intermediate as a column keeps the
+    # IEEE operation order identical term for term — s_h, w, share,
+    # floor, remainder, leftover and rank are the same left-to-right
+    # expressions — so the values (and the oracle hash) are unchanged,
+    # while the expression tree shrinks ~300x.
+    for x in "anr":
+        piv = piv.withColumn(f"sh_{x}", F.expr(_NEY_S.format(X=x)))
+        piv = piv.withColumn(
+            f"w_{x}",
+            F.expr(f"CAST(CAST(n{x} AS STRING) AS DOUBLE)") * F.col(f"sh_{x}"),
+        )
+    piv = piv.withColumn("wtot", F.col("w_a") + F.col("w_n") + F.col("w_r"))
+    for x in "anr":
+        piv = piv.withColumn(
+            f"share_{x}", F.lit(_NEY_BUDGET) * F.col(f"w_{x}") / F.col("wtot")
+        )
+        piv = piv.withColumn(
+            f"base_{x}", F.floor(F.col(f"share_{x}")).cast("bigint")
+        )
+        piv = piv.withColumn(
+            f"rem_{x}", F.col(f"share_{x}") - F.floor(F.col(f"share_{x}"))
+        )
+    piv = piv.withColumn(
+        "left_",
+        F.lit(_NEY_BUDGET) - F.col("base_a") - F.col("base_n") - F.col("base_r"),
+    )
+    for x in "anr":
+        others = [y for y in "anr" if y != x]
+        rank = None
+        for y in others:
+            tie = F.lit(1) if y < x else F.lit(0)
+            term = F.when(
+                (F.col(f"rem_{y}") > F.col(f"rem_{x}"))
+                | ((F.col(f"rem_{y}") == F.col(f"rem_{x}")) & (tie == 1)),
+                1,
+            ).otherwise(0)
+            rank = term if rank is None else rank + term
+        piv = piv.withColumn(
+            f"alloc_{x}",
+            F.col(f"base_{x}")
+            + F.when(rank < F.col("left_"), 1).otherwise(0).cast("bigint"),
+        )
     rows = ", ".join(
         f"struct('{flag}' AS flag, CAST(n{x} AS BIGINT) AS n_pop, "
-        f"{_NEY_S.format(X=x)} AS s_h, CAST({_NEY_ALLOC[x]} AS BIGINT) AS alloc)"
+        f"sh_{x} AS s_h, CAST(alloc_{x} AS BIGINT) AS alloc)"
         for flag, x in (("A", "a"), ("N", "n"), ("R", "r"))
     )
     return piv.select(

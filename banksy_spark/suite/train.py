@@ -497,15 +497,12 @@ def llm_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hashes (h1 or (h1,h2)) — the standard shuffle-join LM-scoring layout.",
 )
 def llm_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fan_out: token-hash transform + bigram explode feed three branches
-    # from a single-task scan without it (r13 opt).
-    tk = fan_out(
-        T(spark, sf_dir, "documents").select(
-            "doc_id",
-            F.expr(
-                f"transform(split(text, ' '), t -> {_POLY_SPARK.format(s='t')})"
-            ).alias("th"),
-        )
+    # r13 opt note: fan_out was trialed here and REVERTED — c1/c2
+    # group on near-unique token-hash keys, so the added exchange of
+    # raw hash arrays was pure cost (measured 1.02 -> 1.35 s).
+    tk = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"transform(split(text, ' '), t -> {_POLY_SPARK.format(s='t')})").alias("th"),
     )
     dbg = tk.select(
         "doc_id",
