@@ -25,6 +25,19 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _bool_env(name: str, default: str) -> str:
+    """Read a boolean env override, accepting only true/false (any
+    case). Anything else raises immediately with the offending value —
+    passing it through verbatim would only fail later, mid-session-
+    build, with Spark's less pointed config error."""
+    raw = os.environ.get(name, default).strip().lower()
+    if raw not in ("true", "false"):
+        raise ValueError(
+            f"{name} must be 'true' or 'false', got {raw!r}"
+        )
+    return raw
+
+
 def get_spark(
     app_name: str = "banksy_spark",
     master: str | None = None,
@@ -69,10 +82,15 @@ def get_spark(
         # The planner's size conditions still gate it, so a build side
         # that cannot fit per-partition falls back to SMJ; AQE can also
         # rewrite SMJ→SHJ at runtime under the local-map threshold.
-        # Env-overridable for clusters that want the always-spills-SMJ.
+        # TRADEOFF (guide §5): SHJ's per-partition hash build cannot
+        # spill — a skewed or size-underestimated build partition that
+        # passes the planner's gate can OOM where SMJ would have
+        # spilled. BANKSY_PREFER_SMJ=true is the cluster escape hatch;
+        # the value is validated so a typo fails here, not at session
+        # build (r13 ADVICE).
         .config(
             "spark.sql.join.preferSortMergeJoin",
-            os.environ.get("BANKSY_PREFER_SMJ", "false"),
+            _bool_env("BANKSY_PREFER_SMJ", "false"),
         )
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",

@@ -235,24 +235,37 @@ def llm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect the frame into a list, fold acc*0.75 + 0.25*x left-to-right — so "
     "the IEEE operation sequence is identical and results are bit-exact "
     "(DuckDB's list_reduce seeds with the first element, so the oracle prepends "
-    "the 0.0 seed to align with Spark's aggregate()). Scale: one exchange on "
-    "user_id; the fold is partition-local. The frame list grows with per-user "
-    "history — at 100 TB bound it with a trailing ROWS window (EWMA weights "
-    "below ~1e-16 of current are dead weight, so 128 rows is exact to double "
-    "precision).",
+    "the 0.0 seed to align with Spark's fold; every prefix of a left fold IS "
+    "the shorter fold, so one scan per user emitting each intermediate acc "
+    "equals the oracle's per-row prefix folds). Scale: one exchange on "
+    "user_id; the scan is partition-local, O(1) state, linear time. The "
+    "per-user series list grows with history — at 100 TB bound it with a "
+    "trailing ROWS window (EWMA weights below ~1e-16 of current are dead "
+    "weight, so 128 rows is exact to double precision).",
 )
 def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14 opt (guide §4.2, §5): the old form collected an EXPANDING
+    # frame per row (O(n²) list elements per user history) and re-folded
+    # every prefix from scratch (O(n²) flops). One sort + one linear
+    # Arrow scan per user (operators/folds.py) emits the identical
+    # per-prefix values — bit-exact per tests/test_folds.py + the
+    # oracle hash — and explodes back to rows.
+    from banksy_spark.operators.folds import ewma_scan
+
     e = T(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq = e.groupBy("user_id").agg(
+        F.expr("array_sort(collect_list(struct(ts, event_id, value)))").alias("seq")
     )
-    lst = F.collect_list("value").over(w)
-    ewma = F.aggregate(
-        lst, F.lit(0.0), lambda acc, x: acc * F.lit(0.75) + F.lit(0.25) * x
+    ew = ewma_scan(F.expr("transform(seq, x -> x.value)"))
+    z = seq.select(
+        "user_id",
+        F.posexplode(F.arrays_zip(F.col("seq"), ew.alias("ew"))).alias("_i", "z"),
     )
-    return e.select("event_id", "user_id", ewma.alias("ewma"))
+    return z.select(
+        F.col("z.seq.event_id").alias("event_id"),
+        "user_id",
+        F.col("z.ew").alias("ewma"),
+    )
 
 
 # --- Count-min-sketch heavy hitters ----------------------------------------

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from banksy_spark.suite.registry import T, fan_out, query
+from banksy_spark.suite.registry import T, query
 
 # --- TPC-H Q4 shape: order-priority existence count ------------------------
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from banksy_spark.suite.registry import T, fan_out, query
+from banksy_spark.suite.registry import T, query
 
 # --- ABC inventory classification ------------------------------------------
 

@@ -488,25 +488,25 @@ def w_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily, stats = cusum_parts(spark, sf_dir)
     # ONE fold per series, not one per row: collecting an expanding
     # frame per row is O(n^2) list elements (measured 2.4 s at sf0.1);
-    # instead sort the whole series once, run a single running-state
-    # fold that appends each S_t to an accumulator array (identical
-    # IEEE sequence to the oracle's per-row folds — every prefix of a
-    # left fold IS the shorter fold), and explode back to rows.
+    # instead sort the whole series once, run a single linear scan
+    # (identical IEEE sequence to the oracle's per-row folds — every
+    # prefix of a left fold IS the shorter fold), explode back to rows.
     seq = (
         daily.groupBy("pri")
         .agg(F.expr("array_sort(collect_list(struct(day, cents)))").alias("seq"))
         .join(stats, "pri")
     )
-    s_arr = F.expr(
-        "aggregate(seq,"
-        " struct(CAST(array() AS ARRAY<DOUBLE>) AS out, CAST(0 AS DOUBLE) AS acc),"
-        " (st, x) -> struct("
-        "   array_append(st.out,"
-        "     greatest(CAST(0 AS DOUBLE),"
-        "              st.acc + CAST(x.cents AS DOUBLE) - mu - 0.5D * sigma)),"
-        "   greatest(CAST(0 AS DOUBLE),"
-        "            st.acc + CAST(x.cents AS DOUBLE) - mu - 0.5D * sigma)),"
-        " st -> st.out)"
+    # r14 opt (guide §4.2, §5): the aggregate-HOF fold appended every
+    # S_t to an immutable accumulator array — O(n²) copies per series.
+    # The Arrow scan (operators/folds.py) carries O(1) state and
+    # replays the identical IEEE op order (((acc + x) - mu) - 0.5σ,
+    # clamped); bit-exact per tests/test_folds.py + the oracle hash.
+    from banksy_spark.operators.folds import cusum_scan
+
+    s_arr = cusum_scan(
+        F.expr("transform(seq, x -> CAST(x.cents AS DOUBLE))"),
+        F.col("mu"),
+        F.col("sigma"),
     )
     z = seq.select(
         "pri",

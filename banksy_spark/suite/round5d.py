@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from banksy_spark.suite.registry import T, fan_out, query
+from banksy_spark.suite.registry import T, query
 from banksy_spark.suite.round5 import cusum_parts
 
 # --- linear interpolation of sparse values ---------------------------------
@@ -211,9 +211,10 @@ def w_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-priority daily revenue series — the trend-aware upgrade of "
     "w_ewma, initialised l₁=x₁, b₁=0, α=β=0.5 (exactly representable, "
     "so both engines' folds are identical IEEE halving sequences). "
-    "Spark runs ONE running-state fold per series via the JVM aggregate "
-    "HOF appending (l,b) per step (the w_cusum_changepoint shape — no "
-    "O(n²) expanding frames), then explodes back to rows; the oracle "
+    "Spark runs ONE linear-time fold per series (sort once, scan once "
+    "in an Arrow-batched UDF carrying O(1) state — operators/folds.py; "
+    "no O(n²) expanding frames or accumulator copies), then explodes "
+    "back to rows; the oracle "
     "folds each row's expanding prefix, and every prefix of a left fold "
     "IS the shorter fold. forecast_next = l + b is the one-step-ahead "
     "prediction a pipeline alerts on. Scale: one exchange on the series "
@@ -225,29 +226,14 @@ def w_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = daily.groupBy("pri").agg(
         F.expr("array_sort(collect_list(struct(day, cents)))").alias("seq")
     )
-    holt = F.expr(
-        "aggregate(seq,"
-        " struct(CAST(array() AS ARRAY<STRUCT<l: DOUBLE, b: DOUBLE>>) AS out,"
-        "        0 AS t, CAST(0 AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b),"
-        " (st, x) -> struct("
-        "   array_append(st.out, struct("
-        "     CASE WHEN st.t = 0 THEN CAST(x.cents AS DOUBLE)"
-        "          ELSE 0.5D * CAST(x.cents AS DOUBLE) + 0.5D * (st.l + st.b)"
-        "     END AS l,"
-        "     CASE WHEN st.t = 0 THEN CAST(0 AS DOUBLE)"
-        "          ELSE 0.5D * (0.5D * CAST(x.cents AS DOUBLE)"
-        "                       + 0.5D * (st.l + st.b) - st.l) + 0.5D * st.b"
-        "     END AS b)),"
-        "   st.t + 1,"
-        "   CASE WHEN st.t = 0 THEN CAST(x.cents AS DOUBLE)"
-        "        ELSE 0.5D * CAST(x.cents AS DOUBLE) + 0.5D * (st.l + st.b)"
-        "   END,"
-        "   CASE WHEN st.t = 0 THEN CAST(0 AS DOUBLE)"
-        "        ELSE 0.5D * (0.5D * CAST(x.cents AS DOUBLE)"
-        "                     + 0.5D * (st.l + st.b) - st.l) + 0.5D * st.b"
-        "   END),"
-        " st -> st.out)"
-    )
+    # r14 opt (guide §4.2, §5): the aggregate-HOF fold appended every
+    # (l, b) pair to an immutable accumulator array — O(n²) copies per
+    # series. The Arrow scan (operators/folds.py) carries O(1) state
+    # and replays the identical IEEE halving sequence; bit-exact per
+    # tests/test_folds.py + the oracle hash.
+    from banksy_spark.operators.folds import holt_scan
+
+    holt = holt_scan(F.expr("transform(seq, x -> CAST(x.cents AS DOUBLE))"))
     z = seq.select(
         "pri", F.posexplode(F.arrays_zip("seq", holt.alias("hb"))).alias("_i", "z")
     )

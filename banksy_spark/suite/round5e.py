@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from banksy_spark.operators.folds import capped_sessions_scan
 from banksy_spark.suite.registry import T, query
 
 # --- exact rolling median --------------------------------------------------
@@ -217,12 +218,13 @@ _CAP_US = 4 * 3600 * 1_000_000  # 4-hour max session length
     "this a true recurrence: whether this event starts a new session "
     "depends on the running session-start anchor, which its own updates "
     "feed — NOT expressible as lag + running sum (stream_sessionize's "
-    "shape). Spark runs one JVM aggregate-HOF fold per user "
-    "(w_cusum_changepoint pattern: sort once, fold once, explode back); "
-    "the oracle walks a recursive CTE. Integer-µs comparisons, so both "
-    "engines branch identically. Scale: one exchange on user_id, fold "
-    "partition-local; the unbounded-history form is the "
-    "applyInPandasWithState streaming twin shape.",
+    "shape). Spark runs one linear-time fold per user (sort once, scan "
+    "once in an Arrow-batched UDF carrying O(1) state — "
+    "operators/folds.py — explode back); the oracle walks a recursive "
+    "CTE. Integer-µs comparisons, so both engines branch identically. "
+    "Scale: one exchange on user_id, fold partition-local and O(n); "
+    "the unbounded-history form is the applyInPandasWithState "
+    "streaming twin shape.",
 )
 def w_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "events").select(
@@ -231,28 +233,15 @@ def w_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = e.groupBy("user_id").agg(
         F.expr("array_sort(collect_list(struct(ts_us, event_id)))").alias("seq")
     )
-    fold = F.expr(
-        f"aggregate(seq,"
-        f" struct(CAST(array() AS ARRAY<BIGINT>) AS out,"
-        f"        CAST(0 AS BIGINT) AS sid,"
-        f"        CAST(NULL AS BIGINT) AS prev_us,"
-        f"        CAST(NULL AS BIGINT) AS anchor_us),"
-        f" (st, x) -> struct("
-        f"   array_append(st.out,"
-        f"     CASE WHEN st.prev_us IS NULL"
-        f"            OR x.ts_us - st.prev_us > {_GAP_US}L"
-        f"            OR x.ts_us - st.anchor_us > {_CAP_US}L"
-        f"          THEN st.sid + 1L ELSE st.sid END),"
-        f"   CASE WHEN st.prev_us IS NULL"
-        f"          OR x.ts_us - st.prev_us > {_GAP_US}L"
-        f"          OR x.ts_us - st.anchor_us > {_CAP_US}L"
-        f"        THEN st.sid + 1L ELSE st.sid END,"
-        f"   x.ts_us,"
-        f"   CASE WHEN st.prev_us IS NULL"
-        f"          OR x.ts_us - st.prev_us > {_GAP_US}L"
-        f"          OR x.ts_us - st.anchor_us > {_CAP_US}L"
-        f"        THEN x.ts_us ELSE st.anchor_us END),"
-        f" st -> st.out)"
+    # r14 opt (guide §4.2, §5): the aggregate-HOF fold appended every
+    # session id to an immutable accumulator array — O(n²) copies per
+    # user history. The Arrow scan (operators/folds.py) carries O(1)
+    # state and replays the identical integer branch sequence; output
+    # bit-exact (tests/test_folds.py + oracle hash at all SFs).
+    fold = capped_sessions_scan(
+        F.expr("transform(seq, x -> x.ts_us)"),
+        F.lit(_GAP_US),
+        F.lit(_CAP_US),
     )
     z = seq.select(
         "user_id",

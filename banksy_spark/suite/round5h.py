@@ -5,7 +5,8 @@ split scoring, signal peak detection, and graph recommendations.
   lifetimes — THE survival/churn curve. The running Π(1 - d/n) is a
   single-scalar ordered fold (safe for DuckDB list_reduce — the
   in-place hazard documented at round5d applies to STRUCT accumulators,
-  not scalars; Spark uses the same aggregate-HOF fold as EWMA/CUSUM).
+  not scalars; Spark uses the same linear Arrow scan as EWMA/CUSUM —
+  operators/folds.py).
 - ml_gini_split: weighted Gini impurity of candidate split thresholds
   for a numeric feature vs a binary label — the exact split-scoring
   primitive inside decision-tree training, all-rational arithmetic (no
@@ -65,8 +66,8 @@ from banksy_spark.suite.round4d import _BFS_N
     "censoring would subtract a second counter from the risk set): at "
     "each distinct death time S(t) multiplies by (1 - d_t/n_t), with "
     "n_t the suffix-sum of deaths ≥ t. The running product is an "
-    "ordered SCALAR fold — Spark folds once per curve via the aggregate "
-    "HOF (w_cusum_changepoint shape), DuckDB folds each row's expanding "
+    "ordered SCALAR fold — Spark scans once per curve with O(1) state "
+    "(operators/folds.py, linear time), DuckDB folds each row's expanding "
     "prefix (a scalar accumulator, so the round5d struct-field hazard "
     "does not apply); both multiply identical IEEE factors in identical "
     "order. Scale: the event table collapses to |users| rows in one "
@@ -90,14 +91,16 @@ def a_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = risk.groupBy().agg(
         F.expr("array_sort(collect_list(struct(t, d, n_at_risk)))").alias("seq")
     )
-    folded = F.expr(
-        "aggregate(seq,"
-        " struct(CAST(array() AS ARRAY<DOUBLE>) AS out, CAST(1 AS DOUBLE) AS acc),"
-        " (st, x) -> struct("
-        "   array_append(st.out,"
-        "     st.acc * (1.0D - CAST(x.d AS DOUBLE) / x.n_at_risk)),"
-        "   st.acc * (1.0D - CAST(x.d AS DOUBLE) / x.n_at_risk)),"
-        " st -> st.out)"
+    # r14 opt (guide §4.2, §5): the aggregate-HOF fold appended every
+    # S(t) to an immutable accumulator array — O(n²) copies over the
+    # curve. The Arrow scan (operators/folds.py) carries O(1) state and
+    # replays the identical IEEE multiply sequence; bit-exact per
+    # tests/test_folds.py + the oracle hash.
+    from banksy_spark.operators.folds import km_scan
+
+    folded = km_scan(
+        F.expr("transform(seq, x -> x.d)"),
+        F.expr("transform(seq, x -> x.n_at_risk)"),
     )
     z = seq.select(
         F.posexplode(F.arrays_zip("seq", folded.alias("s"))).alias("_i", "z")

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from banksy_spark.suite.llm import _POLY_DUCK, _POLY_SPARK, _lsh_oracle_ctes
-from banksy_spark.suite.registry import T, fan_out, query
+from banksy_spark.suite.registry import T, query
 
 # --- Time-series gap fill / resample ---------------------------------------
 

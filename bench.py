@@ -310,6 +310,7 @@ def main() -> None:
         per_query[name] = round(min(a, b), 3)
 
     total = round(sum(per_query.values()), 3)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     full = {
         "metric": "suite_wall_sec",
         "value": total,
@@ -317,16 +318,50 @@ def main() -> None:
         "queries": per_query,
         "runs_per_query": 2,
         "sf": sf,
+        "cpus": cpus,
     }
     # Full per-query detail first (the builder's BENCH_local_* records
     # capture this line verbatim) ...
     print(json.dumps(full))
-    # ... then a compact summary as the FINAL line: the driver keeps only
-    # the last ~2000 chars of stdout and parses from that, so the ~9KB
-    # per-query line gets front-truncated and `parsed` came back null in
-    # BENCH_r06/r07. This line is <200 chars and always parses. The 5
-    # slowest queries ride along so the driver record keeps some per-query
-    # signal within its tail budget.
+    # ... and to a file (r14, VERDICT r13 item 1): the driver keeps only
+    # the last ~2000 chars of stdout, which front-truncates the ~9KB
+    # per-query line — PERF_r13 came back with an empty per_query block.
+    # BENCH_perquery.json carries the full dict per run; the committed
+    # copy is the round's record. Methodology (what is timed, how many
+    # runs, min-combining) is unchanged.
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_perquery.json"), "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: stdout still carries the full line
+    # Self-computed round-over-round signal for the driver's tail window:
+    # geomean of per-query time ratios vs the previous round's committed
+    # record (BENCH_perquery_prev.json, pinned at each round close), only
+    # over same-cpu-count runs so the 8-cpu scaling run is not compared
+    # against a 32-cpu record.
+    geomean_vs_prev, n_common = None, 0
+    try:
+        with open(os.path.join(here, "BENCH_perquery_prev.json")) as f:
+            prev = json.load(f)
+        if str(prev.get("cpus")) == cpus and prev.get("sf") == sf:
+            import math
+
+            ratios = [
+                per_query[q] / p
+                for q, p in prev["queries"].items()
+                if q in per_query and p > 0 and per_query[q] > 0
+            ]
+            n_common = len(ratios)
+            if ratios:
+                geomean_vs_prev = round(
+                    math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 3
+                )
+    except (OSError, ValueError, KeyError):
+        pass
+    # The compact summary stays the FINAL line: <~400 chars, always
+    # parses inside the driver's 2000-char tail. The 5 slowest queries
+    # and the geomean ride along as the per-query signal.
     slowest = dict(
         sorted(per_query.items(), key=lambda kv: -kv[1])[:5]
     )
@@ -338,8 +373,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries_count": len(per_query),
                 "slowest5": slowest,
+                "geomean_vs_prev": geomean_vs_prev,
+                "n_common_vs_prev": n_common,
                 "runs_per_query": 2,
                 "sf": sf,
+                "cpus": cpus,
             }
         )
     )
