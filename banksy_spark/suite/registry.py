@@ -71,19 +71,62 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def fan_out(
+    df: DataFrame, min_parts: int | None = None, force: bool = False
+) -> DataFrame:
     """Scale-adaptive parallelism floor for CPU-heavy per-row work.
 
     A small parquet file scans as ONE partition (sf0.1's documents table
     is a single 594 KB file → 1 task), so expression-heavy pipelines —
     shingling, MinHash, deletion neighborhoods, frame decoding — run on
     one core of the machine. This round-robin-repartitions the frame up
-    to the session's default parallelism, but ONLY when the frame has
-    fewer partitions than that: a real-scale scan (thousands of splits)
-    makes it a provable no-op, so nothing here is tuned to local mode.
-    Apply it between a scan and heavy per-row expressions; never before
-    a plain aggregate (it would shuffle raw rows the partial agg would
-    otherwise collapse map-side).
+    to the session's default parallelism, but ONLY when the optimizer's
+    input-size estimate says the scan cannot already fill that many
+    splits (estimated bytes < defaultParallelism × maxPartitionBytes —
+    the same threshold at which the file-split planner itself would
+    produce ≥ parallelism tasks): a real-scale scan is a provable
+    no-op, so nothing here is tuned to local mode.
+
+    The gate reads `optimizedPlan().stats().sizeInBytes` — pure
+    logical-plan metadata, no RDD conversion, no physical planning, no
+    job (the previous `df.rdd.getNumPartitions()` probe forced an RDD
+    conversion per call site, and under AQE converting a frame that
+    contains a shuffle materializes its upstream query stages eagerly
+    at build time — r13 ADVICE). Statistics propagate through
+    select/filter and both eager and lazy `localCheckpoint` (LogicalRDD
+    keeps the origin plan's stats; probe-verified on Spark 4.1), which
+    covers every call site.
+
+    USAGE CONTRACT — apply only to shuffle-free frames (a scan, a
+    narrow select/filter on one, or a bounded checkpointed directory)
+    feeding CPU-heavy per-row work:
+     - A frame that already contains an exchange needs no floor (the
+       shuffle itself re-partitions), and join/aggregate size estimates
+       are unreliable above one.
+     - Before a plain aggregate the rule is: worth it ONLY when the
+       input is single-task AND the group-key cardinality is tiny
+       relative to the row count, so the partial aggregate collapses
+       almost everything map-side and the added raw-row exchange is
+       amortized by parallel evaluation of heavy aggregate expressions
+       (kept wins: a_q1_pricing_summary's 6 DECIMAL measure sums over 4
+       group keys, ml_linreg_normal's 9 DECIMAL(38) moments over 25
+       brands, a_neyman_allocation). When the first aggregate's key is
+       near-unique the partial agg cannot collapse rows and the
+       exchange is pure cost — measured and REVERTED at llm_bm25_topk
+       (0.78→1.43 s, (doc_id,term) keys), llm_self_bleu (2.01→2.82 s,
+       per-doc gram histograms), dq_constraint_report (1.82→2.96 s,
+       count-distinct), llm_lm_fluency (1.02→1.35 s).
+     - Never feed multi-driver-job operators (ordinal sketch +
+       directory passes): every bounded job rebuilds the plan and
+       re-pays the repartition shuffle (a_mad_outliers 1.98→3.64 s,
+       REVERTED).
+     - ``force=True`` skips the estimate for frames the CALLER proves
+       bounded by construction (a calendar- or key-bounded directory
+       whose lineage passes through a join/aggregate, where the
+       optimizer's size estimate is inflated and useless — e.g.
+       ml_kendall_tau's checkpointed brand×day directory). Only use it
+       when the bound holds at ANY corpus size, so the unconditional
+       repartition stays scale-safe.
 
     The shuffle it inserts moves only the columns the downstream plan
     needs (Catalyst prunes through Repartition) and is deterministic
@@ -93,9 +136,28 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """
     spark = df.sparkSession
     target = min_parts or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    max_split = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024)
+    if not force:
+        est_bytes = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        if est_bytes >= target * max_split:
+            return df
     return df.repartition(target)
+
+
+_SIZE_SUFFIX = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+
+
+def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a byte-size session conf ('134217728b', '128m', '1g')."""
+    raw = spark.conf.get(key, None)
+    if not raw:
+        return default
+    s = raw.strip().lower().removesuffix("b")
+    if s and s[-1] in _SIZE_SUFFIX:
+        return int(s[:-1]) * _SIZE_SUFFIX[s[-1]]
+    return int(s) if s else default
 
 
 def query(name: str, oracle: str | None = None, note: str = ""):

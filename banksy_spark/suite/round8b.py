@@ -685,8 +685,11 @@ def ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out: the probe side is a few thousand directory rows in ONE
     # coalesced partition, but the broadcast pair join fans each row
     # out ~|days| ways — partitioning must scale with the OUTPUT of
-    # the join, not its input (r13 opt).
-    daily = fan_out(daily)
+    # the join, not its input (r13 opt). force: the directory is
+    # calendar-bounded (3 brands × ~2400 days) at ANY corpus size, and
+    # its size ESTIMATE descends through the lineitem×part join, which
+    # inflates it past the gate's threshold (r14).
+    daily = fan_out(daily, force=True)
     a = daily.select(
         "brand", F.col("day").alias("d1"), F.col("x").alias("x1"),
         F.col("y").alias("y1"),
