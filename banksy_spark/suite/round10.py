@@ -309,6 +309,17 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # r14 trial, REVERTED: a fixpoint early-exit (peeling is monotone,
+    # so an unchanged per-round edge COUNT proves convergence and the
+    # remaining rounds are no-ops — output provably identical). It
+    # measured WORSE at sf0.1 despite skipping 1-2 no-op rounds:
+    # min-of-5 fn+noop 2.66 s lazy-4-rounds vs 3.21 s with counts
+    # (3.16 s with the pre-loop count elided) — each round's count is
+    # an eager materialization barrier, while the fully-lazy chain
+    # lets AQE overlap the tiny per-round stage jobs. At real scale a
+    # deployment tunes _KCORE_R (or adds the count probe, whose one
+    # extra pass per round is then amortized by skipped full passes);
+    # locally the fixed lazy budget wins, so it stays.
     for _ in range(_KCORE_R):
         deg = (
             e.select(F.col("a").alias("n"))

@@ -26,7 +26,7 @@ from banksy_spark.suite.llm import (
     _POLY_DUCK,
     _POLY_SPARK,
 )
-from banksy_spark.suite.registry import T, query
+from banksy_spark.suite.registry import T, fan_out, query
 
 # --- As-of join with tolerance (merge_asof semantics) ----------------------
 
@@ -145,6 +145,14 @@ _CDC_MOD = 16  # boundary when token-hash % 16 == 0 → ~16-token chunks
     "per-doc work is bounded by document length.",
 )
 def llm_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14 trial, REVERTED: fan_out on the documents scan (the tokenize
+    # + per-token polynomial hash ran as ONE 423 ms pre-exchange task in
+    # the event log). Two interleaved same-process A/Bs (5 and 7 rounds,
+    # fan_out monkeypatched on/off) came back NEUTRAL: chunks min
+    # 0.712/0.736 and 0.735/0.742 s (on/off), dedup_cdc min 0.983/0.940
+    # and 0.965/0.993 s — deltas ≤4% in opposite directions. With no
+    # measured local win and fan_out a no-op on a multi-split scan at
+    # real scale, the simpler plan stays.
     d = T(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")

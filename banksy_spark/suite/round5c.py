@@ -132,6 +132,32 @@ def j_similarity_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    return _verify_pairs(spark, cand, sets)
+
+
+def _verify_pairs(
+    spark: SparkSession, cand: DataFrame, sets: DataFrame
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
+    against the persisted shingle-set table. Shared by
+    j_similarity_prefix_join and j_similarity_ppjoin_pos.
+
+    r14 opt: the verify stage is the classic small-bytes/high-CPU
+    shuffle (guide §2.5) — candidate pairs with both shingle arrays
+    attached are a few MB at sf0.1, so AQE's byte-based coalescing ran
+    the whole array_intersect pass as a 3-5-task stage (event log:
+    1.95 s of the query's 3.7 s in ONE such stage). The two verify
+    joins now sit on EXPLICIT repartitions of the pair table at the
+    session's shuffle parallelism: a user-specified repartition on the
+    join key is the exchange the join needs anyway (no extra shuffle)
+    and is exempt from AQE coalescing. Width = the shuffle.partitions
+    conf, i.e. exactly the pre-AQE default any cluster session gets —
+    AQE could only have made these partitions COARSER. Tradeoff: the
+    pinned exchange also opts out of AQE skew-splitting; per-doc
+    candidate counts are bounded by the rarest-first prefix filter, so
+    no single doc_b group can dominate the way a raw token join could.
+    """
+    n_ver = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     sa = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
         F.col("n").alias("n_a"),
@@ -142,7 +168,9 @@ def j_similarity_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        cand.join(sa, "doc_a")
+        cand.repartition(n_ver, "doc_a")
+        .join(sa, "doc_a")
+        .repartition(n_ver, "doc_b")
         .join(sb, "doc_b")
         .withColumn(
             "jaccard",

@@ -148,6 +148,19 @@ def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("_salt", F.explode(F.expr(f"sequence(0, {p_rep - 1})"))).withColumn(
         "_salt", F.col("_salt").cast("int")
     )
+    # r14 opt: the r13 salt widened the KEY space but the event log
+    # showed the pair stage still running as ONE 2.2 s task — the join's
+    # post-shuffle partitions are only a few MB of vectors, so AQE's
+    # byte-based coalescing collapsed them (guide §2.5: small-bytes /
+    # high-CPU shuffle). Pinning the exchange with an explicit
+    # user-specified repartition on the SAME join keys keeps the join
+    # zero extra exchanges (co-partitioned inputs) and is exempt from
+    # AQE coalescing. Width = defaultParallelism, so on a real cluster
+    # this is the exchange the join needed anyway, at the same width
+    # the session's shuffle.partitions posture gives it.
+    n_pair_parts = spark.sparkContext.defaultParallelism
+    a = a.repartition(n_pair_parts, "cluster", "_salt")
+    b = b.repartition(n_pair_parts, "cluster", "_salt")
     pair_cos = F.expr(_DOT_SPARK.format(a="av", b="bv")) / (F.col("an") * F.col("bn"))
     dropped = (
         a.join(b, ["cluster", "_salt"])

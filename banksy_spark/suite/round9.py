@@ -109,25 +109,12 @@ def j_similarity_ppjoin_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sa = sets.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
-        F.col("n").alias("n_a"),
-    )
-    sb = sets.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
-        F.col("n").alias("n_b"),
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter),
-        )
-        .filter(F.col("jaccard") >= 0.6)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    # r14 opt: shared pinned-width exact verify — see _verify_pairs
+    # (the positional filter above has already pruned the pair set;
+    # the verify-stage parallelism fix applies identically).
+    from banksy_spark.suite.round5c import _verify_pairs
+
+    return _verify_pairs(spark, cand, sets)
 
 
 # --- Streaming Bollinger twin ------------------------------------------------

@@ -124,3 +124,27 @@ def test_domain_cap_topk_window(spark):
     assert "Window" in plan
     n_exch = len(re.findall(r"Exchange hashpartitioning\(source", plan))
     assert n_exch == 1
+
+
+def test_similarity_verify_stage_pinned_width(spark):
+    # r14: the exact-Jaccard verify joins in both similarity-join
+    # queries sit on user-specified repartitions of the candidate-pair
+    # table (REPARTITION_BY_NUM) so AQE's byte-based coalescing cannot
+    # collapse the small-bytes/high-CPU verify stage back to ~1 task.
+    for name in ("j_similarity_prefix_join", "j_similarity_ppjoin_pos"):
+        plan = _plan(spark, name)
+        assert re.search(
+            r"Exchange hashpartitioning\(doc_b[^\n]*REPARTITION_BY_NUM", plan
+        ), f"{name}: verify join lost its pinned doc_b exchange"
+
+
+def test_semantic_pair_stage_pinned_width(spark):
+    # r14: both sides of the within-cluster pair join are repartitioned
+    # on the exact join keys (cluster, _salt) at defaultParallelism —
+    # the exchange the join needs anyway, pinned against AQE coalescing.
+    plan = _plan(spark, "llm_dedup_semantic")
+    hits = re.findall(
+        r"Exchange hashpartitioning\(cluster[^\n]*_salt[^\n]*REPARTITION_BY_NUM",
+        plan,
+    )
+    assert len(hits) >= 2, f"expected 2 pinned pair exchanges, saw {len(hits)}"
