@@ -346,9 +346,19 @@ def _lsh_sigs(spark: SparkSession, sf_dir: str, with_hs: bool) -> DataFrame:
     locally, persist() is the same cut."""
     # fan_out: MinHash(16) + shingle hashing is the CPU wall; a
     # single-file documents scan would compute it on one core (r13 opt).
+    # r14 opt (guide §2.5, §6): EAGER materialization, not a lazy
+    # persist. Under AQE the 3-4 consumer subtrees (band self-join a/b
+    # + sig_a/sig_b) submit their query stages concurrently, all before
+    # a lazy persist populates, so each re-ran the full MinHash (the
+    # llm_dedup_incremental event log showed 4 duplicate sig builds per
+    # run). localCheckpoint(eager=True) computes the signatures exactly
+    # once and every consumer reads the stored blocks; interleaved A/B
+    # over 6 consumer queries measured geomean 0.96 vs the lazy persist
+    # (llm_dedup_lsh_recall 1.40->1.16 s min-of-5). At cluster scale
+    # this is "write sigs to a table" — the same cut, made explicit.
     return sigs_from_docs(
         fan_out(T(spark, sf_dir, "documents")), with_hs=with_hs
-    ).persist()
+    ).localCheckpoint(eager=True)
 
 
 def sigs_from_docs(docs: DataFrame, with_hs: bool = False) -> DataFrame:
@@ -904,6 +914,11 @@ def ivf_parts(
     e = T(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
     )
+    # r14 trial, REVERTED: eager localCheckpoint of n/assigned measured
+    # neutral-to-worse in an interleaved A/B (ann_recall 1.75 lazy vs
+    # 1.81 eager, ndcg 1.33 vs 1.46 min-of-5): the 2000-row embeddings
+    # table is cheap to recompute and the duplicate subtree builds
+    # overlap, while the eager barrier serializes the composition.
     n = e.withColumn("nrm", F.expr(_NORM_SPARK.format(v="v"))).persist()
 
     # coarse quantizer: exact per-dimension decimal means per label

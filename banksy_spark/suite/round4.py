@@ -867,13 +867,24 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13 opt note: fan_out was trialed here and REVERTED — the
     # count-distinct's first phase groups on a near-unique key, so the
     # extra raw-row exchange outweighed the map parallelism gain
-    # (measured 1.82 -> 2.96 s).
+    # (measured 1.82 -> 2.96 s: round-robin + partial agg + key
+    # exchange = TWO shuffles).
+    # r14 opt (guide §2.5): repartition on the distinct KEY itself
+    # instead — one exchange (the one the count-distinct needs anyway),
+    # REPARTITION_BY_NUM so AQE cannot coalesce the 600k-key hash
+    # dedup back to 3 tasks, and the forgone partial agg collapsed
+    # nothing (the key is near-unique, so partial output ~= raw rows).
     li = T(spark, sf_dir, "lineitem")
     o = T(spark, sf_dir, "orders").select("o_orderkey")
     key = F.concat_ws("-", "l_orderkey", "l_linenumber", "l_extendedprice")
-    m = li.agg(
+    n_base = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # The key must be a CONCRETE column before the repartition, or the
+    # planner cannot match the pinned exchange to the count-distinct's
+    # internal clustering requirement and adds a second key exchange.
+    lik = li.withColumn("_k", key)
+    m = lik.repartition(n_base, "_k").agg(
         F.count("*").alias("row_count"),
-        (F.count("*") - F.countDistinct(key)).alias("key_dupes"),
+        (F.count("*") - F.countDistinct(F.col("_k"))).alias("key_dupes"),
         F.sum(
             F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1).otherwise(0)
         ).alias("discount_out_of_range"),

@@ -590,7 +590,16 @@ def llm_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    sets = li.groupBy("l_orderkey").agg(
+    # r14 opt (guide §2.5): the per-order set build + pair explode ran
+    # in the stage reading the orderkey exchange, which AQE's
+    # byte-based coalescing collapsed to ~3 tasks (sets are small
+    # bytes, the explode is the CPU). An explicit repartition on the
+    # group key is the exchange the aggregate needs anyway, pinned
+    # (REPARTITION_BY_NUM) at the session's shuffle parallelism; the
+    # partial agg it forgoes collapsed nothing here (the scan is one
+    # task, so the "partial" already ran serially).
+    n_base = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    sets = li.repartition(n_base, "l_orderkey").groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
     pairs = sets.select(

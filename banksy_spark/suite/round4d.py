@@ -179,7 +179,17 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_exact", F.lit(1))
     )
 
-    sigs = sigs_from_docs(d).persist()
+    # r14 opt (guide §2.5, §6): this query built its own
+    # sigs_from_docs(d).persist() WITHOUT fan_out, so the MinHash ran
+    # as ONE ~0.7 s task — and under AQE its four consumer subtrees
+    # (band self-join a/b + sig_a/sig_b) materialize concurrently
+    # before the lazy persist populates, so the event log showed FOUR
+    # duplicate single-task sig builds per run. The shared _lsh_sigs is
+    # the identical computation (same tokenize/filter/MinHash) with the
+    # r13 fan_out and the r14 eager materialization.
+    from banksy_spark.suite.llm import _lsh_sigs
+
+    sigs = _lsh_sigs(spark, sf_dir, with_hs=False)
     pairs = _band_pairs(sigs)
     a_new = F.col("doc_a") % 10 == 9
     b_new = F.col("doc_b") % 10 == 9

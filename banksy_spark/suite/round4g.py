@@ -208,10 +208,23 @@ def _pair_parallelism(spark: SparkSession, n_li: int) -> int:
 )
 def j_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # r14 opt (guide §2.5): the heavy chain — per-order set build +
+    # pair explode — ran in the stage reading the orderkey exchange,
+    # which AQE's byte-based coalescing collapsed to ~3 tasks. The
+    # explicit repartition on the group key is the exchange the
+    # aggregate needs anyway, pinned (REPARTITION_BY_NUM) at the
+    # session's shuffle parallelism; collect_set absorbs the distinct,
+    # so the sets chain needs no separate op. The three marginal
+    # subtrees (i1/i2/nb) stay lazy duplicates on purpose: they
+    # materialize CONCURRENTLY under AQE and an eager shared
+    # checkpoint was measured WORSE (2.38 vs 1.84 s min — the
+    # materialization barrier serializes the three cheap broadcast
+    # sides).
+    n_base = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     op = li.distinct()
     nb = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
-    sets = op.groupBy("l_orderkey").agg(
+    sets = li.repartition(n_base, "l_orderkey").groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
     from banksy_spark.operators.ordinals import memoized_count

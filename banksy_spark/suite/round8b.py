@@ -951,8 +951,14 @@ def llm_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode("w").alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
     )
+    # r14 trial, REVERTED: eager localCheckpoint of uc/bc (to stop the
+    # concurrent-materialization stampede that paid off in _lsh_sigs)
+    # measured NEUTRAL here in an interleaved A/B (min-of-5: 2.20 lazy
+    # vs 2.16 eager) — the histograms are cheap enough that the
+    # duplicate builds overlap on idle cores while the eager barrier
+    # serializes. Lazy persist stays.
+    uc = uc.persist()
     bigrams = F.expr(
         "CASE WHEN size(w) >= 2 THEN"
         " transform(sequence(0, size(w) - 2), i -> w[i] || ' ' || w[i + 1])"
@@ -962,8 +968,8 @@ def llm_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(bigrams).alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
     )
+    bc = bc.persist()
     # every token lands in uc (split("") yields [""], never an empty
     # array), so token length == the persisted histogram's count sum —
     # no extra document scan for the length table

@@ -148,3 +148,33 @@ def test_semantic_pair_stage_pinned_width(spark):
         plan,
     )
     assert len(hits) >= 2, f"expected 2 pinned pair exchanges, saw {len(hits)}"
+
+
+def test_basket_set_build_pinned_width(spark):
+    # r14: the per-order set build + pair explode must hang off a
+    # user-specified orderkey repartition (REPARTITION_BY_NUM), not an
+    # AQE-coalescible ENSURE_REQUIREMENTS exchange.
+    for name in ("j_basket_pairs", "j_basket_lift"):
+        plan = _plan(spark, name)
+        assert re.search(
+            r"Exchange hashpartitioning\(l_orderkey[^\n]*REPARTITION_BY_NUM", plan
+        ), f"{name}: set-build exchange lost its pinned width"
+
+
+def test_dq_constraint_single_pinned_key_exchange(spark):
+    # r14: exactly one exchange on the dedup key (pinned), not a
+    # pinned + ENSURE_REQUIREMENTS pair (the concat_ws-expression
+    # mismatch regression) and not the coalescible original.
+    plan = _plan(spark, "dq_constraint_report")
+    pinned = len(re.findall(r"Exchange hashpartitioning\(_k[^\n]*REPARTITION_BY_NUM", plan))
+    ensure = len(re.findall(r"Exchange hashpartitioning\(_k[^\n]*ENSURE_REQUIREMENTS", plan))
+    assert pinned == 1 and ensure == 0, f"pinned={pinned} ensure={ensure}"
+
+
+def test_lsh_sigs_materialized_once(spark):
+    # r14: _lsh_sigs is eagerly checkpointed, so consumers read the
+    # stored sig table (ExistingRDD) and the plan contains NO documents
+    # scan — the MinHash cannot be recomputed per subtree.
+    plan = _plan(spark, "llm_dedup_minhash_lsh")
+    assert "ExistingRDD" in plan
+    assert "documents" not in plan, "consumer re-derives sigs from the raw scan"
