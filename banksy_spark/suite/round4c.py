@@ -279,9 +279,19 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") % _TRI_N).alias("a"),
         (F.col("o_orderkey") % _TRI_N).alias("b"),
     )
+    # r14 opt (guide §2.5): the edge distinct's exchange was
+    # AQE-coalesced to ONE partition (29k edges are tiny bytes), and
+    # because both downstream joins broadcast, the ENTIRE wedge
+    # enumeration + closing join + count ran as one 0.83 s task. The
+    # explicit repartition on the edge key is the exchange the distinct
+    # needs anyway, pinned (REPARTITION_BY_NUM) at the session's
+    # shuffle parallelism, so the persisted edges carry that width into
+    # every broadcast-probe leg.
+    n_base = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     edges = (
         o.filter(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .repartition(n_base, "u", "v")
         .distinct()
         .persist()
     )

@@ -298,7 +298,15 @@ def j_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-group linear model over 100 TB costs exactly one shuffle.",
 )
 def a_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_discount", "l_quantity")
+    from banksy_spark.suite.registry import fan_out
+
+    # r14 opt (guide §2.5): same shape as ml_linreg_normal's kept r13
+    # fan_out — single-task scan feeding 4 DECIMAL(38) moment sums that
+    # collapse to ~25 brands, so the raw-row exchange is amortized by
+    # parallel partial aggregation of the heavy decimal multiplies.
+    li = fan_out(
+        T(spark, sf_dir, "lineitem").select("l_partkey", "l_discount", "l_quantity")
+    )
     pt = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
     x = F.round(F.col("l_discount") * 100, 0).cast("bigint").cast("decimal(38,0)")
     y = F.round(F.col("l_quantity"), 0).cast("bigint").cast("decimal(38,0)")

@@ -381,7 +381,14 @@ def _cdc_ctes() -> str:
 )
 def llm_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = llm_cdc_chunks(spark, sf_dir).select("doc_id", "chunk_hash")
-    dh = chunks.distinct().persist()
+    # r14 opt (guide §2.5, §6): dh feeds FIVE consumer subtrees (keep,
+    # both pair-join sides, both size-join sides); under AQE they
+    # submit query stages concurrently before a lazy persist populates,
+    # so the event log showed SIX duplicate ~0.36 s chunk+distinct
+    # builds per run. The tokenize+poly-hash chunk pipeline is real CPU
+    # (the _lsh_sigs case, not the cheap-histogram case) — eager
+    # checkpoint computes it once.
+    dh = chunks.distinct().localCheckpoint(eager=True)
     keep = dh.groupBy("chunk_hash").agg(F.count("*").alias("_df")).filter(
         F.col("_df") <= _CDC_MAX_DF
     ).select("chunk_hash")

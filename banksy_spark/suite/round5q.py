@@ -228,9 +228,23 @@ def a_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
-    daily = li.groupBy(
-        "l_partkey", F.col("l_shipdate").cast("date").alias("day")
-    ).agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+    # r14 opt (guide §2.5): the (part, day) key is near-unique (~500k
+    # groups from 600k rows), so the partial agg collapsed nothing and
+    # the post-exchange dedup ran in an AQE-coalesced 3-task stage
+    # (0.78 s of the 1.56 s wall). Repartitioning on the materialized
+    # key columns is the one exchange the aggregate needs, pinned
+    # (REPARTITION_BY_NUM) at the session's shuffle parallelism.
+    n_base = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    daily = (
+        li.select(
+            "l_partkey",
+            F.col("l_shipdate").cast("date").alias("day"),
+            "l_quantity",
+        )
+        .repartition(n_base, "l_partkey", "day")
+        .groupBy("l_partkey", "day")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+    )
     mom = daily.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n_days"),
         _dd(F.sum("q")).alias("s1"),
