@@ -65,64 +65,64 @@ from banksy_spark.suite import round13d  # noqa: E402,F401
 
 # Rotate the newest / highest-risk queries into the driver's ~50-query
 # verification window (it samples the FIRST 50 registry entries).
-# Round 13 = pure re-check window: the R12 gap-closing window completed
-# driver coverage of the FULL registry, so all 50 slots re-verify the
-# highest-residual-risk names not already re-checked inside the R12
-# window (rotation_plan.R13 states the risk ranking). Applied by
-# tools/rotate.py once CORRECTNESS_r12.json landed.
+# Round 14 = round-13-born queries first (rotation_plan.R14 — every
+# query registered during round 13, never driver-verified), padded to
+# 50 with the highest-residual-risk re-checks not covered by the R12
+# or R13 windows (rotation_plan.R14_RECHECK_FILL). Applied by
+# tools/rotate.py once CORRECTNESS_r13.json landed.
 # Python dicts preserve insertion order, so rebuilding the dict IS the
 # rotation.
 _FRONT = [
-    "llm_sample_pps",
-    "llm_e2e_prepare",
-    "w_scd2_intervals",
-    "o_cdc_merge_apply",
-    "llm_corpus_clean",
-    "llm_dedup_semantic",
-    "j_basket_lift",
-    "llm_dedup_minhash_lsh",
-    "llm_dedup_containment",
-    "llm_dedup_containment_k3",
-    "llm_dedup_ngram_jaccard",
-    "llm_simhash",
-    "llm_embed_near_dup",
-    "llm_dedup_tau_curve",
-    "llm_ann_recall",
-    "llm_ann_ndcg",
-    "llm_bpe_pairs",
-    "llm_bpe_merges",
-    "llm_self_bleu",
-    "llm_boilerplate_ngrams",
-    "o_global_rownum",
-    "o_global_ntile",
-    "a_exact_median",
-    "a_exact_percentiles",
-    "a_weighted_percentiles_global",
-    "a_interpolated_percentiles",
-    "ml_mutual_info",
-    "ml_spearman_corr",
-    "ml_kendall_tau",
-    "ml_sprt_sequential",
-    "ml_linreg_normal",
-    "a_theil_sen_monthly",
-    "w_rolling_corr",
-    "a_chi2_contingency",
-    "a_tail_risk_var_es",
-    "a_neyman_allocation",
-    "w_ewma",
-    "w_holt_linear",
-    "w_cusum_changepoint",
-    "w_capped_sessions",
-    "w_max_drawdown",
-    "a_changepoint_binseg",
-    "a_survival_km",
-    "stream_rate_limit_stateful",
-    "stream_sessionize",
-    "stream_asof_join",
-    "stream_rollup_cascade",
-    "graph_triangle_count",
-    "o_compaction_plan",
-    "o_zorder_key",
+    "ml_cuped_stratified",
+    "ml_srm_check",
+    "ml_diff_in_diff",
+    "ml_group_sequential",
+    "j_trajectory_fence_crossing",
+    "a_hex_rollup",
+    "j_polygon_overlap_join",
+    "ml_experiment_power",
+    "a_hex_smoothing",
+    "graph_label_propagation",
+    "j_nearest_edge_join",
+    "graph_connected_components",
+    "dq_t_closeness",
+    "ml_permutation_test",
+    "ml_bootstrap_poisson_ci",
+    "ml_tost_equivalence",
+    "a_kde_epanechnikov",
+    "graph_jaccard_linkpred",
+    "ml_auc_delong_ci",
+    "a_esd_outliers",
+    "llm_sample_reservoir",
+    "stream_reservoir_stateful",
+    "llm_dedup_canonical",
+    "a_q1_pricing_summary",
+    "a_q14_promo_share",
+    "llm_dsir_importance",
+    "llm_dedup_clusters",
+    "j_basket_pairs",
+    "dq_constraint_report",
+    "a_xyz_classification",
+    "a_ols_slope",
+    "a_seasonal_strength",
+    "ml_psi_drift",
+    "a_skew_kurtosis",
+    "a_autocorr_lag1",
+    "a_weighted_median",
+    "a_benford_deviation",
+    "ml_roc_auc",
+    "ml_pr_auc",
+    "ml_ks_statistic",
+    "ml_mcc",
+    "ml_cohen_kappa",
+    "a_runs_test",
+    "a_mann_kendall_trend",
+    "a_wilson_ci",
+    "a_ab_test_ztest",
+    "a_gini_concentration",
+    "a_trimmed_mean",
+    "a_ddsketch_log2",
+    "a_largest_remainder",
 ]
 _rest = [n for n in REGISTRY if n not in set(_FRONT)]
 _reordered = {n: REGISTRY[n] for n in _FRONT + _rest}

@@ -502,7 +502,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.select(
         (F.col("l_suppkey") * 2 + 1).alias("src"), (F.col("l_partkey") * 2).alias("dst")
     )
-    edges = fwd.union(rev).distinct().persist()
+    # r14 opt (guide §2.5): the edge-distinct exchange was
+    # AQE-coalesced (small bytes), so the persisted edges/ed tables
+    # carried ~1-3 partitions and every iteration's rank join +
+    # partial contribution agg ran nearly serial. Repartitioning on
+    # src — a subset of the distinct key, so the dedup stays correct —
+    # is the one exchange the chain needs, pinned at the session's
+    # shuffle parallelism; deg (groupBy src) and ed (join on src) then
+    # reuse the SAME partitioning with zero extra exchanges, and the
+    # per-iteration join inherits the pinned width from the ed cache.
+    n_base = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    edges = fwd.union(rev).repartition(n_base, "src").distinct().persist()
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     ed = edges.join(deg, "src").persist()
     nn = edges.select("src").distinct().groupBy().agg(F.count("*").alias("n"))

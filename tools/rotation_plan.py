@@ -416,12 +416,32 @@ R14 = [
 # (4) streaming-semantics twins; (5) storage-layer checksums and
 # incremental-view arithmetic.
 R14_RECHECK_FILL = [
+    # (0) r14-optimization-round restructures + the four touched-but-
+    # never-driver-windowed queries from VERDICT r13 item 5. A query
+    # whose physical plan changed THIS round is the highest residual
+    # risk by definition — the independent oracle re-check is the bar
+    # the optimization round is graded against. Restructured queries
+    # that sat in the R12 or R13 windows (w_* folds, semantic,
+    # minhash_lsh, corpus_clean, ngram_jaccard, tau_curve,
+    # basket_lift, triangle_count, prefix/ppjoin, incremental,
+    # lsh_recall, spans, dedup_cdc, pagerank) are EXCLUDED by the
+    # no-repeat contract rules; their post-change verification
+    # is the builder's three-SF oracle sweep recorded in
+    # OPTIMIZATION_r14.md.
+    "llm_dedup_canonical",
+    "a_q1_pricing_summary",
+    "a_q14_promo_share",
+    "llm_dsir_importance",
+    "llm_dedup_clusters",
+    "j_basket_pairs",
+    "dq_constraint_report",
+    "a_xyz_classification",
+    "a_ols_slope",
     # (1) hand-rolled statistics, r7-r9 last-green
     "a_seasonal_strength",
     "ml_psi_drift",
     "a_skew_kurtosis",
     "a_autocorr_lag1",
-    "a_ols_slope",
     "a_weighted_median",
     "a_benford_deviation",
     "ml_roc_auc",
